@@ -182,7 +182,14 @@ class ContainerReader:
         raise ValueError(f"unrecognized llama_proj width {out_dim}")
 
     def close(self) -> None:
-        self._mm.close()
+        """Release the mapping.  Zero-copy views handed out by :meth:`raw`/
+        :meth:`tensor` may still reference the map (e.g. aliased into JAX CPU
+        buffers); in that case the mapping stays alive until they are GC'd —
+        the same lifetime model as the reference's mmap-backed weights."""
+        try:
+            self._mm.close()
+        except BufferError:
+            pass  # exported views keep the pages mapped
         self._file.close()
 
     def __enter__(self):

@@ -184,7 +184,10 @@ class LlamaFileReader:
         return t.astype(np.float32) if t.dtype != np.float32 else t
 
     def close(self) -> None:
-        self._mm.close()
+        try:
+            self._mm.close()
+        except BufferError:
+            pass  # exported zero-copy views keep the pages mapped
         self._file.close()
 
     def __enter__(self):

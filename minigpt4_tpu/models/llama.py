@@ -1,0 +1,223 @@
+"""LLaMA/Vicuna decoder, TPU-native (the reference's llama.cpp replacement).
+
+The reference delegates the whole LLM to llama.cpp (`llama_eval` /
+`llama_eval_embd`, /root/reference/minigpt4.cpp:2365-2422).  Here the decoder
+is a pair of jitted functions over a functional, pre-allocated HBM KV cache:
+
+  * ``forward(params, cache, embeds, pos0, cfg)`` — runs S positions (prefill
+    of tokens *or* injected image embeddings — the mixed-modality prefill the
+    MiniGPT-4 flow requires), updating the cache via dynamic_update_slice and
+    returning logits for the **last** position only (llama.cpp computes
+    exactly that for its sampler);
+  * decode is the same function with S=1.
+
+Design notes:
+  * layers run under ``lax.scan`` over stacked params (quantized weights
+    stay packed: QTensor leaves stack on their leading axis) — one compiled
+    block, L iterations;
+  * RoPE is the *interleaved-pair* variant (ggml_rope mode 0): llama.cpp
+    model files store wq/wk un-permuted back to Meta layout, unlike HF;
+  * causal masking is position-arithmetic over the static cache length, so
+    one compilation serves every (pos0, S) with the same S;
+  * cache layout [L, B, H, C, Dh], matching the decode attention kernel's
+    preferred DMA pattern.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.dtypes import is_quantized
+from .layers import rms_norm
+from .params import QTensor, linear
+
+NEG_INF = float(np.finfo(np.float32).min)  # torch finfo min, minigpt4.cpp:144
+RMS_EPS = 1e-6  # ggml_rms_norm eps at llama.cpp master-31cfbb1
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    n_vocab: int
+    n_embd: int
+    n_head: int
+    n_layer: int
+    n_rot: int
+    n_ff: int
+    n_ctx: int = 2048
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+    @classmethod
+    def from_hparams(cls, hp, n_ctx: int = 2048) -> "LlamaConfig":
+        return cls(
+            n_vocab=hp.n_vocab,
+            n_embd=hp.n_embd,
+            n_head=hp.n_head,
+            n_layer=hp.n_layer,
+            n_rot=hp.n_rot,
+            n_ff=hp.n_ff,
+            n_ctx=n_ctx,
+        )
+
+
+def init_cache(cfg: LlamaConfig, batch: int = 1, dtype=jnp.float32) -> dict:
+    """Pre-allocated HBM KV cache (the llama.cpp kv_self analogue)."""
+    shape = (cfg.n_layer, batch, cfg.n_head, cfg.n_ctx, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotate consecutive pairs (ggml_rope mode 0). x [B,H,S,Dh]."""
+    b, h, s, dh = x.shape
+    half = dh // 2
+    freqs = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)  # [Dh/2]
+    ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]  # [S, Dh/2]
+    cos = jnp.cos(ang)[None, None]
+    sin = jnp.sin(ang)[None, None]
+    xp = x.reshape(b, h, s, half, 2)
+    even = xp[..., 0].astype(jnp.float32)
+    odd = xp[..., 1].astype(jnp.float32)
+    out = jnp.stack([even * cos - odd * sin, even * sin + odd * cos], axis=-1)
+    return out.reshape(b, h, s, dh).astype(x.dtype)
+
+
+def _layer(
+    x: jnp.ndarray,
+    lp: dict,
+    kc: jnp.ndarray,
+    vc: jnp.ndarray,
+    pos0: jnp.ndarray,
+    cfg: LlamaConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder layer. x [B,S,D]; kc/vc [B,H,C,Dh] (this layer's cache)."""
+    b, s, _ = x.shape
+    h = rms_norm(x, lp["attention_norm"], RMS_EPS)
+    positions = pos0 + jnp.arange(s)
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+
+    q = rope_interleaved(heads(linear(h, lp["wq"])), positions, cfg.rope_theta)
+    k = rope_interleaved(heads(linear(h, lp["wk"])), positions, cfg.rope_theta)
+    v = heads(linear(h, lp["wv"]))
+
+    kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos0, 0))
+    vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos0, 0))
+
+    # causal mask over the full static cache: query i may see key_pos <= pos0+i
+    key_pos = jnp.arange(cfg.n_ctx)
+    mask = jnp.where(
+        key_pos[None, :] <= (pos0 + jnp.arange(s))[:, None], 0.0, NEG_INF
+    )  # [S, C]
+
+    scores = jnp.einsum(
+        "bhsd,bhcd->bhsc", q, kc.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    scores = scores / jnp.sqrt(jnp.float32(cfg.head_dim))
+    scores = scores + mask[None, None]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    ctx = jnp.einsum(
+        "bhsc,bhcd->bhsd", probs.astype(vc.dtype), vc, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_embd)
+    x = x + linear(ctx, lp["wo"])
+
+    h = rms_norm(x, lp["ffn_norm"], RMS_EPS)
+    gate = jax.nn.silu(linear(h, lp["w1"]).astype(jnp.float32)).astype(x.dtype)
+    up = linear(h, lp["w3"])
+    x = x + linear(gate * up, lp["w2"])
+    return x, kc, vc
+
+
+def forward(
+    params: dict,
+    cache: dict,
+    embeds: jnp.ndarray,
+    pos0: jnp.ndarray,
+    cfg: LlamaConfig,
+) -> tuple[jnp.ndarray, dict]:
+    """embeds [B, S, D] -> (last-position logits [B, V], updated cache)."""
+
+    def body(x, xs):
+        lp, kc, vc = xs
+        x, kc, vc = _layer(x, lp, kc, vc, pos0, cfg)
+        return x, {"k": kc, "v": vc}
+
+    x, new_cache = jax.lax.scan(body, embeds, (params["layers"], cache["k"], cache["v"]))
+    x = rms_norm(x[:, -1], params["norm"], RMS_EPS)
+    logits = linear(x, params["output"])
+    return logits.astype(jnp.float32), new_cache
+
+
+def embed_tokens(params: dict, tokens: jnp.ndarray) -> jnp.ndarray:
+    """[B, S] int32 -> [B, S, D] (llama.cpp get_rows)."""
+    return params["tok_embeddings"][tokens]
+
+
+def make_step_fns(cfg: LlamaConfig):
+    """(prefill_fn, decode_fn) jitted with donated caches (in-place HBM
+    update, no copy)."""
+    fwd = partial(forward, cfg=cfg)
+    prefill = jax.jit(fwd, donate_argnums=(1,))
+    return prefill, prefill  # same compiled fn; shapes differ (S vs 1)
+
+
+# ---------------------------------------------------------------------------
+# parameter loading
+# ---------------------------------------------------------------------------
+
+
+def load_params(
+    reader, dtype=jnp.float32, n_ctx: int = 2048, dequant_small: bool = True
+) -> tuple[dict, LlamaConfig]:
+    """Build decoder params from a LlamaFileReader.
+
+    Tensor names follow llama.cpp: ``tok_embeddings.weight``, ``norm.weight``,
+    ``output.weight``, ``layers.{i}.attention.{wq,wk,wv,wo}.weight``,
+    ``layers.{i}.feed_forward.{w1,w2,w3}.weight``,
+    ``layers.{i}.{attention_norm,ffn_norm}.weight``.
+
+    The token embedding is dequantized to a dense row-gatherable array;
+    projection weights stay packed (QTensor) when quantized.
+    """
+    cfg = LlamaConfig.from_hparams(reader.hparams, n_ctx=n_ctx)
+
+    def lin(name: str) -> dict:
+        rec = reader.tensors[name]
+        if is_quantized(rec.dtype):
+            return {"w": QTensor.from_raw(reader.raw(name), rec.shape, rec.dtype)}
+        w = reader.tensor_f32(name)
+        return {"w": jnp.asarray(np.ascontiguousarray(w.T), dtype)}
+
+    params: dict = {
+        "tok_embeddings": jnp.asarray(reader.tensor_f32("tok_embeddings.weight"), dtype),
+        "norm": jnp.asarray(reader.tensor_f32("norm.weight"), dtype),
+        "output": lin("output.weight"),
+    }
+
+    layers = []
+    for i in range(cfg.n_layer):
+        pfx = f"layers.{i}."
+        layers.append(
+            {
+                "attention_norm": jnp.asarray(reader.tensor_f32(pfx + "attention_norm.weight"), dtype),
+                "wq": lin(pfx + "attention.wq.weight"),
+                "wk": lin(pfx + "attention.wk.weight"),
+                "wv": lin(pfx + "attention.wv.weight"),
+                "wo": lin(pfx + "attention.wo.weight"),
+                "ffn_norm": jnp.asarray(reader.tensor_f32(pfx + "ffn_norm.weight"), dtype),
+                "w1": lin(pfx + "feed_forward.w1.weight"),
+                "w2": lin(pfx + "feed_forward.w2.weight"),
+                "w3": lin(pfx + "feed_forward.w3.weight"),
+            }
+        )
+    params["layers"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return params, cfg

@@ -1,0 +1,99 @@
+"""Parameter containers: dense or packed-quantized weights as pytrees.
+
+The reference keeps weights as ggml tensors that may be any
+``MiniGPT4DataType`` (f16/f32 or quantized blocks) and multiplies them
+directly (ggml dequantizes inside ``mul_mat``).  The TPU-native analogue: a
+:class:`QTensor` pytree node holds the *packed* blocks in HBM as ``uint8``
+plus static layout metadata, and :func:`linear` dispatches to either a plain
+MXU matmul (dense weights) or a fused dequantize-matmul (Pallas kernel, with
+an XLA dequant fallback).
+
+Weight convention:
+  * dense weights are stored **[in_features, out_features]** ("kn") so the
+    forward pass is ``x @ w`` with no transpose;
+  * quantized weights keep ggml's row-major packing **[out_features,
+    packed_row_bytes]** ("nk"), since ggml quantizes along the input (K)
+    dimension per output row — the kernel contracts over K directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.dtypes import DataType, row_bytes, is_quantized
+from ..ops import dequant as jdequant
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QTensor:
+    """Packed ggml-quantized 2-D weight: logically [n_out, n_in]."""
+
+    packed: jnp.ndarray  # uint8 [..., n_out, row_packed_bytes]
+    dtype: DataType  # static
+    n_in: int  # static logical K
+
+    def tree_flatten(self):
+        return (self.packed,), (self.dtype, self.n_in)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @property
+    def n_out(self) -> int:
+        return self.packed.shape[-2]
+
+    @property
+    def logical_shape(self) -> tuple[int, ...]:
+        return (*self.packed.shape[:-1], self.n_in)
+
+    def dequantize(self, out_dtype=jnp.float32) -> jnp.ndarray:
+        """[..., n_out, n_in] floats (XLA path; jit-safe)."""
+        return jdequant.dequantize(self.packed, self.dtype, out_dtype)
+
+    @staticmethod
+    def from_raw(raw: np.ndarray, shape: tuple[int, int], dtype: DataType) -> "QTensor":
+        n_out, n_in = shape
+        rb = row_bytes(dtype, n_in)
+        packed = jnp.asarray(np.ascontiguousarray(raw, np.uint8).reshape(n_out, rb))
+        return QTensor(packed, DataType(dtype), n_in)
+
+
+def matmul_qtensor(x: jnp.ndarray, qt: QTensor, prefer_pallas: bool = True) -> jnp.ndarray:
+    """x [..., K] @ qt.T -> [..., N] with on-the-fly dequantization."""
+    from ..ops import quant_matmul
+
+    return quant_matmul.qmatmul(x, qt, prefer_pallas=prefer_pallas)
+
+
+def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Apply a linear layer parameter dict.
+
+    ``p['w']``: dense [K, N] array or :class:`QTensor` [N, K-packed];
+    ``p.get('b')``: optional [N] bias.
+    """
+    w = p["w"]
+    if isinstance(w, QTensor):
+        y = matmul_qtensor(x, w)
+    else:
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    b = p.get("b")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def dense_from_numpy(
+    w_out_in: np.ndarray, b: np.ndarray | None = None, dtype=jnp.float32
+) -> dict:
+    """torch-layout [out, in] numpy weight -> our [in, out] dense params."""
+    p = {"w": jnp.asarray(np.ascontiguousarray(w_out_in.T), dtype)}
+    if b is not None:
+        p["b"] = jnp.asarray(b, dtype)
+    return p

@@ -1,0 +1,265 @@
+"""MiniGPT4Engine: the TPU-native equivalent of the reference's ``MiniGPT4``
+orchestrator class (/root/reference/minigpt4.cpp:1740-2522).
+
+Owns: vision + decoder params (HBM-resident), the preallocated KV cache, the
+decode cursor ``n_past``, the tokenizer and sampler.  Exposes the same
+operation set the C ABI drives:
+
+    encode_image        minigpt4.cpp:2094-2363
+    add_strings/tokens  minigpt4.cpp:2365-2397   (always add_bos=true)
+    add_embedding       minigpt4.cpp:2399-2422   (soft-prompt injection)
+    sample_token        minigpt4.cpp:2425-2483   (sample-then-eval ordering)
+    begin/end chat, system_prompt, reset          minigpt4.cpp:2671-2762
+
+TPU specifics:
+  * prefill lengths are padded up to power-of-two buckets so each bucket
+    compiles once (XLA static shapes); the cache write/mask arithmetic makes
+    padding invisible (see llama.forward);
+  * the KV cache is donated through every step — XLA updates it in place, no
+    HBM copy per token;
+  * decode is one jitted step: embed row gather -> L scanned layers ->
+    last-logits head; logits (the only download) are sampled on host.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import utils
+from ..formats import ContainerReader, LlamaFileReader
+from ..models import llama as llama_mod
+from ..models import minigpt4 as vision_mod
+from ..tokenizer import TOKEN_EOS, LlamaTokenizer
+from .sampling import Sampler, SamplingParams
+
+# Vicuna-v0 conversation constants (minigpt4.cpp:139-141)
+SYSTEM_PROMPT = (
+    "Give the following image: <Img>ImageContent</Img>. "
+    "You will be able to see the image once I provide it to you. "
+    "Please answer my questions.###"
+)
+EOS_TOKEN_SUFFIX = "##"
+EOS_SUFFIX = "###"
+N_IMG_EMBED = 32  # LLAMA_PROJECTION_EMBEDDING_SIZE1, minigpt4.cpp:133
+
+
+def _bucket(n: int, cap: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+class MiniGPT4Engine:
+    def __init__(
+        self,
+        model_path: str | Path,
+        llm_path: str | Path,
+        verbosity: int = utils.Verbosity.SILENT,
+        seed: int = 1337,
+        n_ctx: int = 2048,
+        n_batch: int = 512,
+        compute_dtype=jnp.float32,
+        cache_dtype=None,
+        batch: int = 1,
+    ):
+        utils.set_verbosity(verbosity)
+        self.n_batch = n_batch
+        self.batch = batch
+
+        with utils.phase_timer("Load minigpt4 model"):
+            self._container = ContainerReader(model_path)
+            vparams, self.vision_cfg = vision_mod.load_params(self._container, compute_dtype)
+            self.vision_params = jax.device_put(vparams)
+
+        with utils.phase_timer("LLM model init"):
+            self._llm_file = LlamaFileReader(llm_path)
+            lparams, self.llm_cfg = llama_mod.load_params(
+                self._llm_file, compute_dtype, n_ctx=n_ctx
+            )
+            self.llm_params = jax.device_put(lparams)
+            self.tokenizer = LlamaTokenizer(
+                self._llm_file.vocab.tokens, self._llm_file.vocab.scores
+            )
+
+        if self.vision_cfg.llama_embed_dim != self.llm_cfg.n_embd:
+            raise ValueError(
+                f"model mismatch: llama_proj -> {self.vision_cfg.llama_embed_dim}, "
+                f"LLM n_embd = {self.llm_cfg.n_embd}"
+            )
+
+        self.cache = llama_mod.init_cache(
+            self.llm_cfg, batch=batch, dtype=cache_dtype or compute_dtype
+        )
+        self.n_past = 0
+        self.sampler = Sampler(seed)
+        self._last_logits: np.ndarray | None = None
+
+        cfg = self.llm_cfg
+        self._forward = jax.jit(
+            lambda p, c, e, pos0, last: llama_mod.forward(p, c, e, pos0, cfg, last),
+            donate_argnums=(1,),
+        )
+        self._embed = jax.jit(llama_mod.embed_tokens)
+        self._encode = vision_mod.jit_encode_image(self.vision_cfg)
+
+    # ------------------------------------------------------------------
+    # vision
+    # ------------------------------------------------------------------
+
+    def encode_image(self, pixels: np.ndarray) -> np.ndarray:
+        """Preprocessed pixels [3, 224, 224] (or [B, 3, 224, 224]) f32 ->
+        [32, n_embd] float32 (the C ABI embedding payload)."""
+        pixels = np.asarray(pixels, np.float32)
+        if pixels.ndim == 3:
+            pixels = pixels[None]
+        expect = self.vision_cfg.vit.image_size
+        if pixels.shape[1:] != (3, expect, expect):
+            raise ValueError(f"expected [B, 3, {expect}, {expect}], got {pixels.shape}")
+        with utils.phase_timer("Encoding image"):
+            emb = self._encode(self.vision_params, jnp.asarray(pixels))
+            emb = np.asarray(emb)
+        return emb[0] if emb.shape[0] == 1 else emb
+
+    # ------------------------------------------------------------------
+    # decoder feeding
+    # ------------------------------------------------------------------
+
+    def _prefill_embeds(self, embeds: jnp.ndarray) -> None:
+        """Feed [1, S, D] embeddings through the decoder in n_batch chunks,
+        with power-of-two bucket padding per chunk."""
+        s_total = embeds.shape[1]
+        if self.n_past + s_total > self.llm_cfg.n_ctx:
+            raise ValueError(
+                f"context overflow: n_past {self.n_past} + {s_total} > {self.llm_cfg.n_ctx}"
+            )
+        for off in range(0, s_total, self.n_batch):
+            chunk = embeds[:, off : off + self.n_batch]
+            s = chunk.shape[1]
+            b = _bucket(s, self.n_batch)
+            if b != s:
+                pad = jnp.zeros((chunk.shape[0], b - s, chunk.shape[2]), chunk.dtype)
+                chunk = jnp.concatenate([chunk, pad], axis=1)
+            logits, self.cache = self._forward(
+                self.llm_params,
+                self.cache,
+                chunk,
+                jnp.int32(self.n_past),
+                jnp.int32(s - 1),
+            )
+            self.n_past += s
+        self._last_logits = np.asarray(logits[0])
+
+    def add_tokens(self, tokens: list[int]) -> None:
+        """llama_eval in n_batch chunks (add_tokens, minigpt4.cpp:2365-2382)."""
+        if not tokens:
+            return
+        arr = jnp.asarray(np.asarray(tokens, np.int32)[None])
+        embeds = self._embed(self.llm_params, arr)
+        self._prefill_embeds(embeds)
+
+    def add_strings(self, s: str) -> None:
+        """Tokenize (always with BOS — reference quirk, minigpt4.cpp:2387)
+        and feed (add_strings, minigpt4.cpp:2384-2397)."""
+        self.add_tokens(self.tokenizer.tokenize(s, add_bos=True))
+
+    def add_embedding(self, embedding: np.ndarray) -> None:
+        """Inject raw embedding rows as pseudo-tokens (llama_eval_embd
+        analogue, minigpt4.cpp:2399-2422)."""
+        emb = np.asarray(embedding, np.float32).reshape(1, -1, self.llm_cfg.n_embd)
+        self._prefill_embeds(jnp.asarray(emb))
+
+    # ------------------------------------------------------------------
+    # sampling / decode
+    # ------------------------------------------------------------------
+
+    def sample_token(self, params: SamplingParams | None = None) -> int:
+        """Sample from the logits of the *previous* eval (the reference's
+        sample-then-eval ordering, minigpt4.cpp:2704-2716)."""
+        if self._last_logits is None:
+            raise RuntimeError("nothing evaluated yet")
+        return self.sampler.sample(self._last_logits, params or SamplingParams())
+
+    def id_to_token(self, token_id: int) -> str:
+        return self.tokenizer.id_to_str(token_id)
+
+    def reset(self) -> None:
+        """reset(): n_past = 0 (minigpt4.cpp:2499-2502).  The cache needs no
+        clearing — masking makes positions >= n_past unreachable."""
+        self.n_past = 0
+        self._last_logits = None
+
+    # ------------------------------------------------------------------
+    # chat state machine (minigpt4.cpp:2671-2782)
+    # ------------------------------------------------------------------
+
+    def system_prompt(self) -> None:
+        self.add_strings(SYSTEM_PROMPT)
+
+    def begin_chat_image(self, embedding: np.ndarray, question: str) -> None:
+        # The reference validates against 32*4096 / 32*5120 and truncates to
+        # 32 pseudo-tokens (minigpt4.cpp:2682-2689); the general rule is
+        # query_length * n_embd, which those are the 7B/13B instances of.
+        n_img = self.vision_cfg.qformer.query_length
+        emb = np.asarray(embedding, np.float32).reshape(-1)
+        expect = n_img * self.llm_cfg.n_embd
+        if emb.size != expect:
+            raise ValueError(
+                f"image embedding size {emb.size} != {expect} "
+                "(LLamaProjectionEmbeddingInvalidSize)"
+            )
+        self.add_strings("Human: <Img>")
+        self.add_embedding(emb[:expect])
+        self.add_strings("</Img> ")
+        self.add_strings(question)
+        self.add_strings("### Assistant:")
+
+    def begin_chat(self, question: str) -> None:
+        self.add_strings("Human: ")
+        self.add_strings(question)
+        self.add_strings("### Assistant:")
+
+    def end_chat(self, params: SamplingParams | None = None) -> str:
+        """One decode step: sample from previous logits, return its text, and
+        eval the sampled token (minigpt4.cpp:2704-2716)."""
+        tid = self.sample_token(params)
+        token = self.id_to_token(tid)
+        self.add_tokens([tid])
+        return token
+
+    def reset_chat(self) -> None:
+        self.reset()
+
+    @staticmethod
+    def contains_eos_token(s: str) -> bool:
+        return s == EOS_TOKEN_SUFFIX
+
+    @staticmethod
+    def is_eos(s: str) -> bool:
+        return s.endswith(EOS_SUFFIX)
+
+    def generate(
+        self,
+        limit: int = 1024,
+        params: SamplingParams | None = None,
+    ):
+        """Streaming generator over decode steps with the reference's EOS
+        logic (MiniGPT4ChatBot.generate, minigpt4_library.py:609-657)."""
+        chat = ""
+        for _ in range(limit):
+            token = self.end_chat(params)
+            chat += token
+            if self.contains_eos_token(token):
+                continue
+            if self.is_eos(chat):
+                break
+            yield token
+
+    def close(self) -> None:
+        self._container.close()
+        self._llm_file.close()

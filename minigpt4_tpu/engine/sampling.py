@@ -120,10 +120,11 @@ class Sampler:
 
         if apply_repeat_penalty and last_tokens and params.repeat_penalty != 1.0:
             recent = np.unique(np.asarray(last_tokens[-params.repeat_last_n :], np.int64))
-            nl_logit = logits[newline_id]
+            has_nl = newline_id < logits.size
+            nl_logit = logits[newline_id] if has_nl else 0.0
             sel = logits[recent]
             logits[recent] = np.where(sel > 0, sel / params.repeat_penalty, sel * params.repeat_penalty)
-            if not params.penalize_nl:
+            if not params.penalize_nl and has_nl:
                 logits[newline_id] = nl_logit
 
         if params.temp <= 0:

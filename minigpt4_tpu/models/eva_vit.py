@@ -128,12 +128,18 @@ def load_params(reader, dtype=jnp.float32) -> tuple[dict, ViTConfig]:
     ps = pe_w.shape[-1]
     pos = t("pos_embed")  # [257, D] (squeezed)
     pos = pos.reshape(-1, d_model)
+    # EVA ViT-G has head_dim 88; the reference derives heads = embed_dim/88
+    # (minigpt4.cpp:2147).  Honor an optional container-config override so
+    # non-EVA geometries load too.
+    head_dim = reader.config.get("vit", {}).get(
+        "head_dim", 88 if d_model % 88 == 0 else d_model // 4
+    )
     cfg = ViTConfig(
         image_size=ps * int(np.sqrt(pos.shape[0] - 1)),
         patch_size=ps,
         embed_dim=d_model,
         depth=depth,
-        head_dim=88,
+        head_dim=head_dim,
         mlp_dim=t("blocks.0.mlp.fc1.bias").shape[0],
     )
 

@@ -143,8 +143,17 @@ def forward(
     embeds: jnp.ndarray,
     pos0: jnp.ndarray,
     cfg: LlamaConfig,
+    last_idx: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
-    """embeds [B, S, D] -> (last-position logits [B, V], updated cache)."""
+    """embeds [B, S, D] -> (logits [B, V] at ``last_idx``, updated cache).
+
+    ``last_idx`` (default S-1) selects which position's logits to return —
+    used by bucketed prefill, where S is padded up to a bucket size and only
+    the first ``last_idx+1`` positions are real.  Padded positions write
+    stale cache entries beyond them, but those slots are both causally
+    masked (key_pos <= pos0+i) and overwritten by the next prefill chunk, so
+    they can never be attended to.
+    """
 
     def body(x, xs):
         lp, kc, vc = xs
@@ -152,8 +161,12 @@ def forward(
         return x, {"k": kc, "v": vc}
 
     x, new_cache = jax.lax.scan(body, embeds, (params["layers"], cache["k"], cache["v"]))
-    x = rms_norm(x[:, -1], params["norm"], RMS_EPS)
-    logits = linear(x, params["output"])
+    if last_idx is None:
+        h = x[:, -1]
+    else:
+        h = jax.lax.dynamic_index_in_dim(x, last_idx, axis=1, keepdims=False)
+    h = rms_norm(h, params["norm"], RMS_EPS)
+    logits = linear(h, params["output"])
     return logits.astype(jnp.float32), new_cache
 
 

@@ -1,0 +1,119 @@
+"""Logging, verbosity, phase timing, and error codes.
+
+Mirrors the reference's observability layer (N1: error enum + verbosity-gated
+log macros + RAII timers, /root/reference/minigpt4.cpp:97-312) so the Python
+engine reports the same phases ("LLM model init", "Load file", "Encoding
+image") at the same verbosity levels.
+"""
+
+from __future__ import annotations
+
+import enum
+import sys
+import time
+from contextlib import contextmanager
+
+
+class Verbosity(enum.IntEnum):
+    """minigpt4.h:50-56."""
+
+    SILENT = 0
+    ERROR = 1
+    INFO = 2
+    DEBUG = 3
+
+
+class MiniGPT4Error(enum.IntEnum):
+    """Error codes, values identical to the reference enum
+    (minigpt4.cpp:97-119) — they cross the C ABI."""
+
+    NONE = 0
+    LOAD_MODEL_FILE_HEADER = 1
+    LOAD_MODEL_FILE_VERSION = 2
+    LOAD_MODEL_MINIGPT4_DATA_TYPE = 3
+    LOAD_LANGUAGE_MODEL = 4
+    OPEN_IMAGE = 5
+    IMAGE_SIZE = 6
+    MMAP_SUPPORT = 7
+    FAILED_TO_ADD_STRING = 8
+    LLAMA_PROJECTION_EMBEDDING_INVALID_SIZE = 9
+    FAILED_TO_ADD_EMBEDDING = 10
+    EOS_TOKEN = 11
+    EOS = 12
+    IMAGE_NOT_224_224_3 = 13
+    IMAGE_NOT_F32 = 14
+    IMAGE_CHANNELS_EXPECTED_RGB = 15
+    IMAGE_FORMAT_EXPECTED_U8 = 16
+    PATH_DOES_NOT_EXIST = 17
+    DUMP_MODEL_FILE_OPEN = 18
+    OPENCV_NOT_LINKED = 19
+
+
+# reference's magic_enum name mapping (minigpt4.cpp:2811-2815)
+_ERROR_NAMES = {
+    MiniGPT4Error.NONE: "None",
+    MiniGPT4Error.LOAD_MODEL_FILE_HEADER: "LoadModelFileHeader",
+    MiniGPT4Error.LOAD_MODEL_FILE_VERSION: "LoadModelFileVersion",
+    MiniGPT4Error.LOAD_MODEL_MINIGPT4_DATA_TYPE: "LoadModelMiniGPT4DataType",
+    MiniGPT4Error.LOAD_LANGUAGE_MODEL: "LoadLanguageModel",
+    MiniGPT4Error.OPEN_IMAGE: "OpenImage",
+    MiniGPT4Error.IMAGE_SIZE: "ImageSize",
+    MiniGPT4Error.MMAP_SUPPORT: "MmapSupport",
+    MiniGPT4Error.FAILED_TO_ADD_STRING: "FailedToAddString",
+    MiniGPT4Error.LLAMA_PROJECTION_EMBEDDING_INVALID_SIZE: "LLamaProjectionEmbeddingInvalidSize",
+    MiniGPT4Error.FAILED_TO_ADD_EMBEDDING: "FailedToAddEmbedding",
+    MiniGPT4Error.EOS_TOKEN: "EosToken",
+    MiniGPT4Error.EOS: "Eos",
+    MiniGPT4Error.IMAGE_NOT_224_224_3: "ImageNot224_244_3",
+    MiniGPT4Error.IMAGE_NOT_F32: "ImageNotF32",
+    MiniGPT4Error.IMAGE_CHANNELS_EXPECTED_RGB: "ImageChannelsExpectedRGB",
+    MiniGPT4Error.IMAGE_FORMAT_EXPECTED_U8: "ImageFormatExpectedU8",
+    MiniGPT4Error.PATH_DOES_NOT_EXIST: "PathDoesNotExist",
+    MiniGPT4Error.DUMP_MODEL_FILE_OPEN: "DumpModelFileOpen",
+    MiniGPT4Error.OPENCV_NOT_LINKED: "OpenCVNotLinked",
+}
+
+
+def error_code_to_string(code: int) -> str:
+    try:
+        return _ERROR_NAMES[MiniGPT4Error(code)]
+    except ValueError:
+        return f"UnknownError({code})"
+
+
+_verbosity = Verbosity.SILENT
+
+
+def set_verbosity(v: int) -> None:
+    global _verbosity
+    _verbosity = Verbosity(v)
+
+
+def get_verbosity() -> Verbosity:
+    return _verbosity
+
+
+def log_err(msg: str) -> None:
+    if _verbosity >= Verbosity.ERROR:
+        print(f"[minigpt4-tpu ERR] {msg}", file=sys.stderr)
+
+
+def log_info(msg: str) -> None:
+    if _verbosity >= Verbosity.INFO:
+        print(f"[minigpt4-tpu] {msg}", file=sys.stderr)
+
+
+def log_debug(msg: str) -> None:
+    if _verbosity >= Verbosity.DEBUG:
+        print(f"[minigpt4-tpu DBG] {msg}", file=sys.stderr)
+
+
+@contextmanager
+def phase_timer(name: str):
+    """LoggingTimer equivalent (minigpt4.cpp:299-312): prints phase wall time
+    at INFO verbosity."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        log_info(f"{name} took {(time.perf_counter() - t0) * 1e3:.1f} ms")

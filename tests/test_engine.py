@@ -1,0 +1,135 @@
+"""End-to-end engine tests on the tiny fixture models: the full reference
+flow (load -> encode image -> system prompt -> image chat -> streamed decode
+-> follow-up turn -> reset), plus determinism and chat-state semantics."""
+
+import numpy as np
+import pytest
+
+from minigpt4_tpu.engine import MiniGPT4Engine, SamplingParams
+from minigpt4_tpu.formats import DataType
+
+from fixtures import build_tiny_models, QF_QUERIES, LLM_D
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("models")
+    model, llm = build_tiny_models(tmp)
+    eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=32)
+    yield eng
+    eng.close()
+
+
+def _rand_image(seed=0):
+    return np.random.default_rng(seed).normal(0, 1, (3, 28, 28)).astype(np.float32)
+
+
+def test_encode_image_shape(engine):
+    emb = engine.encode_image(_rand_image())
+    assert emb.shape == (QF_QUERIES, LLM_D)
+    assert np.all(np.isfinite(emb))
+
+
+def test_full_chat_flow(engine):
+    engine.reset_chat()
+    emb = engine.encode_image(_rand_image())
+    engine.system_prompt()
+    n_after_system = engine.n_past
+    assert n_after_system > 0
+
+    engine.begin_chat_image(emb, "what is this?")
+    assert engine.n_past > n_after_system
+
+    greedy = SamplingParams(temp=0.0)
+    tokens = [engine.end_chat(greedy) for _ in range(8)]
+    assert all(isinstance(t, str) for t in tokens)
+
+    # follow-up turn
+    engine.begin_chat("and then?")
+    more = [engine.end_chat(greedy) for _ in range(4)]
+    assert all(isinstance(t, str) for t in more)
+
+
+def test_greedy_determinism(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("det")
+    model, llm = build_tiny_models(tmp)
+    outs = []
+    for _ in range(2):
+        eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16)
+        eng.system_prompt()
+        eng.begin_chat("hello")
+        outs.append([eng.end_chat(SamplingParams(temp=0.0)) for _ in range(6)])
+        eng.close()
+    assert outs[0] == outs[1]
+
+
+def test_reset_restores_initial_state(engine):
+    engine.reset_chat()
+    assert engine.n_past == 0
+    engine.add_strings("abc")
+    n1 = engine.n_past
+    engine.reset_chat()
+    assert engine.n_past == 0
+    engine.add_strings("abc")
+    assert engine.n_past == n1
+
+
+def test_prefill_chunking_matches_oneshot(tmp_path_factory):
+    """n_batch chunked prefill gives the same logits as one-shot."""
+    tmp = tmp_path_factory.mktemp("chunk")
+    model, llm = build_tiny_models(tmp)
+    text = "The quick brown fox jumps over the lazy dog"
+
+    e1 = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=8)
+    e1.add_strings(text)
+    l1 = e1._last_logits.copy()
+    e1.close()
+
+    e2 = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=512)
+    e2.add_strings(text)
+    l2 = e2._last_logits.copy()
+    e2.close()
+    np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-5)
+
+
+def test_eos_rules(engine):
+    assert engine.contains_eos_token("##")
+    assert not engine.contains_eos_token("#")
+    assert not engine.contains_eos_token("x##")
+    assert engine.is_eos("something###")
+    assert not engine.is_eos("##")
+
+
+def test_sampling_modes_run(engine):
+    engine.reset_chat()
+    engine.add_strings("Hi")
+    for p in [
+        SamplingParams(temp=0.8),
+        SamplingParams(temp=0.8, mirostat=1),
+        SamplingParams(temp=0.8, mirostat=2),
+        SamplingParams(temp=0.8, top_k=0, top_p=0.5, tfs_z=0.9, typical_p=0.9),
+    ]:
+        tid = engine.sample_token(p)
+        assert 0 <= tid < engine.llm_cfg.n_vocab
+
+
+def test_context_overflow_raises(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ovf")
+    model, llm = build_tiny_models(tmp)
+    eng = MiniGPT4Engine(model, llm, n_ctx=16, n_batch=8)
+    with pytest.raises(ValueError, match="context overflow"):
+        eng.add_strings("a b c d e f g h i j k l m n o p q r s t")
+    eng.close()
+
+
+def test_quantized_models_end_to_end(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("qmodels")
+    model, llm = build_tiny_models(tmp, quant=DataType.Q4_1)
+    eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16)
+    emb = eng.encode_image(_rand_image())
+    assert np.all(np.isfinite(emb))
+    eng.system_prompt()
+    eng.begin_chat_image(emb, "ok?")
+    toks = [eng.end_chat(SamplingParams(temp=0.0)) for _ in range(4)]
+    assert all(isinstance(t, str) for t in toks)
+    eng.close()

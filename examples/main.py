@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""CLI chat demo — the examples/main.cpp equivalent (reference:
+/root/reference/examples/main.cpp:24-302): load models -> load + preprocess
+image -> encode -> system prompt -> multi-prompt streamed Q&A, with every
+sampling knob exposed as a flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from minigpt4_tpu.engine import MiniGPT4Engine, SamplingParams
+from minigpt4_tpu import image as image_mod
+from minigpt4_tpu.utils import Verbosity
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="minigpt4_tpu chat CLI")
+    p.add_argument("-m", "--model", required=True, help="minigpt4 container path")
+    p.add_argument("-l", "--llm_model", required=True, help="vicuna ggml path")
+    p.add_argument("-i", "--image", required=True, help="image path")
+    p.add_argument(
+        "-p", "--prompts", nargs="+",
+        default=["what is the text in the picture?", "what is the color of it?"],
+    )
+    p.add_argument("--verbosity", type=int, default=int(Verbosity.INFO))
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--n_ctx", type=int, default=2048)
+    p.add_argument("--n_batch", type=int, default=512)
+    p.add_argument("--limit", type=int, default=256)
+    # the 14 sampling knobs (examples/main.cpp:31-147)
+    p.add_argument("--temp", type=float, default=0.8)
+    p.add_argument("--top_k", type=int, default=40)
+    p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--tfs_z", type=float, default=1.0)
+    p.add_argument("--typical_p", type=float, default=1.0)
+    p.add_argument("--repeat_last_n", type=int, default=64)
+    p.add_argument("--repeat_penalty", type=float, default=1.1)
+    p.add_argument("--alpha_presence", type=float, default=1.0)
+    p.add_argument("--alpha_frequency", type=float, default=1.0)
+    p.add_argument("--mirostat", type=int, default=0)
+    p.add_argument("--mirostat_tau", type=float, default=5.0)
+    p.add_argument("--mirostat_eta", type=float, default=1.0)
+    p.add_argument("--penalize_nl", type=int, default=1)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    t_start = time.perf_counter()
+
+    eng = MiniGPT4Engine(
+        args.model, args.llm_model, verbosity=args.verbosity,
+        seed=args.seed, n_ctx=args.n_ctx, n_batch=args.n_batch,
+    )
+    sp = SamplingParams(
+        temp=args.temp, top_k=args.top_k, top_p=args.top_p, tfs_z=args.tfs_z,
+        typical_p=args.typical_p, repeat_last_n=args.repeat_last_n,
+        repeat_penalty=args.repeat_penalty, alpha_presence=args.alpha_presence,
+        alpha_frequency=args.alpha_frequency, mirostat=args.mirostat,
+        mirostat_tau=args.mirostat_tau, mirostat_eta=args.mirostat_eta,
+        penalize_nl=bool(args.penalize_nl),
+    )
+
+    img = image_mod.load_image(args.image)
+    pre = image_mod.preprocess(img)
+    emb = eng.encode_image(pre)
+
+    eng.system_prompt()
+    first = True
+    for prompt in args.prompts:
+        print(f"\n> {prompt}")
+        if first:
+            eng.begin_chat_image(emb, prompt)
+            first = False
+        else:
+            eng.begin_chat(prompt)
+        for tok in eng.generate(limit=args.limit, params=sp):
+            print(tok, end="", flush=True)
+        print()
+
+    print(f"\n[session: {(time.perf_counter() - t_start) * 1e3:.0f} ms]", file=sys.stderr)
+    eng.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,271 @@
+"""Benchmark harness: decode tok/s, TTFT, image-encode latency.
+
+The reference publishes no numbers (SURVEY §6) — this fills that gap with
+the metrics BASELINE.md names: decode tok/s/chip on Vicuna-13B-geometry
+q5_k weights, p50 TTFT, and ViT-G image-encode ms.
+
+Weights are synthetic (random packed blocks with valid scale fields) at the
+exact geometry of the real checkpoints: perf is layout/bandwidth-determined,
+not value-determined, so random payloads measure the true speed of the real
+models without shipping 9 GB of weights into CI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .formats.dtypes import DataType, row_bytes, traits
+from .models import llama as llama_mod
+from .models.params import QTensor
+from .models import eva_vit, qformer, minigpt4 as vision_mod
+
+# f16 1.0 little-endian
+_F16_ONE = (0x00, 0x3C)
+# scale byte positions (offset, and a second scale field offset or None)
+_SCALE_OFFSETS = {
+    DataType.Q4_0: ((0,),),
+    DataType.Q4_1: ((0,), (2,)),
+    DataType.Q5_0: ((0,),),
+    DataType.Q5_1: ((0,), (2,)),
+    DataType.Q8_0: ((0,),),
+    DataType.Q2_K: ((80,), (82,)),
+    DataType.Q3_K: ((108,),),
+    DataType.Q4_K: ((0,), (2,)),
+    DataType.Q5_K: ((0,), (2,)),
+    DataType.Q6_K: ((208,),),
+}
+
+
+def random_packed(rng: np.random.Generator, shape: tuple[int, int], dtype: DataType) -> QTensor:
+    """Random packed weight with finite decode values (scale fields pinned to
+    a small constant so no random-bit NaN/inf f16 scales appear)."""
+    n_out, n_in = shape
+    rb = row_bytes(dtype, n_in)
+    raw = rng.integers(0, 256, (n_out, rb), dtype=np.uint8)
+    bb = traits(dtype).block_bytes
+    small = np.uint8(0x14)  # f16 ~ 6e-4 high byte -> keeps activations sane
+    for offsets in _SCALE_OFFSETS[dtype]:
+        off = offsets[0]
+        raw[:, off::bb] = 0x00
+        raw[:, off + 1 :: bb] = small
+    return QTensor(jnp.asarray(raw.reshape(n_out, rb)), dtype, n_in)
+
+
+def synth_llama_params(
+    cfg: llama_mod.LlamaConfig, qtype: DataType, rng: np.random.Generator, dtype=jnp.bfloat16
+):
+    def qlin(n_out, n_in):
+        return {"w": random_packed(rng, (n_out, n_in), qtype)}
+
+    def stack_q(makers):
+        outs = [m for m in makers]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+    d, ff, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
+    layer = lambda: {
+        "attention_norm": jnp.ones((d,), dtype),
+        "wq": qlin(d, d),
+        "wk": qlin(d, d),
+        "wv": qlin(d, d),
+        "wo": qlin(d, d),
+        "ffn_norm": jnp.ones((d,), dtype),
+        "w1": qlin(ff, d),
+        "w2": qlin(d, ff),
+        "w3": qlin(ff, d),
+    }
+    layers = stack_q([layer() for _ in range(cfg.n_layer)])
+    emb = rng.normal(0, 0.02, (v, d)).astype(np.float32)
+    return {
+        "tok_embeddings": jnp.asarray(emb, dtype),
+        "norm": jnp.ones((d,), dtype),
+        "output": qlin(v, d),
+        "layers": layers,
+    }
+
+
+def synth_vision_params(cfg: vision_mod.VisionConfig, rng: np.random.Generator, dtype=jnp.bfloat16):
+    vit = cfg.vit
+    qf = cfg.qformer
+
+    def lin(k, n, bias=True):
+        p = {"w": jnp.asarray(rng.normal(0, 0.02, (k, n)).astype(np.float32), dtype)}
+        if bias:
+            p["b"] = jnp.zeros((n,), dtype)
+        return p
+
+    def ln(d):
+        return {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+
+    d = vit.embed_dim
+    blocks = [
+        {
+            "norm1": ln(d),
+            "qkv": lin(d, 3 * d),
+            "proj": lin(d, d),
+            "norm2": ln(d),
+            "fc1": lin(d, vit.mlp_dim),
+            "fc2": lin(vit.mlp_dim, d),
+        }
+        for _ in range(vit.depth)
+    ]
+    vparams = {
+        "patch_embed": lin(3 * vit.patch_size**2, d),
+        "cls_token": jnp.zeros((d,), dtype),
+        "pos_embed": jnp.asarray(rng.normal(0, 0.02, (vit.n_positions, d)).astype(np.float32), dtype),
+        "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks),
+    }
+    h = qf.hidden_size
+    qlayers = []
+    for i in range(qf.n_layers):
+        lp = {
+            "self": {
+                "query": lin(h, h), "key": lin(h, h), "value": lin(h, h),
+                "dense": lin(h, h), "ln": ln(h),
+            }
+        }
+        if i % 2 == 0:
+            lp["cross"] = {
+                "query": lin(h, h), "key": lin(qf.encoder_width, h),
+                "value": lin(qf.encoder_width, h), "dense": lin(h, h), "ln": ln(h),
+            }
+        lp["intermediate_query"] = lin(h, qf.intermediate_size)
+        lp["output_query"] = lin(qf.intermediate_size, h)
+        lp["output_ln"] = ln(h)
+        qlayers.append(lp)
+    qparams = {
+        "query_tokens": jnp.asarray(rng.normal(0, 0.5, (qf.query_length, h)).astype(np.float32), dtype),
+        "ln_embed": ln(h),
+        "layers": qlayers,
+    }
+    return {
+        "visual_encoder": vparams,
+        "ln_vision": ln(d),
+        "qformer": qparams,
+        "llama_proj": lin(h, cfg.llama_embed_dim),
+    }
+
+
+GEOMETRIES = {
+    "7B": llama_mod.LlamaConfig(n_vocab=32000, n_embd=4096, n_head=32, n_layer=32,
+                                n_rot=128, n_ff=11008, n_ctx=2048),
+    "13B": llama_mod.LlamaConfig(n_vocab=32000, n_embd=5120, n_head=40, n_layer=40,
+                                 n_rot=128, n_ff=13824, n_ctx=2048),
+}
+
+
+def vit_g_config(llama_embed: int) -> vision_mod.VisionConfig:
+    return vision_mod.VisionConfig(
+        vit=eva_vit.ViTConfig(),  # ViT-G defaults
+        qformer=qformer.QFormerConfig(),
+        llama_embed_dim=llama_embed,
+    )
+
+
+def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
+                 dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16) -> dict:
+    cfg = GEOMETRIES[model]
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    params = synth_llama_params(cfg, qtype, rng, dtype)
+    params = jax.device_put(params)
+    jax.block_until_ready(params["layers"]["wq"]["w"].packed)
+    build_s = time.perf_counter() - t0
+
+    cache = llama_mod.init_cache(cfg, batch=1, dtype=cache_dtype)
+    fwd = jax.jit(
+        lambda p, c, e, pos0: llama_mod.forward(p, c, e, pos0, cfg),
+        donate_argnums=(1,),
+    )
+    embed = jax.jit(llama_mod.embed_tokens)
+
+    # Timing fetches logits to host each step: that is the engine's real
+    # per-token path (host-side sampling), and the only reliable sync point
+    # on tunneled backends where block_until_ready returns early.
+    def sync(x):
+        return np.asarray(x)
+
+    # --- prefill / TTFT
+    tokens = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, prefill_len), dtype=np.int64))
+    e = embed(params, tokens)
+    t0 = time.perf_counter()
+    logits, cache = fwd(params, cache, e, jnp.int32(0))
+    sync(logits)
+    ttft_compile = time.perf_counter() - t0
+
+    # re-time prefill warm (fresh cache each time is wrong w/ donation; reuse)
+    t0 = time.perf_counter()
+    logits, cache = fwd(params, cache, e, jnp.int32(0))
+    sync(logits)
+    ttft_warm = time.perf_counter() - t0
+
+    # --- decode
+    tok = jnp.asarray(np.array([[123]], np.int32))
+    de = embed(params, tok)
+    # warm decode compile
+    logits, cache = fwd(params, cache, de, jnp.int32(prefill_len))
+    sync(logits)
+    t0 = time.perf_counter()
+    pos = prefill_len + 1
+    for i in range(n_decode):
+        logits, cache = fwd(params, cache, de, jnp.int32(pos + i))
+        sync(logits)
+    dt = time.perf_counter() - t0
+    return {
+        "decode_tok_s": n_decode / dt,
+        "decode_ms": dt / n_decode * 1e3,
+        "ttft_warm_ms": ttft_warm * 1e3,
+        "ttft_first_ms": ttft_compile * 1e3,
+        "build_s": build_s,
+        "prefill_len": prefill_len,
+    }
+
+
+def bench_encode(llama_embed: int = 5120, dtype=jnp.bfloat16, iters: int = 10) -> dict:
+    cfg = vit_g_config(llama_embed)
+    rng = np.random.default_rng(0)
+    params = jax.device_put(synth_vision_params(cfg, rng, dtype))
+    fn = vision_mod.jit_encode_image(cfg)
+    pixels = jnp.asarray(rng.normal(0, 1, (1, 3, 224, 224)).astype(np.float32))
+    t0 = time.perf_counter()
+    out = np.asarray(fn(params, pixels))
+    first = time.perf_counter() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = np.asarray(fn(params, pixels))  # includes the [32, D] download
+        times.append(time.perf_counter() - t0)
+    return {
+        "encode_ms_p50": float(np.median(times) * 1e3),
+        "encode_ms_first": first * 1e3,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="13B", choices=list(GEOMETRIES))
+    ap.add_argument("--qtype", default="q5_k")
+    ap.add_argument("--n-decode", type=int, default=64)
+    ap.add_argument("--prefill", type=int, default=64)
+    ap.add_argument("--skip-encode", action="store_true")
+    ap.add_argument("--skip-decode", action="store_true")
+    args = ap.parse_args()
+
+    qtype = {t.name.lower(): t for t in DataType}[args.qtype]
+    results = {}
+    if not args.skip_decode:
+        results.update(bench_decode(args.model, qtype, args.n_decode, args.prefill))
+    if not args.skip_encode:
+        results.update(bench_encode(GEOMETRIES[args.model].n_embd))
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -71,8 +71,8 @@ def resize_bicubic(img: np.ndarray, out_h: int = IMAGE_SIZE, out_w: int = IMAGE_
     return out.astype(np.float32)
 
 
-def preprocess(img: np.ndarray) -> np.ndarray:
-    """uint8/float [H, W, 3] RGB -> f32 [3, 224, 224] normalized CHW
+def preprocess(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
+    """uint8/float [H, W, 3] RGB -> f32 [3, size, size] normalized CHW
     (the C ABI's preprocessed-image contract, minigpt4.cpp:2624-2637)."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] != 3:
@@ -80,7 +80,7 @@ def preprocess(img: np.ndarray) -> np.ndarray:
     x = img.astype(np.float32)
     if img.dtype == np.uint8:
         x = x / 255.0
-    x = resize_bicubic(x)
+    x = resize_bicubic(x, size, size)
     x = (x - CLIP_MEAN) / CLIP_STD
     return np.ascontiguousarray(x.transpose(2, 0, 1))
 

@@ -144,8 +144,11 @@ def forward(
     pos0: jnp.ndarray,
     cfg: LlamaConfig,
     last_idx: jnp.ndarray | None = None,
+    all_logits: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """embeds [B, S, D] -> (logits [B, V] at ``last_idx``, updated cache).
+
+    ``all_logits=True`` returns [B, S, V] (training / perplexity path).
 
     ``last_idx`` (default S-1) selects which position's logits to return —
     used by bucketed prefill, where S is padded up to a bucket size and only
@@ -161,6 +164,9 @@ def forward(
         return x, {"k": kc, "v": vc}
 
     x, new_cache = jax.lax.scan(body, embeds, (params["layers"], cache["k"], cache["v"]))
+    if all_logits:
+        h = rms_norm(x, params["norm"], RMS_EPS)
+        return linear(h, params["output"]).astype(jnp.float32), new_cache
     if last_idx is None:
         h = x[:, -1]
     else:

@@ -1,0 +1,112 @@
+"""Container quantizer — the ``minigpt4_quantize_model`` equivalent.
+
+Policy identical to the reference (minigpt4.cpp:2896-2923): a tensor is
+quantized iff it is f16/f32, >= 2-D, named ``*weight``, does not contain
+"norm"/"Norm", is not in the ``ln_vision``/``query_tokens``/``llama_proj``
+sub-models, and is not ``patch_embed.proj.weight``.  Everything else is
+copied through unchanged.  Per-tensor compression and value histograms are
+logged at INFO verbosity like the reference (minigpt4.cpp:2934-2977).
+
+CLI:  python -m minigpt4_tpu.quantize model-f16.bin model-q5_k.bin q5_k
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .formats import ContainerReader, ContainerWriter, DataType, quants, row_bytes
+from .formats.container import SUBMODEL_NAMES
+from .formats.dtypes import traits
+from .utils import MiniGPT4Error, log_info, phase_timer
+
+
+def traits_block(dtype: DataType) -> int:
+    return traits(dtype).block_elems
+
+
+def _eligible(model_name: str, tensor_name: str, dtype: DataType, ndims: int) -> bool:
+    return (
+        dtype in (DataType.F16, DataType.F32)
+        and tensor_name.endswith("weight")
+        and ndims >= 2
+        and "norm" not in tensor_name
+        and "Norm" not in tensor_name
+        and model_name not in ("ln_vision", "query_tokens", "llama_proj")
+        and tensor_name != "patch_embed.proj.weight"
+    )
+
+
+def quantize_model(in_path: str, out_path: str, data_type: int | DataType) -> int:
+    """Returns a MiniGPT4Error code (0 = success), mirroring the C ABI."""
+    out_type = DataType(data_type)
+    try:
+        reader = ContainerReader(in_path)
+    except FileNotFoundError:
+        return int(MiniGPT4Error.PATH_DOES_NOT_EXIST)
+
+    with reader:
+        writer = ContainerWriter(out_path, ftype=reader.ftype, config=reader.config)
+        orig_total = 0
+        new_total = 0
+        hist_total = np.zeros(16, np.int64)
+        for model_name in SUBMODEL_NAMES:
+            sm = reader.models[model_name]
+            tensors = []
+            for rec in sm.tensors.values():
+                raw = reader.raw(model_name, rec.name)
+                orig_total += rec.nbytes
+                divisible = rec.shape[-1] % traits_block(out_type) == 0
+                if _eligible(model_name, rec.name, rec.dtype, len(rec.shape)) and divisible:
+                    f32 = quants.dequantize(raw, rec.dtype).astype(np.float32)
+                    qraw = quants.quantize(f32, out_type)
+                    new_total += qraw.nbytes
+                    log_info(
+                        f"{model_name}.{rec.name} | {rec.nbytes / 1e6:.2f} MB -> "
+                        f"{qraw.nbytes / 1e6:.2f} MB ({out_type.name.lower()})"
+                    )
+                    # value histogram of the quantized codes (reference logs
+                    # ggml's per-chunk histogram; we histogram dequant values)
+                    deq = quants.dequantize(qraw, out_type)
+                    h, _ = np.histogram(deq, bins=16)
+                    hist_total += h
+                    tensors.append((rec.name, rec.shape, out_type, qraw))
+                else:
+                    new_total += rec.nbytes
+                    tensors.append((rec.name, rec.shape, rec.dtype, raw.copy()))
+            writer.add_model(model_name, tensors)
+        with phase_timer("Write quantized container"):
+            writer.write()
+        log_info(
+            f"Total: {orig_total / 1e6:.2f} MB -> {new_total / 1e6:.2f} MB "
+            f"({orig_total / max(new_total, 1):.2f}x)"
+        )
+    return int(MiniGPT4Error.NONE)
+
+
+_NAME_TO_TYPE = {t.name.lower(): t for t in DataType}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Quantize a minigpt4 container")
+    ap.add_argument("in_path")
+    ap.add_argument("out_path")
+    ap.add_argument("data_type", help="q4_0|q4_1|q5_0|q5_1|q8_0|q2_k|...|q6_k")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    if args.verbose:
+        from .utils import Verbosity, set_verbosity
+
+        set_verbosity(Verbosity.INFO)
+    code = quantize_model(args.in_path, args.out_path, _NAME_TO_TYPE[args.data_type.lower()])
+    if code != 0:
+        from .utils import error_code_to_string
+
+        print(f"error: {error_code_to_string(code)}", file=sys.stderr)
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

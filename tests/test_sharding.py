@@ -1,0 +1,92 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: sharded
+execution must be numerically consistent with single-device execution, and
+the graft dryrun must pass."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fixtures import build_tiny_models
+from minigpt4_tpu.engine import MiniGPT4Engine
+from minigpt4_tpu.models import llama as llama_mod
+from minigpt4_tpu.models import minigpt4 as vision_mod
+from minigpt4_tpu.parallel import (
+    apply_shardings,
+    cache_sharding,
+    llama_param_shardings,
+    make_mesh,
+    vision_param_shardings,
+)
+
+
+@pytest.fixture(scope="module")
+def models(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("shard_models")
+    return build_tiny_models(tmp)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(dp=2, tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+
+
+def test_sharded_forward_matches_single_device(models):
+    model, llm = models
+    eng = MiniGPT4Engine(model, llm, n_ctx=64, n_batch=32)
+    tokens = jnp.asarray(np.array([[1, 7, 9, 4, 22]], np.int32))
+
+    embeds = llama_mod.embed_tokens(eng.llm_params, tokens)
+    cache = llama_mod.init_cache(eng.llm_cfg, batch=1)
+    want, _ = llama_mod.forward(eng.llm_params, cache, embeds, jnp.int32(0), eng.llm_cfg)
+    want = np.asarray(want)
+
+    mesh = make_mesh(dp=2, tp=4)
+    with mesh:
+        lparams = apply_shardings(eng.llm_params, llama_param_shardings(mesh, eng.llm_params))
+        cache2 = jax.device_put(llama_mod.init_cache(eng.llm_cfg, batch=2), cache_sharding(mesh))
+        tok2 = jnp.tile(tokens, (2, 1))
+        emb2 = llama_mod.embed_tokens(lparams, tok2)
+        got, _ = llama_mod.forward(lparams, cache2, emb2, jnp.int32(0), eng.llm_cfg)
+        got = np.asarray(got)
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got[1], want[0], rtol=2e-4, atol=2e-5)
+    eng.close()
+
+
+def test_sharded_vision_matches_single_device(models):
+    model, llm = models
+    eng = MiniGPT4Engine(model, llm, n_ctx=64, n_batch=32)
+    pixels = np.random.default_rng(0).normal(0, 1, (2, 3, 28, 28)).astype(np.float32)
+    want = np.asarray(vision_mod.encode_image(eng.vision_params, jnp.asarray(pixels), eng.vision_cfg))
+
+    mesh = make_mesh(dp=2, tp=4)
+    with mesh:
+        vparams = apply_shardings(
+            eng.vision_params, vision_param_shardings(mesh, eng.vision_params)
+        )
+        got = np.asarray(vision_mod.encode_image(vparams, jnp.asarray(pixels), eng.vision_cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    eng.close()
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    logits, cache = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(logits)))

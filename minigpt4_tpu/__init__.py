@@ -7,3 +7,27 @@ checkpoint files unmodified.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first 13B compiles run minutes on
+    remote-compile backends; cached reloads are seconds.  Opt out with
+    MINIGPT4_TPU_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("MINIGPT4_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "MINIGPT4_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/minigpt4_tpu_xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

@@ -43,7 +43,9 @@ _SCALE_OFFSETS = {
 }
 
 
-def random_packed(rng: np.random.Generator, shape: tuple[int, int], dtype: DataType) -> QTensor:
+def random_packed(
+    rng: np.random.Generator, shape: tuple[int, int], dtype: DataType, mode: str = "auto"
+):
     """Random packed weight with finite decode values (scale fields pinned to
     a small constant so no random-bit NaN/inf f16 scales appear)."""
     n_out, n_in = shape
@@ -55,14 +57,17 @@ def random_packed(rng: np.random.Generator, shape: tuple[int, int], dtype: DataT
         off = offsets[0]
         raw[:, off::bb] = 0x00
         raw[:, off + 1 :: bb] = small
-    return QTensor(jnp.asarray(raw.reshape(n_out, rb)), dtype, n_in)
+    from .models.params import load_quant_weight
+
+    return load_quant_weight(raw.reshape(-1), shape, dtype, mode)
 
 
 def synth_llama_params(
-    cfg: llama_mod.LlamaConfig, qtype: DataType, rng: np.random.Generator, dtype=jnp.bfloat16
+    cfg: llama_mod.LlamaConfig, qtype: DataType, rng: np.random.Generator, dtype=jnp.bfloat16,
+    quant_mode: str = "auto",
 ):
     def qlin(n_out, n_in):
-        return {"w": random_packed(rng, (n_out, n_in), qtype)}
+        return {"w": random_packed(rng, (n_out, n_in), qtype, quant_mode)}
 
     def stack_q(makers):
         outs = [m for m in makers]

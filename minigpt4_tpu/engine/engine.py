@@ -67,6 +67,7 @@ class MiniGPT4Engine:
         compute_dtype=jnp.float32,
         cache_dtype=None,
         batch: int = 1,
+        quant_mode: str = "auto",
     ):
         utils.set_verbosity(verbosity)
         self.n_batch = n_batch
@@ -74,13 +75,15 @@ class MiniGPT4Engine:
 
         with utils.phase_timer("Load minigpt4 model"):
             self._container = ContainerReader(model_path)
-            vparams, self.vision_cfg = vision_mod.load_params(self._container, compute_dtype)
+            vparams, self.vision_cfg = vision_mod.load_params(
+                self._container, compute_dtype, quant_mode=quant_mode
+            )
             self.vision_params = jax.device_put(vparams)
 
         with utils.phase_timer("LLM model init"):
             self._llm_file = LlamaFileReader(llm_path)
             lparams, self.llm_cfg = llama_mod.load_params(
-                self._llm_file, compute_dtype, n_ctx=n_ctx
+                self._llm_file, compute_dtype, n_ctx=n_ctx, quant_mode=quant_mode
             )
             self.llm_params = jax.device_put(lparams)
             self.tokenizer = LlamaTokenizer(

@@ -108,7 +108,7 @@ def _stack(trees: list):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
 
-def load_params(reader, dtype=jnp.float32) -> tuple[dict, ViTConfig]:
+def load_params(reader, dtype=jnp.float32, quant_mode: str = "auto") -> tuple[dict, ViTConfig]:
     """Build ViT params from a ContainerReader's ``visual_encoder`` sub-model.
 
     Weight names follow the reference checkpoint (load_visual_encoder,
@@ -155,21 +155,23 @@ def load_params(reader, dtype=jnp.float32) -> tuple[dict, ViTConfig]:
         q_bias = t(pfx + "attn.q_bias").reshape(-1)
         v_bias = t(pfx + "attn.v_bias").reshape(-1)
         qkv_bias = np.concatenate([q_bias, np.zeros_like(q_bias), v_bias])
-        qkv = _load_linear(reader, "visual_encoder", pfx + "attn.qkv.weight", qkv_bias, dtype)
+        qkv = _load_linear(reader, "visual_encoder", pfx + "attn.qkv.weight", qkv_bias, dtype, quant_mode)
         blocks.append(
             {
                 "norm1": _ln(t, pfx + "norm1", dtype),
                 "qkv": qkv,
                 "proj": _load_linear(
                     reader, "visual_encoder", pfx + "attn.proj.weight",
-                    t(pfx + "attn.proj.bias"), dtype,
+                    t(pfx + "attn.proj.bias"), dtype, quant_mode,
                 ),
                 "norm2": _ln(t, pfx + "norm2", dtype),
                 "fc1": _load_linear(
-                    reader, "visual_encoder", pfx + "mlp.fc1.weight", t(pfx + "mlp.fc1.bias"), dtype
+                    reader, "visual_encoder", pfx + "mlp.fc1.weight",
+                    t(pfx + "mlp.fc1.bias"), dtype, quant_mode,
                 ),
                 "fc2": _load_linear(
-                    reader, "visual_encoder", pfx + "mlp.fc2.weight", t(pfx + "mlp.fc2.bias"), dtype
+                    reader, "visual_encoder", pfx + "mlp.fc2.weight",
+                    t(pfx + "mlp.fc2.bias"), dtype, quant_mode,
                 ),
             }
         )
@@ -181,14 +183,14 @@ def _ln(t, prefix: str, dtype) -> dict:
     return {"g": jnp.asarray(t(prefix + ".weight"), dtype), "b": jnp.asarray(t(prefix + ".bias"), dtype)}
 
 
-def _load_linear(reader, model: str, wname: str, bias, dtype) -> dict:
+def _load_linear(reader, model: str, wname: str, bias, dtype, quant_mode: str = "auto") -> dict:
     """Dense or quantized linear from the container; torch layout [out, in]."""
     from ..formats.dtypes import is_quantized
+    from .params import load_quant_weight
 
     rec = reader.models[model].tensors[wname]
     if is_quantized(rec.dtype):
-        qt = QTensor.from_raw(reader.raw(model, wname), rec.shape, rec.dtype)
-        p = {"w": qt}
+        p = {"w": load_quant_weight(reader.raw(model, wname), rec.shape, rec.dtype, quant_mode)}
         if bias is not None:
             p["b"] = jnp.asarray(bias, dtype)
         return p

@@ -195,7 +195,7 @@ def make_step_fns(cfg: LlamaConfig):
 
 
 def load_params(
-    reader, dtype=jnp.float32, n_ctx: int = 2048, dequant_small: bool = True
+    reader, dtype=jnp.float32, n_ctx: int = 2048, quant_mode: str = "auto"
 ) -> tuple[dict, LlamaConfig]:
     """Build decoder params from a LlamaFileReader.
 
@@ -209,10 +209,12 @@ def load_params(
     """
     cfg = LlamaConfig.from_hparams(reader.hparams, n_ctx=n_ctx)
 
+    from .params import load_quant_weight
+
     def lin(name: str) -> dict:
         rec = reader.tensors[name]
         if is_quantized(rec.dtype):
-            return {"w": QTensor.from_raw(reader.raw(name), rec.shape, rec.dtype)}
+            return {"w": load_quant_weight(reader.raw(name), rec.shape, rec.dtype, quant_mode)}
         w = reader.tensor_f32(name)
         return {"w": jnp.asarray(np.ascontiguousarray(w.T), dtype)}
 

@@ -40,15 +40,15 @@ def jit_encode_image(cfg: VisionConfig):
     return jax.jit(partial(encode_image, cfg=cfg))
 
 
-def load_params(reader, dtype=jnp.float32) -> tuple[dict, VisionConfig]:
+def load_params(reader, dtype=jnp.float32, quant_mode: str = "auto") -> tuple[dict, VisionConfig]:
     """Assemble the full vision pipeline from a ContainerReader
     (load_minigpt4_model, minigpt4.cpp:2085-2092)."""
     from .eva_vit import _load_linear
 
-    vit_params, vit_cfg = eva_vit.load_params(reader, dtype)
-    qf_params, qf_cfg = qformer.load_params(reader, dtype)
+    vit_params, vit_cfg = eva_vit.load_params(reader, dtype, quant_mode)
+    qf_params, qf_cfg = qformer.load_params(reader, dtype, quant_mode)
     proj = _load_linear(
-        reader, "llama_proj", "weight", reader.tensor_f32("llama_proj", "bias"), dtype
+        reader, "llama_proj", "weight", reader.tensor_f32("llama_proj", "bias"), dtype, quant_mode
     )
     ln = {
         "g": jnp.asarray(reader.tensor_f32("ln_vision", "weight"), dtype),

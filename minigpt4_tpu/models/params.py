@@ -75,11 +75,18 @@ def matmul_qtensor(x: jnp.ndarray, qt: QTensor, prefer_pallas: bool = True) -> j
 def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """Apply a linear layer parameter dict.
 
-    ``p['w']``: dense [K, N] array or :class:`QTensor` [N, K-packed];
+    ``p['w']``: dense [K, N] array, :class:`QTensor` (raw ggml bytes, XLA
+    dequant), or ``RepackedQuant`` (TPU planes, Pallas fused kernel);
     ``p.get('b')``: optional [N] bias.
     """
+    from ..ops.repack import RepackedQuant
+
     w = p["w"]
-    if isinstance(w, QTensor):
+    if isinstance(w, RepackedQuant):
+        from ..ops.pallas_quant_matmul import qmatmul_repacked
+
+        y = qmatmul_repacked(x, w)
+    elif isinstance(w, QTensor):
         y = matmul_qtensor(x, w)
     else:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
@@ -87,6 +94,23 @@ def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
+
+
+def load_quant_weight(raw: np.ndarray, shape: tuple[int, int], dtype: DataType, mode: str = "auto"):
+    """Choose the device representation for a quantized weight.
+
+    mode: 'auto' (repack for the Pallas kernel on TPU, raw QTensor
+    elsewhere), 'repack', or 'qtensor'.
+    """
+    from ..ops import repack as rp
+
+    if mode == "auto":
+        import jax as _jax
+
+        mode = "repack" if (_jax.default_backend() == "tpu" and DataType(dtype) in rp.REPACKABLE) else "qtensor"
+    if mode == "repack" and DataType(dtype) in rp.REPACKABLE:
+        return rp.repack(np.asarray(raw), shape, dtype)
+    return QTensor.from_raw(np.asarray(raw), shape, dtype)
 
 
 def dense_from_numpy(

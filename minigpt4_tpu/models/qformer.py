@@ -112,7 +112,7 @@ def forward(params: dict, image_states: jnp.ndarray, cfg: QFormerConfig) -> jnp.
 # ---------------------------------------------------------------------------
 
 
-def load_params(reader, dtype=jnp.float32) -> tuple[dict, QFormerConfig]:
+def load_params(reader, dtype=jnp.float32, quant_mode: str = "auto") -> tuple[dict, QFormerConfig]:
     """Build Q-Former params from the container's ``Qformer`` + ``query_tokens``
     sub-models (weight names: load_qformer, minigpt4.cpp:2002-2070)."""
     from .eva_vit import _load_linear, _ln
@@ -136,10 +136,10 @@ def load_params(reader, dtype=jnp.float32) -> tuple[dict, QFormerConfig]:
 
     def attn_params(pfx: str) -> dict:
         return {
-            "query": _load_linear(reader, "Qformer", pfx + "self.query.weight", t(pfx + "self.query.bias"), dtype),
-            "key": _load_linear(reader, "Qformer", pfx + "self.key.weight", t(pfx + "self.key.bias"), dtype),
-            "value": _load_linear(reader, "Qformer", pfx + "self.value.weight", t(pfx + "self.value.bias"), dtype),
-            "dense": _load_linear(reader, "Qformer", pfx + "output.dense.weight", t(pfx + "output.dense.bias"), dtype),
+            "query": _load_linear(reader, "Qformer", pfx + "self.query.weight", t(pfx + "self.query.bias"), dtype, quant_mode),
+            "key": _load_linear(reader, "Qformer", pfx + "self.key.weight", t(pfx + "self.key.bias"), dtype, quant_mode),
+            "value": _load_linear(reader, "Qformer", pfx + "self.value.weight", t(pfx + "self.value.bias"), dtype, quant_mode),
+            "dense": _load_linear(reader, "Qformer", pfx + "output.dense.weight", t(pfx + "output.dense.bias"), dtype, quant_mode),
             "ln": _ln(t, pfx + "output.LayerNorm", dtype),
         }
 
@@ -151,11 +151,11 @@ def load_params(reader, dtype=jnp.float32) -> tuple[dict, QFormerConfig]:
             lp["cross"] = attn_params(pfx + "crossattention.")
         lp["intermediate_query"] = _load_linear(
             reader, "Qformer", pfx + "intermediate_query.dense.weight",
-            t(pfx + "intermediate_query.dense.bias"), dtype,
+            t(pfx + "intermediate_query.dense.bias"), dtype, quant_mode,
         )
         lp["output_query"] = _load_linear(
             reader, "Qformer", pfx + "output_query.dense.weight",
-            t(pfx + "output_query.dense.bias"), dtype,
+            t(pfx + "output_query.dense.bias"), dtype, quant_mode,
         )
         lp["output_ln"] = _ln(t, pfx + "output_query.LayerNorm", dtype)
         layers.append(lp)

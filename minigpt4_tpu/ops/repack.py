@@ -1,0 +1,305 @@
+"""Repack ggml quant blocks into TPU-friendly planes.
+
+ggml's interleaved per-block byte layouts (18-24 byte blocks, nibbles paired
+j/j+16, 6-bit packed scales...) are hostile to TPU vector loads.  At weight-
+load time we repack every format once on the host into a unified
+structure-of-arrays the Pallas kernel consumes with plain strided loads:
+
+    codes   uint8 [N, K/2]  nibble planes: byte i = elem i (lo) | elem i+K/2 (hi)
+            (byte formats q6/q8 use [N, K] instead)
+    hi      uint8 [N, K/8]  optional 5th-bit plane (q5_*): bit k%8 of byte k/8
+            (q6_k uses a 2-bit plane [N, K/4])
+    scales  f32  [N, K/gs]  per-group multiplier
+    mins    f32  [N, K/gs]  per-group subtrahend, in the unified form
+
+        w[n, k] = scales[n, k/gs] * q[n, k] - mins[n, k/gs]
+
+    (symmetric formats fold their zero offset into mins: q4_0 -> 8*d, etc.)
+
+The min term never enters the kernel's inner loop: since
+``sum_k w x = sum_k scale*q*x - sum_g min_g * groupsum_g(x)``, the kernel
+computes the q-matmul and subtracts a tiny [M, K/gs] x [K/gs, N] matmul.
+
+Memory cost vs ggml packing: +0.25-0.38 B/weight for the f32 scale planes
+(13B q5_k: 9.0 -> 11.4 GB) — bought back many times over by the kernel
+reading 4-8x fewer bytes than the dense-dequant fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.dtypes import DataType, traits
+from ..formats import quants as nq
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RepackedQuant:
+    """TPU-layout quantized 2-D weight, logically [n_out, n_in]."""
+
+    codes: jnp.ndarray  # uint8 [..., N, K/2] or [..., N, K]
+    scales: jnp.ndarray  # f32 [..., N, K/gs]
+    mins: jnp.ndarray  # f32 [..., N, K/gs]
+    hi: jnp.ndarray | None  # uint8 [..., N, K/8] (1-bit) or [..., N, K/4] (2-bit)
+    dtype: DataType  # static: source format
+    n_in: int  # static
+    group_size: int  # static
+    code_bits: int  # static: 4 (nibble planes) or 8 (byte codes)
+    hi_bits: int  # static: 0, 1, or 2
+
+    def tree_flatten(self):
+        children = (self.codes, self.scales, self.mins, self.hi)
+        aux = (self.dtype, self.n_in, self.group_size, self.code_bits, self.hi_bits)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def n_out(self) -> int:
+        return self.codes.shape[-2]
+
+
+def _f16(b: np.ndarray) -> np.ndarray:
+    return b.copy().view(np.dtype("<f2")).astype(np.float32)
+
+
+def _pack_nibbles(q: np.ndarray) -> np.ndarray:
+    """int [N, K] (0..15) -> uint8 [N, K/2]: byte i = elem i | elem i+K/2 <<4."""
+    n, k = q.shape
+    half = k // 2
+    return (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
+
+
+def _pack_bits1(b: np.ndarray) -> np.ndarray:
+    """int [N, K] (0/1) -> uint8 [N, K/8]: bit k%8 of byte k/8."""
+    n, k = b.shape
+    bb = b.reshape(n, k // 8, 8).astype(np.uint8)
+    out = np.zeros((n, k // 8), np.uint8)
+    for j in range(8):
+        out |= bb[:, :, j] << j
+    return out
+
+
+def _pack_bits2(b: np.ndarray) -> np.ndarray:
+    """int [N, K] (0..3) -> uint8 [N, K/4]."""
+    n, k = b.shape
+    bb = b.reshape(n, k // 4, 4).astype(np.uint8)
+    out = np.zeros((n, k // 4), np.uint8)
+    for j in range(4):
+        out |= bb[:, :, j] << (2 * j)
+    return out
+
+
+def _decode_codes_scales(raw: np.ndarray, shape: tuple[int, int], dtype: DataType):
+    """Extract (q int array [N, K], scales [N, K/gs], mins [N, K/gs], gs).
+
+    q holds the *raw code* (unsigned); mins absorb zero offsets so that
+    w = scales*q - mins exactly reproduces the ggml decode.
+    """
+    n, k = shape
+    b = raw.reshape(n, -1)
+
+    if dtype == DataType.Q4_0:
+        blk = b.reshape(n, -1, 18)
+        d = _f16(blk[:, :, 0:2]).reshape(n, -1)
+        qs = blk[:, :, 2:18]
+        lo = (qs & 0x0F).astype(np.uint8)
+        hi = (qs >> 4).astype(np.uint8)
+        q = np.concatenate([lo, hi], axis=2).reshape(n, k)
+        return q, d, 8.0 * d, 32
+    if dtype == DataType.Q4_1:
+        blk = b.reshape(n, -1, 20)
+        d = _f16(blk[:, :, 0:2]).reshape(n, -1)
+        m = _f16(blk[:, :, 2:4]).reshape(n, -1)
+        qs = blk[:, :, 4:20]
+        q = np.concatenate([(qs & 0x0F), (qs >> 4)], axis=2).reshape(n, k)
+        return q, d, -m, 32
+    if dtype == DataType.Q5_0:
+        blk = b.reshape(n, -1, 22)
+        d = _f16(blk[:, :, 0:2]).reshape(n, -1)
+        qh = blk[:, :, 2:6].copy().view("<u4").reshape(n, -1, 1)
+        bits = ((qh >> np.arange(32, dtype=np.uint32)) & 1).astype(np.uint8)
+        qs = blk[:, :, 6:22]
+        lo = (qs & 0x0F) | (bits[:, :, :16] << 4)
+        hi = (qs >> 4) | (bits[:, :, 16:] << 4)
+        q = np.concatenate([lo, hi], axis=2).reshape(n, k)
+        return q, d, 16.0 * d, 32
+    if dtype == DataType.Q5_1:
+        blk = b.reshape(n, -1, 24)
+        d = _f16(blk[:, :, 0:2]).reshape(n, -1)
+        m = _f16(blk[:, :, 2:4]).reshape(n, -1)
+        qh = blk[:, :, 4:8].copy().view("<u4").reshape(n, -1, 1)
+        bits = ((qh >> np.arange(32, dtype=np.uint32)) & 1).astype(np.uint8)
+        qs = blk[:, :, 8:24]
+        lo = (qs & 0x0F) | (bits[:, :, :16] << 4)
+        hi = (qs >> 4) | (bits[:, :, 16:] << 4)
+        q = np.concatenate([lo, hi], axis=2).reshape(n, k)
+        return q, d, -m, 32
+    if dtype == DataType.Q8_0:
+        blk = b.reshape(n, -1, 34)
+        d = _f16(blk[:, :, 0:2]).reshape(n, -1)
+        qs = blk[:, :, 2:34].view(np.int8).astype(np.int32) + 128
+        return qs.reshape(n, k).astype(np.uint8), d, 128.0 * d, 32
+
+    # k-quants: decode via the exact codec scale logic, vectorized over all
+    # blocks of the whole tensor at once (13B-scale tensors repack in seconds)
+    if dtype == DataType.Q2_K:
+        blk = b.reshape(n, -1, 84)
+        scales = blk[:, :, :16]
+        d = _f16(blk[:, :, 80:82]).reshape(n, -1, 1)
+        dmin = _f16(blk[:, :, 82:84]).reshape(n, -1, 1)
+        flat = np.ascontiguousarray(blk[:, :, 16:80]).reshape(-1, 64)
+        q = nq._q2k_expand_qs(flat).reshape(n, -1, 256)
+        sc = d * (scales & 0x0F)  # [n, nb, 16]
+        mn = dmin * (scales >> 4)
+        return (
+            q.reshape(n, k).astype(np.uint8),
+            sc.reshape(n, -1),
+            mn.reshape(n, -1),
+            16,
+        )
+    if dtype == DataType.Q3_K:
+        blk = b.reshape(n, -1, 110)
+        d = _f16(blk[:, :, 108:110]).reshape(n, -1, 1)
+        nb = blk.shape[1]
+        sc6 = nq._q3k_unpack_scales(
+            np.ascontiguousarray(blk[:, :, 96:108]).reshape(-1, 12)
+        ).reshape(n, nb, 16)
+        q2 = nq._q3k_expand_qs(np.ascontiguousarray(blk[:, :, 32:96]).reshape(-1, 64))
+        hb = nq._q3k_expand_hmask(np.ascontiguousarray(blk[:, :, :32]).reshape(-1, 32))
+        q3 = (q2 | (hb << 2)).astype(np.uint8)  # 0..7; decode = q3 - 4
+        sc = d * (sc6 - 32)
+        return q3.reshape(n, k), sc.reshape(n, -1), (4.0 * sc).reshape(n, -1), 16
+    if dtype in (DataType.Q4_K, DataType.Q5_K):
+        bbytes = 144 if dtype == DataType.Q4_K else 176
+        blk = b.reshape(n, -1, bbytes)
+        d = _f16(blk[:, :, 0:2]).reshape(n, -1, 1)
+        dmin = _f16(blk[:, :, 2:4]).reshape(n, -1, 1)
+        nb = blk.shape[1]
+        sc8, mn8 = nq._k4_unpack_scales(
+            np.ascontiguousarray(blk[:, :, 4:16]).reshape(-1, 12)
+        )
+        sc8 = sc8.reshape(n, nb, 8)
+        mn8 = mn8.reshape(n, nb, 8)
+        sc = d * sc8
+        mn = dmin * mn8
+        if dtype == DataType.Q4_K:
+            qs = blk[:, :, 16:144].reshape(n, nb, 4, 32)
+            q = np.stack([(qs & 0x0F), (qs >> 4)], axis=3).reshape(n, k)
+        else:
+            qh = blk[:, :, 16:48]
+            qs = blk[:, :, 48:176].reshape(n, nb, 4, 32)
+            j = np.arange(4).reshape(1, 1, 4, 1)
+            hb1 = (qh[:, :, None, :] >> (2 * j)) & 1
+            hb2 = (qh[:, :, None, :] >> (2 * j + 1)) & 1
+            q1 = (qs & 0x0F) + (hb1 << 4)
+            q2 = (qs >> 4) + (hb2 << 4)
+            q = np.stack([q1, q2], axis=3).reshape(n, k)
+        return q.astype(np.uint8), sc.reshape(n, -1), mn.reshape(n, -1), 32
+    if dtype == DataType.Q6_K:
+        blk = b.reshape(n, -1, 210)
+        nb = blk.shape[1]
+        ql = blk[:, :, :128].reshape(n, nb, 2, 64)
+        qh = blk[:, :, 128:192].reshape(n, nb, 2, 32)
+        sc16 = blk[:, :, 192:208].view(np.int8).astype(np.float32)
+        d = _f16(blk[:, :, 208:210]).reshape(n, -1, 1)
+        l0, l1 = ql[..., :32], ql[..., 32:]
+        q0 = (l0 & 0x0F) | ((qh >> 0 & 3) << 4)
+        q1 = (l1 & 0x0F) | ((qh >> 2 & 3) << 4)
+        q2 = (l0 >> 4) | ((qh >> 4 & 3) << 4)
+        q3 = (l1 >> 4) | ((qh >> 6 & 3) << 4)
+        q = np.concatenate([q0, q1, q2, q3], axis=-1).reshape(n, k).astype(np.uint8)
+        sc = d * sc16  # [n, nb, 16]
+        return q, sc.reshape(n, -1), (32.0 * sc).reshape(n, -1), 16
+    raise ValueError(f"unsupported repack format {dtype}")
+
+
+# static per-format plane layout (must not depend on data: layers stack)
+_LAYOUT = {
+    DataType.Q4_0: (4, 0),
+    DataType.Q4_1: (4, 0),
+    DataType.Q2_K: (4, 0),
+    DataType.Q3_K: (4, 0),
+    DataType.Q4_K: (4, 0),
+    DataType.Q5_0: (4, 1),
+    DataType.Q5_1: (4, 1),
+    DataType.Q5_K: (4, 1),
+    DataType.Q6_K: (4, 2),
+    DataType.Q8_0: (8, 0),
+}
+
+REPACKABLE = frozenset(_LAYOUT)
+
+
+def repack(raw: np.ndarray, shape: tuple[int, int], dtype: DataType) -> RepackedQuant:
+    """ggml packed bytes -> TPU-plane representation (host-side, one-time)."""
+    dtype = DataType(dtype)
+    n, k = shape
+    q, scales, mins, gs = _decode_codes_scales(np.ascontiguousarray(raw, np.uint8), shape, dtype)
+    q = q.astype(np.uint8)
+    code_bits, hi_bits = _LAYOUT[dtype]
+    if code_bits == 4:
+        codes = _pack_nibbles(q & 0x0F)
+        if hi_bits == 1:
+            hi = _pack_bits1((q >> 4) & 1)
+        elif hi_bits == 2:
+            hi = _pack_bits2((q >> 4) & 3)
+        else:
+            hi = None
+    else:
+        codes = q
+        hi = None
+    return RepackedQuant(
+        codes=jnp.asarray(codes),
+        scales=jnp.asarray(scales.astype(np.float32)),
+        mins=jnp.asarray(mins.astype(np.float32)),
+        hi=jnp.asarray(hi) if hi is not None else None,
+        dtype=dtype,
+        n_in=k,
+        group_size=gs,
+        code_bits=code_bits,
+        hi_bits=hi_bits,
+    )
+
+
+def dequantize_repacked(rq: RepackedQuant, out_dtype=jnp.float32) -> jnp.ndarray:
+    """Reference (XLA) decode of the repacked planes -> [N, K]; used for
+    testing and as a fallback."""
+    k = rq.n_in
+    if rq.code_bits == 4:
+        half = k // 2
+        lo = (rq.codes & 0x0F).astype(jnp.int32)
+        hi4 = (rq.codes >> 4).astype(jnp.int32)
+        q = jnp.concatenate([lo, hi4], axis=-1)
+    else:
+        q = rq.codes.astype(jnp.int32)
+    if rq.hi_bits == 1:
+        bits = _unpack_bits1_jnp(rq.hi, k)
+        q = q + (bits << 4)
+    elif rq.hi_bits == 2:
+        bits = _unpack_bits2_jnp(rq.hi, k)
+        q = q + (bits << 4)
+    gs = rq.group_size
+    sc = jnp.repeat(rq.scales, gs, axis=-1)
+    mn = jnp.repeat(rq.mins, gs, axis=-1)
+    return (sc * q.astype(jnp.float32) - mn).astype(out_dtype)
+
+
+def _unpack_bits1_jnp(hi: jnp.ndarray, k: int) -> jnp.ndarray:
+    n = hi.shape[-2]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (hi[..., None] >> shifts) & 1  # [..., N, K/8, 8]
+    return bits.reshape(*hi.shape[:-1], k).astype(jnp.int32)
+
+
+def _unpack_bits2_jnp(hi: jnp.ndarray, k: int) -> jnp.ndarray:
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    bits = (hi[..., None] >> shifts) & 3
+    return bits.reshape(*hi.shape[:-1], k).astype(jnp.int32)

@@ -133,3 +133,24 @@ def test_quantized_models_end_to_end(tmp_path_factory):
     toks = [eng.end_chat(SamplingParams(temp=0.0)) for _ in range(4)]
     assert all(isinstance(t, str) for t in toks)
     eng.close()
+
+
+def test_repacked_quant_mode_end_to_end(tmp_path_factory):
+    """quant_mode='repack' exercises the Pallas kernel (interpret mode on
+    CPU) through the full engine."""
+    tmp = tmp_path_factory.mktemp("repack_models")
+    model, llm = build_tiny_models(tmp, quant=DataType.Q4_0)
+    eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=16, quant_mode="repack")
+    eng.add_strings("Hi")
+    tid = eng.sample_token(SamplingParams(temp=0.0))
+    assert 0 <= tid < eng.llm_cfg.n_vocab
+
+    eng2 = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=16, quant_mode="qtensor")
+    eng2.add_strings("Hi")
+    tid2 = eng2.sample_token(SamplingParams(temp=0.0))
+    # bf16 kernel vs f32 fallback: logits correlated, argmax usually equal
+    l1, l2 = eng._last_logits, eng2._last_logits
+    corr = np.corrcoef(l1, l2)[0, 1]
+    assert corr > 0.999
+    eng.close()
+    eng2.close()

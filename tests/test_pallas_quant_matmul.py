@@ -1,0 +1,91 @@
+"""Fused dequant-matmul tests (interpret mode on CPU; the same kernel
+compiles on TPU).  Exactness bar: bf16 MXU rounding over exact dequantized
+weights — i.e. the kernel must match x@dequant(w).T to bf16 tolerance."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from minigpt4_tpu.formats import DataType, quants, traits
+from minigpt4_tpu.ops import repack as rp
+from minigpt4_tpu.ops.pallas_quant_matmul import qmatmul_repacked
+
+RNG = np.random.default_rng(7)
+BF16_TOL = 1.2e-2
+
+
+def _case(dt, N, K, M):
+    x = RNG.normal(0, 1, (M, K)).astype(np.float32)
+    w = RNG.normal(0, 1, (N, K)).astype(np.float32)
+    raw = quants.quantize(w.reshape(-1), dt)
+    wd = quants.dequantize(raw, dt).reshape(N, K)
+    want = x @ wd.T
+    rq = rp.repack(raw, (N, K), dt)
+    got = np.asarray(qmatmul_repacked(jnp.asarray(x), rq, out_dtype=jnp.float32))
+    return got, want
+
+
+@pytest.mark.parametrize("dt", sorted(rp.REPACKABLE))
+def test_kernel_matches_dense_dequant(dt):
+    got, want = _case(dt, N=256, K=512, M=3)
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert err < BF16_TOL, f"{traits(dt).name}: rel err {err:.2e}"
+
+
+def test_unaligned_n_and_m():
+    # N not a multiple of the 128 tile, M > decode tile
+    got, want = _case(DataType.Q4_0, N=192, K=256, M=20)
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert err < BF16_TOL
+
+
+def test_batched_lead_dims():
+    dt = DataType.Q5_K
+    N, K = 128, 512
+    x = RNG.normal(0, 1, (2, 3, K)).astype(np.float32)
+    w = RNG.normal(0, 1, (N, K)).astype(np.float32)
+    raw = quants.quantize(w.reshape(-1), dt)
+    wd = quants.dequantize(raw, dt).reshape(N, K)
+    rq = rp.repack(raw, (N, K), dt)
+    got = np.asarray(qmatmul_repacked(jnp.asarray(x), rq, out_dtype=jnp.float32))
+    want = np.einsum("abk,nk->abn", x, wd)
+    assert got.shape == (2, 3, N)
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert err < BF16_TOL
+
+
+def test_repack_decode_exact():
+    """Repacked planes decode bit-identically to the reference codecs."""
+    for dt in sorted(rp.REPACKABLE):
+        t = traits(dt)
+        N, K = 8, 512
+        w = RNG.normal(0, 1, (N, K)).astype(np.float32)
+        raw = quants.quantize(w.reshape(-1), dt)
+        want = quants.dequantize(raw, dt).reshape(N, K)
+        rq = rp.repack(raw, (N, K), dt)
+        got = np.asarray(rp.dequantize_repacked(rq))
+        np.testing.assert_array_equal(got, want, err_msg=t.name)
+
+
+def test_stacked_repacked_scan_slicing():
+    """Stacked RepackedQuant (leading L axis) slices correctly per layer."""
+    import jax
+
+    dt = DataType.Q4_0
+    N, K, L = 64, 256, 3
+    ws, rqs = [], []
+    for _ in range(L):
+        w = RNG.normal(0, 1, (N, K)).astype(np.float32)
+        raw = quants.quantize(w.reshape(-1), dt)
+        ws.append(quants.dequantize(raw, dt).reshape(N, K))
+        rqs.append(rp.repack(raw, (N, K), dt))
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rqs)
+    x = jnp.asarray(RNG.normal(0, 1, (1, K)).astype(np.float32))
+
+    def body(carry, rq_l):
+        y = qmatmul_repacked(x, rq_l, out_dtype=jnp.float32)
+        return carry + y.sum(), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0), stacked)
+    want = sum(float((np.asarray(x) @ w.T).sum()) for w in ws)
+    np.testing.assert_allclose(float(total), want, rtol=2e-2)

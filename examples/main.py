@@ -68,7 +68,7 @@ def main():
     )
 
     img = image_mod.load_image(args.image)
-    pre = image_mod.preprocess(img)
+    pre = image_mod.preprocess(img, size=eng.vision_cfg.vit.image_size)
     emb = eng.encode_image(pre)
 
     eng.system_prompt()

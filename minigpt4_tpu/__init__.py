@@ -20,8 +20,12 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
+        # separate cache per platform set: AOT artifacts compiled for a
+        # remote TPU toolchain must not be offered to the local CPU backend
+        suffix = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "default"
         cache_dir = os.environ.get(
-            "MINIGPT4_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/minigpt4_tpu_xla")
+            "MINIGPT4_TPU_COMPILE_CACHE",
+            os.path.expanduser(f"~/.cache/minigpt4_tpu_xla_{suffix}"),
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -180,7 +180,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     t0 = time.perf_counter()
     params = synth_llama_params(cfg, qtype, rng, dtype)
     params = jax.device_put(params)
-    jax.block_until_ready(params["layers"]["wq"]["w"].packed)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params["layers"]["wq"]))
     build_s = time.perf_counter() - t0
 
     cache = llama_mod.init_cache(cfg, batch=1, dtype=cache_dtype)

@@ -210,7 +210,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     sync(logits)
     ttft_warm = time.perf_counter() - t0
 
-    # --- decode
+    # --- decode (per-token host fetch: the strict end-chat ABI path)
     tok = jnp.asarray(np.array([[123]], np.int32))
     de = embed(params, tok)
     # warm decode compile
@@ -222,9 +222,36 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         logits, cache = fwd(params, cache, de, jnp.int32(pos + i))
         sync(logits)
     dt = time.perf_counter() - t0
+
+    # --- fused decode loop (engine.generate path): one dispatch per chunk,
+    # on-device greedy sampling, only token ids downloaded
+    from .engine.device_sampling import DeviceSamplingConfig
+
+    chunk = 16
+    dl = jax.jit(
+        lambda p, c, l0, pos0, key: llama_mod.decode_loop(
+            p, c, l0, pos0, chunk, key, DeviceSamplingConfig(temp=0.0), cfg
+        ),
+        donate_argnums=(1,),
+    )
+    key = jax.random.PRNGKey(0)
+    toks, logits, cache = dl(params, cache, logits, jnp.int32(pos + n_decode), key)
+    sync(toks)  # compile
+    n_fused = max(chunk, (n_decode // chunk) * chunk)
+    t0 = time.perf_counter()
+    p2 = pos + n_decode + chunk
+    done = 0
+    while done < n_fused:
+        toks, logits, cache = dl(params, cache, logits, jnp.int32(p2 + done), key)
+        sync(toks)
+        done += chunk
+    dt_fused = time.perf_counter() - t0
+
     return {
-        "decode_tok_s": n_decode / dt,
-        "decode_ms": dt / n_decode * 1e3,
+        "decode_tok_s": n_fused / dt_fused,
+        "decode_ms": dt_fused / n_fused * 1e3,
+        "decode_stepwise_tok_s": n_decode / dt,
+        "decode_stepwise_ms": dt / n_decode * 1e3,
         "ttft_warm_ms": ttft_warm * 1e3,
         "ttft_first_ms": ttft_compile * 1e3,
         "build_s": build_s,

@@ -105,11 +105,30 @@ class MiniGPT4Engine:
 
         cfg = self.llm_cfg
         self._forward = jax.jit(
-            lambda p, c, e, pos0, last: llama_mod.forward(p, c, e, pos0, cfg, last),
+            lambda p, c, e, pos0, last, attn_len: llama_mod.forward(
+                p, c, e, pos0, cfg, last, attn_len=attn_len
+            ),
+            static_argnums=(5,),
             donate_argnums=(1,),
         )
         self._embed = jax.jit(llama_mod.embed_tokens)
         self._encode = vision_mod.jit_encode_image(self.vision_cfg)
+        self._decode_loop = jax.jit(
+            lambda p, c, l0, pos0, key, scfg, n, attn_len: llama_mod.decode_loop(
+                p, c, l0, pos0, n, key, scfg, cfg, attn_len=attn_len
+            ),
+            static_argnums=(5, 6, 7),
+            donate_argnums=(1,),
+        )
+        self._rng_key = jax.random.PRNGKey(seed if seed else 0)
+
+    def _attn_bucket(self, needed: int) -> int:
+        """Power-of-two attention window covering ``needed`` positions: decode
+        reads cache[:bucket] instead of the full n_ctx (bucketed compiles)."""
+        b = 128
+        while b < needed:
+            b *= 2
+        return min(b, self.llm_cfg.n_ctx)
 
     # ------------------------------------------------------------------
     # vision
@@ -144,7 +163,9 @@ class MiniGPT4Engine:
         for off in range(0, s_total, self.n_batch):
             chunk = embeds[:, off : off + self.n_batch]
             s = chunk.shape[1]
-            b = _bucket(s, self.n_batch)
+            # cap the pad bucket at the remaining context: writes past n_ctx
+            # would make dynamic_update_slice clamp-shift the whole chunk
+            b = min(_bucket(s, self.n_batch), self.llm_cfg.n_ctx - self.n_past)
             if b != s:
                 pad = jnp.zeros((chunk.shape[0], b - s, chunk.shape[2]), chunk.dtype)
                 chunk = jnp.concatenate([chunk, pad], axis=1)
@@ -154,6 +175,7 @@ class MiniGPT4Engine:
                 chunk,
                 jnp.int32(self.n_past),
                 jnp.int32(s - 1),
+                self._attn_bucket(self.n_past + chunk.shape[1]),
             )
             self.n_past += s
         self._last_logits = np.asarray(logits[0])
@@ -250,9 +272,62 @@ class MiniGPT4Engine:
         self,
         limit: int = 1024,
         params: SamplingParams | None = None,
+        decode_chunk: int = 16,
     ):
         """Streaming generator over decode steps with the reference's EOS
-        logic (MiniGPT4ChatBot.generate, minigpt4_library.py:609-657)."""
+        logic (MiniGPT4ChatBot.generate, minigpt4_library.py:609-657).
+
+        When the sampling mode is device-expressible (no mirostat), tokens
+        are generated in fused on-device chunks of ``decode_chunk`` — one
+        dispatch + one small download per chunk instead of a full logits
+        round-trip per token — and still yielded one at a time.  On EOS the
+        decode cursor rolls back over the overshot tokens (stale cache
+        positions >= n_past are unreachable by construction).  Stochastic
+        sampling uses the device PRNG stream in this mode; greedy output is
+        identical in both modes.  Set ``decode_chunk=1`` (or use mirostat)
+        for the strict per-token host path.
+        """
+        params = params or SamplingParams()
+        if params.mirostat != 0 or decode_chunk <= 1:
+            yield from self._generate_stepwise(limit, params)
+            return
+
+        from .device_sampling import DeviceSamplingConfig
+
+        scfg = DeviceSamplingConfig(
+            temp=params.temp, top_k=params.top_k, top_p=params.top_p,
+            tfs_z=params.tfs_z, typical_p=params.typical_p,
+        )
+        chat = ""
+        emitted = 0
+        while emitted < limit:
+            n = min(decode_chunk, limit - emitted)
+            if self.n_past + n > self.llm_cfg.n_ctx:
+                n = self.llm_cfg.n_ctx - self.n_past
+                if n <= 0:
+                    return
+            self._rng_key, sub = jax.random.split(self._rng_key)
+            tokens, final_logits, self.cache = self._decode_loop(
+                self.llm_params, self.cache,
+                jnp.asarray(self._last_logits[None]), jnp.int32(self.n_past),
+                sub, scfg, n, self._attn_bucket(self.n_past + n),
+            )
+            token_ids = np.asarray(tokens[0])
+            self.n_past += n
+            self._last_logits = np.asarray(final_logits[0])
+            for j, tid in enumerate(token_ids):
+                token = self.id_to_token(int(tid))
+                chat += token
+                emitted += 1
+                if self.contains_eos_token(token):
+                    continue
+                if self.is_eos(chat):
+                    # roll back evals past the stopping token
+                    self.n_past -= len(token_ids) - j - 1
+                    return
+                yield token
+
+    def _generate_stepwise(self, limit: int, params: SamplingParams):
         chat = ""
         for _ in range(limit):
             token = self.end_chat(params)

@@ -96,8 +96,15 @@ def _layer(
     vc: jnp.ndarray,
     pos0: jnp.ndarray,
     cfg: LlamaConfig,
+    attn_len: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One decoder layer. x [B,S,D]; kc/vc [B,H,C,Dh] (this layer's cache)."""
+    """One decoder layer. x [B,S,D]; kc/vc [B,H,C,Dh] (this layer's cache).
+
+    ``attn_len`` (static) restricts attention reads to cache[:attn_len] — the
+    engine passes the power-of-two bucket covering n_past+S, so decode
+    traffic scales with the live context, not the full n_ctx allocation
+    (1.1 GB/token saved at short contexts on 13B).
+    """
     b, s, _ = x.shape
     h = rms_norm(x, lp["attention_norm"], RMS_EPS)
     positions = pos0 + jnp.arange(s)
@@ -112,20 +119,24 @@ def _layer(
     kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos0, 0))
     vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos0, 0))
 
-    # causal mask over the full static cache: query i may see key_pos <= pos0+i
-    key_pos = jnp.arange(cfg.n_ctx)
+    span = attn_len if attn_len is not None else cfg.n_ctx
+    ks = kc[:, :, :span] if span < cfg.n_ctx else kc
+    vs = vc[:, :, :span] if span < cfg.n_ctx else vc
+
+    # causal mask: query i may see key_pos <= pos0+i
+    key_pos = jnp.arange(span)
     mask = jnp.where(
         key_pos[None, :] <= (pos0 + jnp.arange(s))[:, None], 0.0, NEG_INF
-    )  # [S, C]
+    )  # [S, span]
 
     scores = jnp.einsum(
-        "bhsd,bhcd->bhsc", q, kc.astype(q.dtype), preferred_element_type=jnp.float32
+        "bhsd,bhcd->bhsc", q, ks.astype(q.dtype), preferred_element_type=jnp.float32
     )
     scores = scores / jnp.sqrt(jnp.float32(cfg.head_dim))
     scores = scores + mask[None, None]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     ctx = jnp.einsum(
-        "bhsc,bhcd->bhsd", probs.astype(vc.dtype), vc, preferred_element_type=jnp.float32
+        "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32
     ).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_embd)
     x = x + linear(ctx, lp["wo"])
@@ -145,6 +156,7 @@ def forward(
     cfg: LlamaConfig,
     last_idx: jnp.ndarray | None = None,
     all_logits: bool = False,
+    attn_len: int | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """embeds [B, S, D] -> (logits [B, V] at ``last_idx``, updated cache).
 
@@ -160,7 +172,7 @@ def forward(
 
     def body(x, xs):
         lp, kc, vc = xs
-        x, kc, vc = _layer(x, lp, kc, vc, pos0, cfg)
+        x, kc, vc = _layer(x, lp, kc, vc, pos0, cfg, attn_len)
         return x, {"k": kc, "v": vc}
 
     x, new_cache = jax.lax.scan(body, embeds, (params["layers"], cache["k"], cache["v"]))
@@ -179,6 +191,50 @@ def forward(
 def embed_tokens(params: dict, tokens: jnp.ndarray) -> jnp.ndarray:
     """[B, S] int32 -> [B, S, D] (llama.cpp get_rows)."""
     return params["tok_embeddings"][tokens]
+
+
+def decode_loop(
+    params: dict,
+    cache: dict,
+    logits0: jnp.ndarray,
+    pos0: jnp.ndarray,
+    n_steps: int,
+    key: jnp.ndarray,
+    scfg,
+    cfg: LlamaConfig,
+    attn_len: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Fused multi-token decode: ONE dispatch generates ``n_steps`` tokens.
+
+    Per-token host round trips dominate decode latency on remote/tunneled
+    backends (each blocking logits fetch pays a full RTT); this loop keeps
+    the sample -> embed -> forward chain on device via ``lax.scan`` with
+    on-device sampling (engine/device_sampling.py) and downloads only
+    ``n_steps`` token ids.
+
+    Preserves the reference's sample-then-eval ordering exactly
+    (minigpt4.cpp:2704-2716): ``logits0`` is the pending logits from the
+    previous eval; emitted token i is sampled *before* its own eval, and the
+    returned final logits correspond to the last evaluated token.
+
+    Returns (tokens [B, n_steps], final_logits [B, V], cache).
+    """
+    from ..engine.device_sampling import sample_token
+
+    b = logits0.shape[0]
+
+    # scan carries (logits, cache, position)
+    def body(carry, step_key):
+        logits, kc, pos = carry
+        keys = jax.random.split(step_key, b)
+        tok = jax.vmap(lambda l, k: sample_token(l, k, scfg))(logits, keys)
+        emb = embed_tokens(params, tok[:, None])
+        new_logits, kc = forward(params, kc, emb, pos, cfg, attn_len=attn_len)
+        return (new_logits, kc, pos + 1), tok
+
+    keys = jax.random.split(key, n_steps)
+    (final_logits, cache, _), tokens = jax.lax.scan(body, (logits0, cache, pos0), keys)
+    return tokens.T, final_logits, cache  # [B, n_steps]
 
 
 def make_step_fns(cfg: LlamaConfig):

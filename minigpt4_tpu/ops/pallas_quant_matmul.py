@@ -38,51 +38,43 @@ TN = 128  # N tile
 TM_DECODE = 8  # M tile for small batch
 
 
-def _expand_groups(sc: jnp.ndarray, gs: int) -> jnp.ndarray:
-    """[TN, G] -> [TN, G*gs] by repeating each lane gs times."""
-    return pltpu.repeat(sc[:, :, None], gs, 2).reshape(sc.shape[0], sc.shape[1] * gs)
-
-
-def _unpack_hi(hi: jnp.ndarray, bits: int, out_lanes: int) -> jnp.ndarray:
-    """bit-plane bytes [TN, out_lanes/(8/bits)] -> [TN, out_lanes] ints."""
-    per_byte = 8 // bits
-    mask = (1 << bits) - 1
-    rep = pltpu.repeat(hi[:, :, None], per_byte, 2).reshape(hi.shape[0], out_lanes)
-    lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
-    shift = (lane % per_byte) * bits
-    return (rep.astype(jnp.int32) >> shift) & mask
-
-
 def _kernel(x_ref, codes_ref, scales_ref, hi_ref, out_ref, *, k, gs, code_bits, hi_bits):
-    xf = x_ref[:]  # [TM, K] bf16
+    """Tile-interleaved layout (ops.repack): every expansion is a 2D
+    ``pltpu.repeat`` (tile semantics) — Mosaic cannot lower the 3D reshapes
+    an element-repeat would need.  Storage lane j's scale is scales[j % G]
+    and its hi-bit field index is j // (bytes_per_row), both of which
+    tile-repeat + iota arithmetic produce directly."""
+    xf = x_ref[:]  # [TM, K] bf16, already tile-permuted by the wrapper
+    sc = scales_ref[:]  # [TN, G] f32
     if code_bits == 4:
         half = k // 2
         codes = codes_ref[:]  # [TN, K/2] uint8
         lo = (codes & 0x0F).astype(jnp.int32)
         hi4 = (codes >> 4).astype(jnp.int32)
         if hi_bits:
-            hb = hi_ref[:]  # [TN, K/(8/hi_bits)]
-            top = _unpack_hi(hb, hi_bits, k)  # [TN, K] logical order
-            lo = lo + ((top[:, :half]) << 4)
-            hi4 = hi4 + ((top[:, half:]) << 4)
-        sc = scales_ref[:]  # [TN, K/gs] f32
-        ga = half // gs
-        wa = lo.astype(jnp.float32) * _expand_groups(sc[:, :ga], gs)
-        wb = hi4.astype(jnp.float32) * _expand_groups(sc[:, ga:], gs)
-        xa = xf[:, :half]
-        xb = xf[:, half:]
+            per_byte = 8 // hi_bits
+            nb = k // per_byte  # hi-plane bytes per row
+            rep = pltpu.repeat(hi_ref[:].astype(jnp.int32), per_byte, 1)  # [TN, K]
+            lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
+            bits = (rep >> ((lane // nb) * hi_bits)) & ((1 << hi_bits) - 1)
+            lo = lo + (bits[:, :half] << 4)
+            hi4 = hi4 + (bits[:, half:] << 4)
+        # storage lane j -> scale group j % G; K/2 = G*(gs/2) so one repeat
+        # serves both nibble planes ((j + K/2) % G == j % G)
+        sc_half = pltpu.repeat(sc, gs // 2, 1)  # [TN, K/2]
+        wa = lo.astype(jnp.float32) * sc_half
+        wb = hi4.astype(jnp.float32) * sc_half
         acc = jax.lax.dot_general(
-            xa, wa.astype(xa.dtype), (((1,), (1,)), ((), ())),
+            xf[:, :half], wa.astype(xf.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc += jax.lax.dot_general(
-            xb, wb.astype(xb.dtype), (((1,), (1,)), ((), ())),
+            xf[:, half:], wb.astype(xf.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     else:
         codes = codes_ref[:].astype(jnp.int32)  # [TN, K]
-        sc = scales_ref[:]
-        w = codes.astype(jnp.float32) * _expand_groups(sc, gs)
+        w = codes.astype(jnp.float32) * pltpu.repeat(sc, gs, 1)
         acc = jax.lax.dot_general(
             xf, w.astype(xf.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -148,12 +140,15 @@ def qmatmul_repacked(x: jnp.ndarray, rq: RepackedQuant, out_dtype=None) -> jnp.n
         )
         return y.astype(out_dtype or x.dtype)
 
+    from .repack import tile_permute_x
+
     lead = x.shape[:-1]
     k = rq.n_in
     x2 = x.reshape(-1, k)
+    xp = tile_permute_x(x2, rq.group_size)  # match the storage K order
     interpret = jax.default_backend() != "tpu"
     meta = (k, rq.group_size, rq.code_bits, rq.hi_bits, rq.n_out)
-    y = _run(x2, rq.codes, rq.scales, rq.hi, meta=meta, interpret=interpret)
+    y = _run(xp, rq.codes, rq.scales, rq.hi, meta=meta, interpret=interpret)
     # affine term: groupsum(x) @ mins.T
     gs = rq.group_size
     xg = x2.astype(jnp.float32).reshape(-1, k // gs, gs).sum(axis=2)  # [M, K/gs]

@@ -70,30 +70,41 @@ def _f16(b: np.ndarray) -> np.ndarray:
     return b.copy().view(np.dtype("<f2")).astype(np.float32)
 
 
+def _tile_permute(q: np.ndarray, gs: int) -> np.ndarray:
+    """Reorder K to *tile-interleaved* storage: original k = g*gs + b maps to
+    storage j = b*G + g (G = K/gs groups).
+
+    Why: Mosaic cannot lower the 3D reshapes an element-repeat needs, but
+    ``pltpu.repeat`` (tile semantics) is a pure 2D op.  In this order the
+    scale of storage lane j is ``scales[j % G]`` — exactly what a tile-repeat
+    produces — and bit planes packed tile-major expand the same way.  The
+    activation vector gets the matching permutation once per matmul (a tiny
+    XLA transpose outside the kernel); the contraction is order-invariant.
+    """
+    n, k = q.shape
+    g = k // gs
+    return np.ascontiguousarray(q.reshape(n, g, gs).swapaxes(1, 2).reshape(n, k))
+
+
 def _pack_nibbles(q: np.ndarray) -> np.ndarray:
-    """int [N, K] (0..15) -> uint8 [N, K/2]: byte i = elem i | elem i+K/2 <<4."""
+    """int [N, K] (0..15) -> uint8 [N, K/2]: byte i = elem i | elem i+K/2 <<4
+    (element indices in storage order)."""
     n, k = q.shape
     half = k // 2
     return (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
 
 
-def _pack_bits1(b: np.ndarray) -> np.ndarray:
-    """int [N, K] (0/1) -> uint8 [N, K/8]: bit k%8 of byte k/8."""
+def _pack_bits_tilemajor(b: np.ndarray, bits: int) -> np.ndarray:
+    """int [N, K] -> uint8 [N, K*bits/8], packed tile-major: the value for
+    storage lane j lives in byte ``j % B`` at field ``j // B`` (B = out
+    bytes per row), so a ``pltpu.repeat`` + shift-by-(lane // B) recovers it
+    without any reshape."""
     n, k = b.shape
-    bb = b.reshape(n, k // 8, 8).astype(np.uint8)
-    out = np.zeros((n, k // 8), np.uint8)
-    for j in range(8):
-        out |= bb[:, :, j] << j
-    return out
-
-
-def _pack_bits2(b: np.ndarray) -> np.ndarray:
-    """int [N, K] (0..3) -> uint8 [N, K/4]."""
-    n, k = b.shape
-    bb = b.reshape(n, k // 4, 4).astype(np.uint8)
-    out = np.zeros((n, k // 4), np.uint8)
-    for j in range(4):
-        out |= bb[:, :, j] << (2 * j)
+    per_byte = 8 // bits
+    nb = k // per_byte
+    out = np.zeros((n, nb), np.uint8)
+    for p in range(per_byte):
+        out |= (b[:, p * nb : (p + 1) * nb].astype(np.uint8) & ((1 << bits) - 1)) << (p * bits)
     return out
 
 
@@ -239,18 +250,19 @@ REPACKABLE = frozenset(_LAYOUT)
 
 
 def repack(raw: np.ndarray, shape: tuple[int, int], dtype: DataType) -> RepackedQuant:
-    """ggml packed bytes -> TPU-plane representation (host-side, one-time)."""
+    """ggml packed bytes -> TPU-plane representation (host-side, one-time).
+
+    K is stored tile-interleaved (see _tile_permute); the kernel permutes the
+    activation vector to match."""
     dtype = DataType(dtype)
     n, k = shape
     q, scales, mins, gs = _decode_codes_scales(np.ascontiguousarray(raw, np.uint8), shape, dtype)
-    q = q.astype(np.uint8)
+    q = _tile_permute(q.astype(np.uint8), gs)
     code_bits, hi_bits = _LAYOUT[dtype]
     if code_bits == 4:
         codes = _pack_nibbles(q & 0x0F)
-        if hi_bits == 1:
-            hi = _pack_bits1((q >> 4) & 1)
-        elif hi_bits == 2:
-            hi = _pack_bits2((q >> 4) & 3)
+        if hi_bits:
+            hi = _pack_bits_tilemajor((q >> 4).astype(np.uint8), hi_bits)
         else:
             hi = None
     else:
@@ -269,37 +281,39 @@ def repack(raw: np.ndarray, shape: tuple[int, int], dtype: DataType) -> Repacked
     )
 
 
+def tile_permute_x(x: jnp.ndarray, gs: int) -> jnp.ndarray:
+    """Apply the storage permutation to activations: x [..., K] -> [..., K]
+    with x_perm[..., b*G + g] = x[..., g*gs + b] (jit-safe, runs in XLA)."""
+    k = x.shape[-1]
+    g = k // gs
+    return x.reshape(*x.shape[:-1], g, gs).swapaxes(-1, -2).reshape(*x.shape[:-1], k)
+
+
 def dequantize_repacked(rq: RepackedQuant, out_dtype=jnp.float32) -> jnp.ndarray:
-    """Reference (XLA) decode of the repacked planes -> [N, K]; used for
-    testing and as a fallback."""
+    """Reference (XLA) decode of the repacked planes -> [N, K] in the
+    *original* (ggml) K order; used for testing and as a fallback."""
     k = rq.n_in
     if rq.code_bits == 4:
-        half = k // 2
         lo = (rq.codes & 0x0F).astype(jnp.int32)
         hi4 = (rq.codes >> 4).astype(jnp.int32)
-        q = jnp.concatenate([lo, hi4], axis=-1)
+        q = jnp.concatenate([lo, hi4], axis=-1)  # storage order
     else:
         q = rq.codes.astype(jnp.int32)
-    if rq.hi_bits == 1:
-        bits = _unpack_bits1_jnp(rq.hi, k)
-        q = q + (bits << 4)
-    elif rq.hi_bits == 2:
-        bits = _unpack_bits2_jnp(rq.hi, k)
+    if rq.hi_bits:
+        per_byte = 8 // rq.hi_bits
+        nb = k // per_byte
+        fields = [
+            ((rq.hi.astype(jnp.int32) >> (p * rq.hi_bits)) & ((1 << rq.hi_bits) - 1))
+            for p in range(per_byte)
+        ]
+        bits = jnp.concatenate(fields, axis=-1)  # [N, K] storage order
         q = q + (bits << 4)
     gs = rq.group_size
-    sc = jnp.repeat(rq.scales, gs, axis=-1)
+    g = k // gs
+    # storage lane j -> scale group j % G
+    sc = jnp.tile(rq.scales, (1,) * (rq.scales.ndim - 1) + (gs,))
+    w_st = sc * q.astype(jnp.float32)
+    # un-permute storage -> original order, then subtract per-group mins
+    w = w_st.reshape(*w_st.shape[:-1], gs, g).swapaxes(-1, -2).reshape(*w_st.shape[:-1], k)
     mn = jnp.repeat(rq.mins, gs, axis=-1)
-    return (sc * q.astype(jnp.float32) - mn).astype(out_dtype)
-
-
-def _unpack_bits1_jnp(hi: jnp.ndarray, k: int) -> jnp.ndarray:
-    n = hi.shape[-2]
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    bits = (hi[..., None] >> shifts) & 1  # [..., N, K/8, 8]
-    return bits.reshape(*hi.shape[:-1], k).astype(jnp.int32)
-
-
-def _unpack_bits2_jnp(hi: jnp.ndarray, k: int) -> jnp.ndarray:
-    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
-    bits = (hi[..., None] >> shifts) & 3
-    return bits.reshape(*hi.shape[:-1], k).astype(jnp.int32)
+    return (w - mn).astype(out_dtype)

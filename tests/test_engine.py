@@ -154,3 +154,34 @@ def test_repacked_quant_mode_end_to_end(tmp_path_factory):
     assert corr > 0.999
     eng.close()
     eng2.close()
+
+
+def test_fused_decode_matches_stepwise_greedy(tmp_path_factory):
+    """Chunked on-device decode == per-token host decode for greedy."""
+    tmp = tmp_path_factory.mktemp("fused")
+    model, llm = build_tiny_models(tmp)
+    greedy = SamplingParams(temp=0.0)
+
+    eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16)
+    eng.system_prompt()
+    eng.begin_chat("hello")
+    stepwise = list(eng.generate(limit=10, params=greedy, decode_chunk=1))
+    eng.close()
+
+    eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16)
+    eng.system_prompt()
+    eng.begin_chat("hello")
+    fused = list(eng.generate(limit=10, params=greedy, decode_chunk=4))
+    eng.close()
+    assert fused == stepwise
+
+
+def test_fused_decode_stochastic_runs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fused_s")
+    model, llm = build_tiny_models(tmp)
+    eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16)
+    eng.begin_chat("hi")
+    toks = list(eng.generate(limit=6, params=SamplingParams(temp=0.9, top_k=20), decode_chunk=3))
+    assert len(toks) <= 6
+    assert all(isinstance(t, str) for t in toks)
+    eng.close()

@@ -48,9 +48,10 @@ def _kernel(x_ref, codes_ref, scales_ref, hi_ref, out_ref, *, k, gs, code_bits, 
     sc = scales_ref[:]  # [TN, G] f32
     if code_bits == 4:
         half = k // 2
-        codes = codes_ref[:]  # [TN, K/2] uint8
-        lo = (codes & 0x0F).astype(jnp.int32)
-        hi4 = (codes >> 4).astype(jnp.int32)
+        # widen to i32 before bit ops: Mosaic cannot legalize shifts on i8
+        codes = codes_ref[:].astype(jnp.int32)  # [TN, K/2]
+        lo = codes & 0x0F
+        hi4 = codes >> 4
         if hi_bits:
             per_byte = 8 // hi_bits
             nb = k // per_byte  # hi-plane bytes per row

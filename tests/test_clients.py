@@ -217,3 +217,26 @@ class TestLibrary:
         assert lib.minigpt4_is_eos("abc###")
         assert lib.minigpt4_error_code_to_string(0) == "None"
         lib.minigpt4_free(ctx)
+
+
+class TestDebugDump:
+    def test_stage_dump_matches_pipeline(self, tmp_path):
+        import jax.numpy as jnp
+
+        from minigpt4_tpu.debug import compare_dumps, dump_vision_stages, first_divergence, save_dump
+        from minigpt4_tpu.engine import MiniGPT4Engine
+        from minigpt4_tpu.models import minigpt4 as vision_mod
+
+        model, llm = build_tiny_models(tmp_path)
+        eng = MiniGPT4Engine(model, llm, n_ctx=64, n_batch=16)
+        pixels = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 3, 28, 28)).astype(np.float32))
+        stages = dump_vision_stages(eng.vision_params, pixels, eng.vision_cfg)
+        # final stage equals the fused pipeline output
+        want = np.asarray(vision_mod.encode_image(eng.vision_params, pixels, eng.vision_cfg))
+        np.testing.assert_allclose(stages["llama_proj"], want, rtol=1e-5, atol=1e-6)
+
+        save_dump(stages, str(tmp_path / "a.npz"))
+        save_dump(stages, str(tmp_path / "b.npz"))
+        report = compare_dumps(str(tmp_path / "a.npz"), str(tmp_path / "b.npz"))
+        assert first_divergence(report) is None
+        eng.close()

@@ -101,7 +101,8 @@ class MiniGPT4Engine:
         )
         self.n_past = 0
         self.sampler = Sampler(seed)
-        self._last_logits: np.ndarray | None = None
+        self._last_logits_dev = None  # [V] on device
+        self._last_logits_cache: np.ndarray | None = None
 
         cfg = self.llm_cfg
         self._forward = jax.jit(
@@ -178,7 +179,13 @@ class MiniGPT4Engine:
                 self._attn_bucket(self.n_past + chunk.shape[1]),
             )
             self.n_past += s
-        self._last_logits = np.asarray(logits[0])
+        # keep logits ON DEVICE: dispatches queue asynchronously, so a whole
+        # multi-segment prompt (begin_chat_image = 5 prefill calls) costs one
+        # host round-trip at first sample instead of one per segment — at
+        # ~40 ms tunnel RTT that is the difference between 40 ms and 400 ms
+        # per turn
+        self._last_logits_dev = logits[0]
+        self._last_logits_cache = None
 
     def add_tokens(self, tokens: list[int]) -> None:
         """llama_eval in n_batch chunks (add_tokens, minigpt4.cpp:2365-2382)."""
@@ -203,12 +210,22 @@ class MiniGPT4Engine:
     # sampling / decode
     # ------------------------------------------------------------------
 
+    @property
+    def _last_logits(self) -> np.ndarray | None:
+        """Host view of the pending logits (fetched lazily, memoized)."""
+        if self._last_logits_dev is None:
+            return None
+        if self._last_logits_cache is None:
+            self._last_logits_cache = np.asarray(self._last_logits_dev)
+        return self._last_logits_cache
+
     def sample_token(self, params: SamplingParams | None = None) -> int:
         """Sample from the logits of the *previous* eval (the reference's
         sample-then-eval ordering, minigpt4.cpp:2704-2716)."""
-        if self._last_logits is None:
+        logits = self._last_logits
+        if logits is None:
             raise RuntimeError("nothing evaluated yet")
-        return self.sampler.sample(self._last_logits, params or SamplingParams())
+        return self.sampler.sample(logits, params or SamplingParams())
 
     def id_to_token(self, token_id: int) -> str:
         return self.tokenizer.id_to_str(token_id)
@@ -217,7 +234,8 @@ class MiniGPT4Engine:
         """reset(): n_past = 0 (minigpt4.cpp:2499-2502).  The cache needs no
         clearing — masking makes positions >= n_past unreachable."""
         self.n_past = 0
-        self._last_logits = None
+        self._last_logits_dev = None
+        self._last_logits_cache = None
 
     # ------------------------------------------------------------------
     # chat state machine (minigpt4.cpp:2671-2782)
@@ -309,12 +327,13 @@ class MiniGPT4Engine:
             self._rng_key, sub = jax.random.split(self._rng_key)
             tokens, final_logits, self.cache = self._decode_loop(
                 self.llm_params, self.cache,
-                jnp.asarray(self._last_logits[None]), jnp.int32(self.n_past),
+                self._last_logits_dev[None], jnp.int32(self.n_past),
                 sub, scfg, n, self._attn_bucket(self.n_past + n),
             )
             token_ids = np.asarray(tokens[0])
             self.n_past += n
-            self._last_logits = np.asarray(final_logits[0])
+            self._last_logits_dev = final_logits[0]
+            self._last_logits_cache = None
             for j, tid in enumerate(token_ids):
                 token = self.id_to_token(int(tid))
                 chat += token

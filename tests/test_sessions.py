@@ -1,0 +1,86 @@
+"""Concurrent-session serving tests."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from fixtures import build_tiny_models
+from minigpt4_tpu.engine import SamplingParams
+from minigpt4_tpu.engine.sessions import SessionPool
+
+
+@pytest.fixture(scope="module")
+def pool(tmp_path_factory):
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("pool"))
+    p = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32)
+    yield p
+    p.close()
+
+
+def _img(seed):
+    return np.random.default_rng(seed).normal(0, 1, (3, 28, 28)).astype(np.float32)
+
+
+def test_sessions_are_independent(pool):
+    a = pool.new_session()
+    b = pool.new_session()
+    a.upload_image(_img(1))
+    b.upload_image(_img(2))
+    a.ask("what?")
+    b.ask("what?")
+    ta = list(a.generate(limit=5, params=SamplingParams(temp=0.0)))
+    tb = list(b.generate(limit=5, params=SamplingParams(temp=0.0)))
+    # different images -> independent state; cursors track separately
+    assert a.n_past > 0 and b.n_past > 0
+    a.close()
+    b.close()
+
+
+def test_session_matches_single_engine_greedy(pool, tmp_path_factory):
+    """A pooled session produces the same greedy tokens as a standalone
+    engine given the same flow."""
+    from minigpt4_tpu.engine import MiniGPT4Engine
+
+    s = pool.new_session()
+    pool.system_prompt(s)
+    pool.begin_chat(s, "hello")
+    pooled = list(s.generate(limit=6, params=SamplingParams(temp=0.0)))
+    s.close()
+
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("single"))
+    eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=32)
+    eng.system_prompt()
+    eng.begin_chat("hello")
+    single = list(eng.generate(limit=6, params=SamplingParams(temp=0.0), decode_chunk=1))
+    eng.close()
+    assert pooled == single
+
+
+def test_concurrent_generation_threads(pool):
+    """Sessions driven from separate threads interleave safely."""
+    results = {}
+
+    def run(name, seed):
+        s = pool.new_session()
+        s.upload_image(_img(seed))
+        s.ask("describe")
+        results[name] = list(s.generate(limit=6, params=SamplingParams(temp=0.0)))
+        s.close()
+
+    threads = [threading.Thread(target=run, args=(f"t{i}", i)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 3
+    for toks in results.values():
+        assert all(isinstance(t, str) for t in toks)
+
+
+def test_session_context_overflow(pool):
+    s = pool.new_session()
+    with pytest.raises(ValueError, match="overflow"):
+        for _ in range(40):
+            pool._add_strings(s, "a b c d e f g h")
+    s.close()

@@ -47,8 +47,24 @@ def random_packed(
     rng: np.random.Generator, shape: tuple[int, int], dtype: DataType, mode: str = "auto"
 ):
     """Random packed weight with finite decode values (scale fields pinned to
-    a small constant so no random-bit NaN/inf f16 scales appear)."""
+    a small constant so no random-bit NaN/inf f16 scales appear).
+
+    On the repack path the planes are generated *directly on device*
+    (perf-identical layout, zero host->device upload — a 13B build drops
+    from minutes of tunnel transfer to seconds)."""
+    import jax
+
+    from .models.params import load_quant_weight
+    from .ops import repack as rp
+
     n_out, n_in = shape
+    use_repack = (
+        mode == "repack"
+        or (mode == "auto" and jax.default_backend() == "tpu" and dtype in rp.REPACKABLE)
+    )
+    if use_repack:
+        return _device_random_repacked(rng, shape, dtype)
+
     rb = row_bytes(dtype, n_in)
     raw = rng.integers(0, 256, (n_out, rb), dtype=np.uint8)
     bb = traits(dtype).block_bytes
@@ -57,9 +73,32 @@ def random_packed(
         off = offsets[0]
         raw[:, off::bb] = 0x00
         raw[:, off + 1 :: bb] = small
-    from .models.params import load_quant_weight
-
     return load_quant_weight(raw.reshape(-1), shape, dtype, mode)
+
+
+def _device_random_repacked(rng: np.random.Generator, shape: tuple[int, int], dtype: DataType):
+    """RepackedQuant with device-generated random codes and constant scales
+    (layout/bandwidth identical to a real repacked checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.repack import _LAYOUT, RepackedQuant
+
+    n_out, n_in = shape
+    code_bits, hi_bits = _LAYOUT[dtype]
+    gs = 16 if dtype in (DataType.Q2_K, DataType.Q3_K, DataType.Q6_K) else 32
+    key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+    k1, k2 = jax.random.split(key)
+    codes_shape = (n_out, n_in // 2) if code_bits == 4 else (n_out, n_in)
+    codes = jax.random.randint(k1, codes_shape, 0, 256, jnp.int32).astype(jnp.uint8)
+    scales = jnp.full((n_out, n_in // gs), 0.002, jnp.float32)
+    mins = jnp.zeros((n_out, n_in // gs), jnp.float32)
+    hi = None
+    if hi_bits:
+        hi = jax.random.randint(
+            k2, (n_out, n_in * hi_bits // 8), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+    return RepackedQuant(codes, scales, mins, hi, DataType(dtype), n_in, gs, code_bits, hi_bits)
 
 
 def synth_llama_params(

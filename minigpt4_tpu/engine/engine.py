@@ -96,8 +96,11 @@ class MiniGPT4Engine:
                 f"LLM n_embd = {self.llm_cfg.n_embd}"
             )
 
+        # KV cache defaults to bf16: the reference's llama.cpp cache is f16
+        # (kv cache memory_type default), and bf16 halves decode attention
+        # traffic vs f32 with comparable range behaviour on TPU
         self.cache = llama_mod.init_cache(
-            self.llm_cfg, batch=batch, dtype=cache_dtype or compute_dtype
+            self.llm_cfg, batch=batch, dtype=cache_dtype or jnp.bfloat16
         )
         self.n_past = 0
         self.sampler = Sampler(seed)

@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .repack import RepackedQuant
 
-TN = 128  # N tile
+import os
+
+TN = int(os.environ.get("MINIGPT4_TPU_QMM_TN", "256"))  # N tile
 TM_DECODE = 8  # M tile for small batch
 
 
@@ -55,11 +57,15 @@ def _kernel(x_ref, codes_ref, scales_ref, hi_ref, out_ref, *, k, gs, code_bits, 
         lo = codes & 0x0F
         hi4 = codes >> 4
         if hi_bits:
+            # tile-major bit plane: byte i, field p <-> storage lane p*nb + i,
+            # so extraction is per_byte CONSTANT-shift slices concatenated on
+            # lanes — no per-lane variable shifts (3 VPU ops/elem vs ~7)
             per_byte = 8 // hi_bits
-            nb = k // per_byte  # hi-plane bytes per row
-            rep = pltpu.repeat(hi_ref[:].astype(jnp.int32), per_byte, 1)  # [TN, K]
-            lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
-            bits = (rep >> ((lane // nb) * hi_bits)) & ((1 << hi_bits) - 1)
+            mask = (1 << hi_bits) - 1
+            hb = hi_ref[:].astype(jnp.int32)  # [TN, K/per_byte]
+            bits = jnp.concatenate(
+                [(hb >> (p * hi_bits)) & mask for p in range(per_byte)], axis=1
+            )  # [TN, K] in storage-lane order
             lo = lo | (bits[:, :half] << 4)
             hi4 = hi4 | (bits[:, half:] << 4)
         # storage lane j -> scale group j % G; K/2 = G*(gs/2) so one repeat
@@ -121,12 +127,19 @@ def _run(x, codes, scales, hi, *, meta, interpret=False):
         in_specs.append(pl.BlockSpec((1, 1), lambda mi, ni: (0, 0)))
         args.append(jnp.zeros((1, 1), jnp.uint8))
 
+    flops = 2 * m_pad * k * n_pad
+    bytes_accessed = (
+        codes.size + scales.size * 4 + (hi.size if hi is not None else 0) + m_pad * k * 2
+    )
     out = pl.pallas_call(
         kernel,
         grid=(m_pad // tm, n_pad // TN),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, TN), lambda mi, ni: (mi, ni)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
         interpret=interpret,
     )(*args)
     return out[:m, :n_out]

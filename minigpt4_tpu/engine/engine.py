@@ -126,6 +126,40 @@ class MiniGPT4Engine:
         )
         self._rng_key = jax.random.PRNGKey(seed if seed else 0)
 
+    def warmup(self, prefill_buckets: tuple[int, ...] = (8, 32, 128, 512),
+               decode_chunks: tuple[int, ...] = (1, 16)) -> None:
+        """Precompile the common prefill buckets, decode steps, and the image
+        encoder so first-token latency is not a compile (multi-minute on
+        remote-compile backends; the persistent cache makes warmup a reload
+        on subsequent processes)."""
+        from .device_sampling import DeviceSamplingConfig
+
+        with utils.phase_timer("Warmup"):
+            d = self.llm_cfg.n_embd
+            emb_dtype = self.llm_params["tok_embeddings"].dtype  # real prefill dtype
+            cache = llama_mod.init_cache(self.llm_cfg, self.batch, self.cache["k"].dtype)
+            for b in prefill_buckets:
+                if b > self.llm_cfg.n_ctx:
+                    continue
+                e = jnp.zeros((self.batch, b, d), emb_dtype)
+                logits, cache = self._forward(
+                    self.llm_params, cache, e, jnp.int32(0), jnp.int32(b - 1),
+                    self._attn_bucket(b),
+                )
+            for n in decode_chunks:
+                if n == 1:
+                    continue
+                _, _, cache = self._decode_loop(
+                    self.llm_params, cache, logits, jnp.int32(0),
+                    jax.random.PRNGKey(0), DeviceSamplingConfig(temp=0.0), n,
+                    self._attn_bucket(n + 1),
+                )
+            vs = self.vision_cfg.vit.image_size
+            self._encode(
+                self.vision_params, jnp.zeros((self.batch, 3, vs, vs), jnp.float32)
+            )
+            jax.block_until_ready(cache["k"])
+
     def _attn_bucket(self, needed: int) -> int:
         """Power-of-two attention window covering ``needed`` positions: decode
         reads cache[:bucket] instead of the full n_ctx (bucketed compiles)."""

@@ -185,3 +185,14 @@ def test_fused_decode_stochastic_runs(tmp_path_factory):
     assert len(toks) <= 6
     assert all(isinstance(t, str) for t in toks)
     eng.close()
+
+
+def test_warmup_runs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("warm")
+    model, llm = build_tiny_models(tmp)
+    eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=32)
+    eng.warmup(prefill_buckets=(8, 32), decode_chunks=(4,))
+    # engine still fully functional afterwards
+    eng.add_strings("hi")
+    assert eng.sample_token(SamplingParams(temp=0.0)) >= 0
+    eng.close()

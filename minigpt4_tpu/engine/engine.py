@@ -68,10 +68,16 @@ class MiniGPT4Engine:
         cache_dtype=None,
         batch: int = 1,
         quant_mode: str = "auto",
+        matmul_precision: str | None = None,
     ):
         utils.set_verbosity(verbosity)
         self.n_batch = n_batch
         self.batch = batch
+        if matmul_precision:
+            # 'highest' forces true-f32 MXU passes for f32 params — needed for
+            # token-for-token greedy parity with the f16 CPU reference; the
+            # default bf16 passes trade ~1e-3 relative error for ~4x speed
+            jax.config.update("jax_default_matmul_precision", matmul_precision)
 
         with utils.phase_timer("Load minigpt4 model"):
             self._container = ContainerReader(model_path)

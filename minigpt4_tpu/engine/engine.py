@@ -362,7 +362,10 @@ class MiniGPT4Engine:
         chat = ""
         emitted = 0
         while emitted < limit:
-            n = min(decode_chunk, limit - emitted)
+            # always decode a FULL chunk (one compile per (chunk, bucket));
+            # overshoot past `limit` or EOS is rolled back via the cursor —
+            # positions >= n_past are unreachable by the causal mask
+            n = decode_chunk
             if self.n_past + n > self.llm_cfg.n_ctx:
                 n = self.llm_cfg.n_ctx - self.n_past
                 if n <= 0:
@@ -381,13 +384,20 @@ class MiniGPT4Engine:
                 token = self.id_to_token(int(tid))
                 chat += token
                 emitted += 1
+                stop = emitted >= limit
                 if self.contains_eos_token(token):
+                    if stop:
+                        self.n_past -= len(token_ids) - j - 1
+                        return
                     continue
                 if self.is_eos(chat):
                     # roll back evals past the stopping token
                     self.n_past -= len(token_ids) - j - 1
                     return
                 yield token
+                if stop:
+                    self.n_past -= len(token_ids) - j - 1
+                    return
 
     def _generate_stepwise(self, limit: int, params: SamplingParams):
         chat = ""

@@ -91,7 +91,8 @@ def rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jn
 
 def _layer(
     x: jnp.ndarray,
-    lp: dict,
+    layers: dict,
+    li: jnp.ndarray,
     kc: jnp.ndarray,
     vc: jnp.ndarray,
     pos0: jnp.ndarray,
@@ -100,21 +101,31 @@ def _layer(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer. x [B,S,D]; kc/vc [B,H,C,Dh] (this layer's cache).
 
+    ``layers`` holds the STACKED per-layer params and ``li`` the traced layer
+    index: quantized weights stream from the stacked arrays inside the
+    Pallas kernel (no per-layer slice copies — see params.linear), dense
+    weights are dynamic-sliced where XLA fuses the slice into the dot.
+
     ``attn_len`` (static) restricts attention reads to cache[:attn_len] — the
     engine passes the power-of-two bucket covering n_past+S, so decode
     traffic scales with the live context, not the full n_ctx allocation
     (1.1 GB/token saved at short contexts on 13B).
     """
     b, s, _ = x.shape
-    h = rms_norm(x, lp["attention_norm"], RMS_EPS)
+
+    def at(name):
+        arr = layers[name]
+        return jax.lax.dynamic_index_in_dim(arr, li, 0, keepdims=False)
+
+    h = rms_norm(x, at("attention_norm"), RMS_EPS)
     positions = pos0 + jnp.arange(s)
 
     def heads(t):
         return t.reshape(b, s, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
 
-    q = rope_interleaved(heads(linear(h, lp["wq"])), positions, cfg.rope_theta)
-    k = rope_interleaved(heads(linear(h, lp["wk"])), positions, cfg.rope_theta)
-    v = heads(linear(h, lp["wv"]))
+    q = rope_interleaved(heads(linear(h, layers["wq"], li)), positions, cfg.rope_theta)
+    k = rope_interleaved(heads(linear(h, layers["wk"], li)), positions, cfg.rope_theta)
+    v = heads(linear(h, layers["wv"], li))
 
     kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos0, 0))
     vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos0, 0))
@@ -139,12 +150,12 @@ def _layer(
         "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32
     ).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_embd)
-    x = x + linear(ctx, lp["wo"])
+    x = x + linear(ctx, layers["wo"], li)
 
-    h = rms_norm(x, lp["ffn_norm"], RMS_EPS)
-    gate = jax.nn.silu(linear(h, lp["w1"]).astype(jnp.float32)).astype(x.dtype)
-    up = linear(h, lp["w3"])
-    x = x + linear(gate * up, lp["w2"])
+    h = rms_norm(x, at("ffn_norm"), RMS_EPS)
+    gate = jax.nn.silu(linear(h, layers["w1"], li).astype(jnp.float32)).astype(x.dtype)
+    up = linear(h, layers["w3"], li)
+    x = x + linear(gate * up, layers["w2"], li)
     return x, kc, vc
 
 
@@ -171,11 +182,12 @@ def forward(
     """
 
     def body(x, xs):
-        lp, kc, vc = xs
-        x, kc, vc = _layer(x, lp, kc, vc, pos0, cfg, attn_len)
+        li, kc, vc = xs
+        x, kc, vc = _layer(x, params["layers"], li, kc, vc, pos0, cfg, attn_len)
         return x, {"k": kc, "v": vc}
 
-    x, new_cache = jax.lax.scan(body, embeds, (params["layers"], cache["k"], cache["v"]))
+    layer_ids = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+    x, new_cache = jax.lax.scan(body, embeds, (layer_ids, cache["k"], cache["v"]))
     if all_logits:
         h = rms_norm(x, params["norm"], RMS_EPS)
         return linear(h, params["output"]).astype(jnp.float32), new_cache

@@ -72,12 +72,19 @@ def matmul_qtensor(x: jnp.ndarray, qt: QTensor, prefer_pallas: bool = True) -> j
     return quant_matmul.qmatmul(x, qt, prefer_pallas=prefer_pallas)
 
 
-def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     """Apply a linear layer parameter dict.
 
     ``p['w']``: dense [K, N] array, :class:`QTensor` (raw ggml bytes, XLA
     dequant), or ``RepackedQuant`` (TPU planes, Pallas fused kernel);
     ``p.get('b')``: optional [N] bias.
+
+    ``layer``: traced index selecting one layer from *stacked* [L, ...]
+    params.  Dense/QTensor weights are sliced in XLA (the dot fuses the
+    slice); RepackedQuant streams the layer's blocks straight from the
+    stacked HBM array inside the Pallas kernel (scalar-prefetch index maps)
+    — an XLA slice there would materialize a full per-layer weight copy
+    before every kernel call.
     """
     from ..ops.repack import RepackedQuant
 
@@ -85,13 +92,23 @@ def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     if isinstance(w, RepackedQuant):
         from ..ops.pallas_quant_matmul import qmatmul_repacked
 
-        y = qmatmul_repacked(x, w)
+        if w.codes.ndim == 3 and layer is None:
+            raise ValueError("stacked RepackedQuant requires a layer index")
+        if w.codes.ndim == 2 and layer is not None:
+            layer = None  # already per-layer (e.g. vision blocks via scan xs)
+        y = qmatmul_repacked(x, w, layer=layer)
     elif isinstance(w, QTensor):
+        if layer is not None and w.packed.ndim == 3:
+            w = QTensor(w.packed[layer], w.dtype, w.n_in)
         y = matmul_qtensor(x, w)
     else:
+        if layer is not None and w.ndim == 3:
+            w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     b = p.get("b")
     if b is not None:
+        if layer is not None and b.ndim == 2:
+            b = jax.lax.dynamic_index_in_dim(b, layer, 0, keepdims=False)
         y = y + b.astype(y.dtype)
     return y
 

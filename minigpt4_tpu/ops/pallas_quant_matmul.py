@@ -40,20 +40,28 @@ TN = int(os.environ.get("MINIGPT4_TPU_QMM_TN", "256"))  # N tile
 TM_DECODE = 8  # M tile for small batch
 
 
-def _kernel(x_ref, codes_ref, scales_ref, hi_ref, out_ref, *, k, gs, code_bits, hi_bits):
+def _rd(ref):
+    """Read a block, dropping the leading singleton layer axis the stacked
+    path's [1, TN, C] BlockSpecs introduce."""
+    v = ref[...]
+    return v[0] if v.ndim == 3 else v
+
+
+def _kernel(x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref, out_ref, *, k, gs,
+            code_bits, hi_bits):
     """Tile-interleaved layout (ops.repack): every expansion is a 2D
     ``pltpu.repeat`` (tile semantics) — Mosaic cannot lower the 3D reshapes
     an element-repeat would need.  Storage lane j's scale is scales[j % G]
     and its hi-bit field index is j // (bytes_per_row), both of which
     tile-repeat + iota arithmetic produce directly."""
-    xf = x_ref[:]  # [TM, K] bf16, already tile-permuted by the wrapper
+    xf = _rd(x_ref)  # [TM, K] bf16, already tile-permuted by the wrapper
     # scales: one bf16 convert on the SMALL [TN, G] plane, then tile-repeat —
     # keeps the big per-element multiply at bf16 width (2x VPU throughput)
-    sc16 = scales_ref[:].astype(jnp.bfloat16)  # [TN, G]
+    sc16 = _rd(scales_ref).astype(jnp.bfloat16)  # [TN, G]
     if code_bits == 4:
         half = k // 2
         # widen to i32 before bit ops: Mosaic cannot legalize shifts on i8
-        codes = codes_ref[:].astype(jnp.int32)  # [TN, K/2]
+        codes = _rd(codes_ref).astype(jnp.int32)  # [TN, K/2]
         lo = codes & 0x0F
         hi4 = codes >> 4
         if hi_bits:
@@ -62,7 +70,7 @@ def _kernel(x_ref, codes_ref, scales_ref, hi_ref, out_ref, *, k, gs, code_bits, 
             # lanes — no per-lane variable shifts (3 VPU ops/elem vs ~7)
             per_byte = 8 // hi_bits
             mask = (1 << hi_bits) - 1
-            hb = hi_ref[:].astype(jnp.int32)  # [TN, K/per_byte]
+            hb = _rd(hi_ref).astype(jnp.int32)  # [TN, K/per_byte]
             bits = jnp.concatenate(
                 [(hb >> (p * hi_bits)) & mask for p in range(per_byte)], axis=1
             )  # [TN, K] in storage-lane order
@@ -82,12 +90,18 @@ def _kernel(x_ref, codes_ref, scales_ref, hi_ref, out_ref, *, k, gs, code_bits, 
             preferred_element_type=jnp.float32,
         )
     else:
-        codes = codes_ref[:].astype(jnp.int32)  # [TN, K]
+        codes = _rd(codes_ref).astype(jnp.int32)  # [TN, K]
         w = codes.astype(jnp.bfloat16) * pltpu.repeat(sc16, gs, 1)
         acc = jax.lax.dot_general(
             xf, w.astype(xf.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    # affine term folded in: y -= groupsum(x) @ mins.T  (tiny MXU dot)
+    xg = _rd(xg_ref)  # [TM, G] f32
+    mins = _rd(mins_ref)  # [TN, G] f32
+    acc -= jax.lax.dot_general(
+        xg, mins, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     out_ref[:] = acc  # [TM, TN] f32
 
 
@@ -102,52 +116,118 @@ def _supported(rq: RepackedQuant) -> bool:
     return True
 
 
+def _kernel_stacked(idx_ref, x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref,
+                    out_ref, *, k, gs, code_bits, hi_bits):
+    """Stacked-weight kernel: blocks are selected from [L, N, *] arrays by the
+    prefetched layer index (index maps in _run) — weights stream straight
+    from the stacked HBM array with no per-layer slice copy (the XLA
+    alternative materializes every layer's weights before the kernel can
+    read them, tripling decode traffic).  ``idx_ref`` is consumed by the
+    index maps; the body just squeezes the [1, ...] blocks via _rd."""
+    del idx_ref
+    _kernel(x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref, out_ref,
+            k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits)
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
-def _run(x, codes, scales, hi, *, meta, interpret=False):
-    # packed into a tuple for static hashing
+def _run(x, xg, codes, scales, mins, hi, layer=None, *, meta, interpret=False):
+    """x [M, K] (tile-permuted), xg [M, G] group-sums -> [M, N] f32.
+
+    When ``layer`` is given, codes/scales/mins/hi carry a leading [L] axis
+    and the kernel's index maps select the layer block via the prefetched
+    scalar — the stacked weights are never sliced/copied in HBM (an XLA-side
+    slice would materialize every layer's weights before the opaque
+    pallas_call could read them, tripling decode traffic).
+    """
     k, gs, code_bits, hi_bits, n_out = meta
     m = x.shape[0]
     tm = TM_DECODE if m <= TM_DECODE else min(128, m)
     m_pad = -(-m // tm) * tm
     n_pad = -(-n_out // TN) * TN
+    g = k // gs
     xp = jnp.zeros((m_pad, k), jnp.bfloat16).at[:m].set(x.astype(jnp.bfloat16))
+    xgp = jnp.zeros((m_pad, g), jnp.float32).at[:m].set(xg)
 
-    kernel = functools.partial(_kernel, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits)
-    in_specs = [
-        pl.BlockSpec((tm, k), lambda mi, ni: (mi, 0)),
-        pl.BlockSpec((TN, codes.shape[1]), lambda mi, ni: (ni, 0)),
-        pl.BlockSpec((TN, scales.shape[1]), lambda mi, ni: (ni, 0)),
-    ]
-    args = [xp, codes, scales]
-    if hi is not None:
-        in_specs.append(pl.BlockSpec((TN, hi.shape[1]), lambda mi, ni: (ni, 0)))
-        args.append(hi)
+    stacked = layer is not None
+    if hi is None:
+        hi_arr = jnp.zeros((1, 1, 1) if stacked else (1, 1), jnp.uint8)
+        hi_shape = None
     else:
-        # dummy ref (kernel ignores it when hi_bits == 0)
-        in_specs.append(pl.BlockSpec((1, 1), lambda mi, ni: (0, 0)))
-        args.append(jnp.zeros((1, 1), jnp.uint8))
+        hi_arr = hi
+        hi_shape = hi.shape[-1]
 
-    flops = 2 * m_pad * k * n_pad
-    bytes_accessed = (
-        codes.size + scales.size * 4 + (hi.size if hi is not None else 0) + m_pad * k * 2
-    )
+    if not stacked:
+        in_specs = [
+            pl.BlockSpec((tm, k), lambda mi, ni: (mi, 0)),
+            pl.BlockSpec((tm, g), lambda mi, ni: (mi, 0)),
+            pl.BlockSpec((TN, codes.shape[-1]), lambda mi, ni: (ni, 0)),
+            pl.BlockSpec((TN, g), lambda mi, ni: (ni, 0)),
+            pl.BlockSpec((TN, g), lambda mi, ni: (ni, 0)),
+            pl.BlockSpec(
+                (TN, hi_shape) if hi_shape else (1, 1),
+                (lambda mi, ni: (ni, 0)) if hi_shape else (lambda mi, ni: (0, 0)),
+            ),
+        ]
+        grid_spec = pl.GridSpec(
+            grid=(m_pad // tm, n_pad // TN),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, TN), lambda mi, ni: (mi, ni)),
+        )
+        args = (xp, xgp, codes, scales, mins, hi_arr)
+        call_kernel = functools.partial(
+            _kernel, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits
+        )
+    else:
+        in_specs = [
+            pl.BlockSpec((tm, k), lambda mi, ni, l_ref: (mi, 0)),
+            pl.BlockSpec((tm, g), lambda mi, ni, l_ref: (mi, 0)),
+            pl.BlockSpec((1, TN, codes.shape[-1]), lambda mi, ni, l_ref: (l_ref[0], ni, 0)),
+            pl.BlockSpec((1, TN, g), lambda mi, ni, l_ref: (l_ref[0], ni, 0)),
+            pl.BlockSpec((1, TN, g), lambda mi, ni, l_ref: (l_ref[0], ni, 0)),
+            pl.BlockSpec(
+                (1, TN, hi_shape) if hi_shape else (1, 1, 1),
+                (lambda mi, ni, l_ref: (l_ref[0], ni, 0))
+                if hi_shape
+                else (lambda mi, ni, l_ref: (0, 0, 0)),
+            ),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m_pad // tm, n_pad // TN),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, TN), lambda mi, ni, l_ref: (mi, ni)),
+        )
+        args = (jnp.asarray(layer, jnp.int32).reshape(1), xp, xgp, codes, scales, mins, hi_arr)
+        call_kernel = functools.partial(
+            _kernel_stacked, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits
+        )
+
+    per_layer_codes = codes.shape[-2] * codes.shape[-1]
+    bytes_accessed = per_layer_codes + m_pad * k * 2 + n_pad * g * 8
     out = pl.pallas_call(
-        kernel,
-        grid=(m_pad // tm, n_pad // TN),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, TN), lambda mi, ni: (mi, ni)),
+        call_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+            flops=2 * m_pad * k * n_pad, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
     )(*args)
     return out[:m, :n_out]
 
 
-def qmatmul_repacked(x: jnp.ndarray, rq: RepackedQuant, out_dtype=None) -> jnp.ndarray:
-    """x [..., K] @ rq.T -> [..., N] via the fused kernel (+ XLA min term)."""
-    if not _supported(rq):
+def qmatmul_repacked(
+    x: jnp.ndarray, rq: RepackedQuant, out_dtype=None, layer=None
+) -> jnp.ndarray:
+    """x [..., K] @ rq.T -> [..., N] via the fused kernel.
+
+    ``layer``: traced layer index when ``rq`` holds stacked [L, ...] planes
+    (zero-copy weight streaming from the stacked array — see _run).
+    """
+    stacked = rq.codes.ndim == 3
+    if stacked and layer is None:
+        raise ValueError("stacked RepackedQuant requires a layer index")
+    if not stacked and not _supported(rq):
         from .repack import dequantize_repacked
 
         w = dequantize_repacked(rq, jnp.float32)
@@ -160,16 +240,15 @@ def qmatmul_repacked(x: jnp.ndarray, rq: RepackedQuant, out_dtype=None) -> jnp.n
 
     lead = x.shape[:-1]
     k = rq.n_in
-    x2 = x.reshape(-1, k)
-    xp = tile_permute_x(x2, rq.group_size)  # match the storage K order
-    interpret = jax.default_backend() != "tpu"
-    meta = (k, rq.group_size, rq.code_bits, rq.hi_bits, rq.n_out)
-    y = _run(xp, rq.codes, rq.scales, rq.hi, meta=meta, interpret=interpret)
-    # affine term: groupsum(x) @ mins.T
     gs = rq.group_size
-    xg = x2.astype(jnp.float32).reshape(-1, k // gs, gs).sum(axis=2)  # [M, K/gs]
-    y = y - jax.lax.dot_general(
-        xg, rq.mins, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    x2 = x.reshape(-1, k)
+    xp = tile_permute_x(x2, gs)  # match the storage K order
+    xg = x2.astype(jnp.float32).reshape(-1, k // gs, gs).sum(axis=2)  # [M, G]
+    interpret = jax.default_backend() != "tpu"
+    meta = (k, gs, rq.code_bits, rq.hi_bits, rq.n_out)
+    y = _run(
+        xp, xg, rq.codes, rq.scales, rq.mins, rq.hi,
+        layer if stacked else None, meta=meta, interpret=interpret,
     )
     return y.reshape(*lead, rq.n_out).astype(out_dtype or x.dtype)
 

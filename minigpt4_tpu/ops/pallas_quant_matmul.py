@@ -129,8 +129,11 @@ def _kernel_stacked(idx_ref, x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_
             k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits)
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
-def _run(x, xg, codes, scales, mins, hi, layer=None, *, meta, interpret=False):
+@functools.partial(jax.jit, static_argnames=("meta", "interpret", "static_layer"))
+def _run(x, xg, codes, scales, mins, hi, layer=None, *, meta, interpret=False,
+         static_layer=None):
+    if static_layer is not None:
+        layer = static_layer
     """x [M, K] (tile-permuted), xg [M, G] group-sums -> [M, N] f32.
 
     When ``layer`` is given, codes/scales/mins/hi carry a leading [L] axis
@@ -149,6 +152,7 @@ def _run(x, xg, codes, scales, mins, hi, layer=None, *, meta, interpret=False):
     xgp = jnp.zeros((m_pad, g), jnp.float32).at[:m].set(xg)
 
     stacked = layer is not None
+    static_layer = stacked and isinstance(layer, int)
     if hi is None:
         hi_arr = jnp.zeros((1, 1, 1) if stacked else (1, 1), jnp.uint8)
         hi_shape = None
@@ -156,7 +160,33 @@ def _run(x, xg, codes, scales, mins, hi, layer=None, *, meta, interpret=False):
         hi_arr = hi
         hi_shape = hi.shape[-1]
 
-    if not stacked:
+    if static_layer:
+        # unrolled-layer path: the index maps close over the constant layer,
+        # so these are plain custom calls (the scalar-prefetch variant hangs
+        # the remote compile pipeline when nested in lax.scan; static maps
+        # need no prefetch at all)
+        li = layer
+        in_specs = [
+            pl.BlockSpec((tm, k), lambda mi, ni: (mi, 0)),
+            pl.BlockSpec((tm, g), lambda mi, ni: (mi, 0)),
+            pl.BlockSpec((1, TN, codes.shape[-1]), lambda mi, ni: (li, ni, 0)),
+            pl.BlockSpec((1, TN, g), lambda mi, ni: (li, ni, 0)),
+            pl.BlockSpec((1, TN, g), lambda mi, ni: (li, ni, 0)),
+            pl.BlockSpec(
+                (1, TN, hi_shape) if hi_shape else (1, 1, 1),
+                (lambda mi, ni: (li, ni, 0)) if hi_shape else (lambda mi, ni: (0, 0, 0)),
+            ),
+        ]
+        grid_spec = pl.GridSpec(
+            grid=(m_pad // tm, n_pad // TN),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, TN), lambda mi, ni: (mi, ni)),
+        )
+        args = (xp, xgp, codes, scales, mins, hi_arr)
+        call_kernel = functools.partial(
+            _kernel, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits
+        )
+    elif not stacked:
         in_specs = [
             pl.BlockSpec((tm, k), lambda mi, ni: (mi, 0)),
             pl.BlockSpec((tm, g), lambda mi, ni: (mi, 0)),
@@ -221,8 +251,11 @@ def qmatmul_repacked(
 ) -> jnp.ndarray:
     """x [..., K] @ rq.T -> [..., N] via the fused kernel.
 
-    ``layer``: traced layer index when ``rq`` holds stacked [L, ...] planes
-    (zero-copy weight streaming from the stacked array — see _run).
+    ``layer``: layer index when ``rq`` holds stacked [L, ...] planes
+    (zero-copy weight streaming from the stacked array — see _run).  Pass a
+    *python int* (unrolled layer loops) for the static fast path; traced
+    indices use scalar prefetch, which must NOT be nested inside lax.scan
+    (the combination wedges the compile pipeline).
     """
     stacked = rq.codes.ndim == 3
     if stacked and layer is None:
@@ -246,10 +279,16 @@ def qmatmul_repacked(
     xg = x2.astype(jnp.float32).reshape(-1, k // gs, gs).sum(axis=2)  # [M, G]
     interpret = jax.default_backend() != "tpu"
     meta = (k, gs, rq.code_bits, rq.hi_bits, rq.n_out)
-    y = _run(
-        xp, xg, rq.codes, rq.scales, rq.mins, rq.hi,
-        layer if stacked else None, meta=meta, interpret=interpret,
-    )
+    if stacked and isinstance(layer, int):
+        y = _run(
+            xp, xg, rq.codes, rq.scales, rq.mins, rq.hi, None,
+            meta=meta, interpret=interpret, static_layer=layer,
+        )
+    else:
+        y = _run(
+            xp, xg, rq.codes, rq.scales, rq.mins, rq.hi,
+            layer if stacked else None, meta=meta, interpret=interpret,
+        )
     return y.reshape(*lead, rq.n_out).astype(out_dtype or x.dtype)
 
 

@@ -65,21 +65,29 @@ def patch_embed(pixels: jnp.ndarray, p: dict, cfg: ViTConfig) -> jnp.ndarray:
     return linear(x, p)
 
 
-def block_forward(x: jnp.ndarray, bp: dict, cfg: ViTConfig) -> jnp.ndarray:
-    """One pre-LN ViT block. x [B, S, D]."""
-    h = layer_norm(x, bp["norm1"], LN_EPS)
-    qkv = linear(h, bp["qkv"])  # [B, S, 3D]; bias = (q_bias, 0, v_bias)
+def block_forward(x: jnp.ndarray, bp: dict, cfg: ViTConfig, li: int | None = None) -> jnp.ndarray:
+    """One pre-LN ViT block. x [B, S, D].
+
+    ``bp`` is either one block's params (li None) or the stacked blocks with
+    a static index ``li`` (unrolled loop — quantized weights then stream
+    zero-copy from the stacked arrays, see params.linear)."""
+
+    def ln(p):
+        return {"g": p["g"][li], "b": p["b"][li]} if li is not None else p
+
+    h = layer_norm(x, ln(bp["norm1"]), LN_EPS)
+    qkv = linear(h, bp["qkv"], li)  # [B, S, 3D]; bias = (q_bias, 0, v_bias)
     d = cfg.embed_dim
     q = split_heads(qkv[..., :d], cfg.n_heads)
     k = split_heads(qkv[..., d : 2 * d], cfg.n_heads)
     v = split_heads(qkv[..., 2 * d :], cfg.n_heads)
     attn = merge_heads(mha(q, k, v, scale=1.0 / float(np.sqrt(cfg.head_dim))))
-    x = x + linear(attn, bp["proj"])
+    x = x + linear(attn, bp["proj"], li)
 
-    h = layer_norm(x, bp["norm2"], LN_EPS)
-    h = linear(h, bp["fc1"])
+    h = layer_norm(x, ln(bp["norm2"]), LN_EPS)
+    h = linear(h, bp["fc1"], li)
     h = gelu(h)
-    h = linear(h, bp["fc2"])
+    h = linear(h, bp["fc2"], li)
     return x + h
 
 
@@ -91,10 +99,8 @@ def forward(params: dict, pixels: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)
 
-    def body(carry, bp):
-        return block_forward(carry, bp, cfg), None
-
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    for li in range(cfg.depth):
+        x = block_forward(x, params["blocks"], cfg, li)
     return x
 
 

@@ -121,9 +121,19 @@ def _layer(
     def heads(t):
         return t.reshape(b, s, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
 
-    q = rope_interleaved(heads(linear(h, layers["wq"], li)), positions, cfg.rope_theta)
-    k = rope_interleaved(heads(linear(h, layers["wk"], li)), positions, cfg.rope_theta)
-    v = heads(linear(h, layers["wv"], li))
+    d = cfg.n_embd
+    if "wqkv" in layers:
+        # load-time fused projection: one kernel call instead of three
+        # (per-call fixed cost is material at 224 calls/token unfused)
+        qkv = linear(h, layers["wqkv"], li)
+        xq, xk, xv = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
+    else:
+        xq = linear(h, layers["wq"], li)
+        xk = linear(h, layers["wk"], li)
+        xv = linear(h, layers["wv"], li)
+    q = rope_interleaved(heads(xq), positions, cfg.rope_theta)
+    k = rope_interleaved(heads(xk), positions, cfg.rope_theta)
+    v = heads(xv)
 
     ck = jax.lax.dynamic_update_slice(
         ck, k.astype(ck.dtype)[None], (li, 0, 0, pos0, 0)
@@ -155,8 +165,14 @@ def _layer(
     x = x + linear(ctx, layers["wo"], li)
 
     h = rms_norm(x, layers["ffn_norm"][li], RMS_EPS)
-    gate = jax.nn.silu(linear(h, layers["w1"], li).astype(jnp.float32)).astype(x.dtype)
-    up = linear(h, layers["w3"], li)
+    if "w13" in layers:
+        gu = linear(h, layers["w13"], li)
+        ff = gu.shape[-1] // 2
+        gate_in, up = gu[..., :ff], gu[..., ff:]
+    else:
+        gate_in = linear(h, layers["w1"], li)
+        up = linear(h, layers["w3"], li)
+    gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(x.dtype)
     x = x + linear(gate * up, layers["w2"], li)
     return x, ck, cv
 
@@ -295,18 +311,64 @@ def load_params(
     layers = []
     for i in range(cfg.n_layer):
         pfx = f"layers.{i}."
-        layers.append(
-            {
-                "attention_norm": jnp.asarray(reader.tensor_f32(pfx + "attention_norm.weight"), dtype),
-                "wq": lin(pfx + "attention.wq.weight"),
-                "wk": lin(pfx + "attention.wk.weight"),
-                "wv": lin(pfx + "attention.wv.weight"),
-                "wo": lin(pfx + "attention.wo.weight"),
-                "ffn_norm": jnp.asarray(reader.tensor_f32(pfx + "ffn_norm.weight"), dtype),
-                "w1": lin(pfx + "feed_forward.w1.weight"),
-                "w2": lin(pfx + "feed_forward.w2.weight"),
-                "w3": lin(pfx + "feed_forward.w3.weight"),
-            }
-        )
+        lp = {
+            "attention_norm": jnp.asarray(reader.tensor_f32(pfx + "attention_norm.weight"), dtype),
+            "wq": lin(pfx + "attention.wq.weight"),
+            "wk": lin(pfx + "attention.wk.weight"),
+            "wv": lin(pfx + "attention.wv.weight"),
+            "wo": lin(pfx + "attention.wo.weight"),
+            "ffn_norm": jnp.asarray(reader.tensor_f32(pfx + "ffn_norm.weight"), dtype),
+            "w1": lin(pfx + "feed_forward.w1.weight"),
+            "w2": lin(pfx + "feed_forward.w2.weight"),
+            "w3": lin(pfx + "feed_forward.w3.weight"),
+        }
+        # fuse qkv and gate/up along the output axis when representations
+        # match: one kernel call instead of three/two (see _layer)
+        qkv = _fuse_linears([lp["wq"], lp["wk"], lp["wv"]])
+        if qkv is not None:
+            lp["wqkv"] = qkv
+            del lp["wq"], lp["wk"], lp["wv"]
+        w13 = _fuse_linears([lp["w1"], lp["w3"]])
+        if w13 is not None:
+            lp["w13"] = w13
+            del lp["w1"], lp["w3"]
+        layers.append(lp)
     params["layers"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
     return params, cfg
+
+
+def _fuse_linears(ps: list[dict]):
+    """Concatenate linear params along the output axis when their weight
+    representations are identical (dtype/layout); None if not fusable."""
+    from ..ops.repack import RepackedQuant
+
+    ws = [p["w"] for p in ps]
+    if any("b" in p for p in ps):
+        return None
+    if all(isinstance(w, RepackedQuant) for w in ws):
+        w0 = ws[0]
+        if any(
+            (w.dtype, w.n_in, w.group_size, w.code_bits, w.hi_bits)
+            != (w0.dtype, w0.n_in, w0.group_size, w0.code_bits, w0.hi_bits)
+            for w in ws
+        ):
+            return None
+        return {
+            "w": RepackedQuant(
+                jnp.concatenate([w.codes for w in ws], axis=-2),
+                jnp.concatenate([w.scales for w in ws], axis=-2),
+                jnp.concatenate([w.mins for w in ws], axis=-2),
+                jnp.concatenate([w.hi for w in ws], axis=-2) if w0.hi is not None else None,
+                w0.dtype, w0.n_in, w0.group_size, w0.code_bits, w0.hi_bits,
+            )
+        }
+    if all(isinstance(w, QTensor) for w in ws):
+        w0 = ws[0]
+        if any((w.dtype, w.n_in) != (w0.dtype, w0.n_in) for w in ws):
+            return None
+        return {"w": QTensor(jnp.concatenate([w.packed for w in ws], axis=-2), w0.dtype, w0.n_in)}
+    if all(isinstance(w, jnp.ndarray) for w in ws):
+        if any(w.dtype != ws[0].dtype or w.shape[:-1] != ws[0].shape[:-1] for w in ws):
+            return None
+        return {"w": jnp.concatenate(ws, axis=-1)}  # dense [K, N]: concat N
+    return None

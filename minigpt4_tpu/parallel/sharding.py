@@ -43,8 +43,33 @@ def _linear_sharding(mesh: Mesh, p: dict, kind: str, stacked: bool) -> dict:
     def axis_ok(size: int) -> bool:
         return size % tp == 0
 
+    from ..ops.repack import RepackedQuant
+
     w = p["w"]
     out: dict = {}
+    if isinstance(w, RepackedQuant):
+        # TPU-plane weights: column (N) sharding splits every plane's -2
+        # axis.  Row (K) sharding is NOT supported for the tile-interleaved
+        # storage (a K shard in storage order interleaves logical positions,
+        # so per-shard activation permutes would disagree) — row-parallel
+        # layers fall back to replication.
+        nd = w.codes.ndim
+        col_ok = kind == "col" and axis_ok(w.codes.shape[-2])
+        axes = [None] * nd
+        if col_ok:
+            axes[-2] = "tp"
+        spec = _ns(mesh, *axes)
+        out["w"] = RepackedQuant(
+            spec, spec, spec, spec if w.hi is not None else None,
+            w.dtype, w.n_in, w.group_size, w.code_bits, w.hi_bits,
+        )
+        if "b" in p:
+            b = p["b"]
+            baxes = [None] * b.ndim
+            if col_ok and axis_ok(b.shape[-1]):
+                baxes[-1] = "tp"
+            out["b"] = _ns(mesh, *baxes)
+        return out
     if isinstance(w, QTensor):
         nd = w.packed.ndim  # [L?, N, rb]
         axes = [None] * nd
@@ -78,13 +103,23 @@ def _linear_sharding(mesh: Mesh, p: dict, kind: str, stacked: bool) -> dict:
 
 
 def _rep_tree(mesh: Mesh, tree):
+    from ..ops.repack import RepackedQuant
+
     def rep(x):
         if isinstance(x, QTensor):
             return QTensor(_ns(mesh), x.dtype, x.n_in)
+        if isinstance(x, RepackedQuant):
+            r = _ns(mesh)
+            return RepackedQuant(
+                r, r, r, r if x.hi is not None else None,
+                x.dtype, x.n_in, x.group_size, x.code_bits, x.hi_bits,
+            )
         return _ns(mesh)
 
     return jax.tree_util.tree_map(
-        rep, tree, is_leaf=lambda x: isinstance(x, QTensor) or not isinstance(x, (dict, list, tuple))
+        rep, tree,
+        is_leaf=lambda x: isinstance(x, (QTensor, RepackedQuant))
+        or not isinstance(x, (dict, list, tuple)),
     )
 
 
@@ -144,14 +179,24 @@ def vision_param_shardings(mesh: Mesh, params: dict) -> dict:
 
 
 def apply_shardings(params, shardings):
-    """device_put the param pytree with its sharding pytree (QTensor shardings
-    ride in the packed slot)."""
+    """device_put the param pytree with its sharding pytree (quantized-weight
+    shardings ride in the container's array slots)."""
+    from ..ops.repack import RepackedQuant
 
     def put(p, s):
         if isinstance(p, QTensor):
             return QTensor(jax.device_put(p.packed, s.packed), p.dtype, p.n_in)
+        if isinstance(p, RepackedQuant):
+            return RepackedQuant(
+                jax.device_put(p.codes, s.codes),
+                jax.device_put(p.scales, s.scales),
+                jax.device_put(p.mins, s.mins),
+                jax.device_put(p.hi, s.hi) if p.hi is not None else None,
+                p.dtype, p.n_in, p.group_size, p.code_bits, p.hi_bits,
+            )
         return jax.device_put(p, s)
 
     return jax.tree_util.tree_map(
-        put, params, shardings, is_leaf=lambda x: isinstance(x, QTensor)
+        put, params, shardings,
+        is_leaf=lambda x: isinstance(x, (QTensor, RepackedQuant)),
     )

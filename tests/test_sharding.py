@@ -90,3 +90,29 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     logits, cache = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_sharded_repacked_forward(models):
+    """tp-sharded execution with repacked quantized weights (Pallas interpret
+    on CPU) matches single-device."""
+    model, llm = models
+    from minigpt4_tpu.formats import DataType
+    import tempfile, pathlib
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    qmodel, qllm = build_tiny_models(tmp, quant=DataType.Q4_0)
+    eng = MiniGPT4Engine(qmodel, qllm, n_ctx=64, n_batch=32, quant_mode="repack")
+    tokens = jnp.asarray(np.array([[1, 7, 9, 4]], np.int32))
+    embeds = llama_mod.embed_tokens(eng.llm_params, tokens)
+    cache = llama_mod.init_cache(eng.llm_cfg, batch=1)
+    want, _ = llama_mod.forward(eng.llm_params, cache, embeds, jnp.int32(0), eng.llm_cfg)
+    want = np.asarray(want)
+
+    mesh = make_mesh(dp=1, tp=4)
+    with mesh:
+        lparams = apply_shardings(eng.llm_params, llama_param_shardings(mesh, eng.llm_params))
+        cache2 = jax.device_put(llama_mod.init_cache(eng.llm_cfg, batch=1), cache_sharding(mesh))
+        emb2 = llama_mod.embed_tokens(lparams, tokens)
+        got, _ = llama_mod.forward(lparams, cache2, emb2, jnp.int32(0), eng.llm_cfg)
+        got = np.asarray(got)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+    eng.close()

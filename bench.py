@@ -3,34 +3,44 @@
 
 Headline: decode tok/s/chip on Vicuna-13B-geometry q5_k (BASELINE.md target:
 >= 30 tok/s on one v5e chip -> vs_baseline = value / 30).  Falls back to the
-7B geometry on hosts with little memory (CPU smoke runs use a tiny decode
-count).
+7B geometry if 13B fails.
+
+Each model attempt runs in its OWN subprocess: the tunneled TPU backend's
+allocator state (over-commit + fragmentation after a failed 10 GB build) is
+not reliably recoverable in-process, so a pristine process per attempt is
+the only robust fallback (round-1 lesson: the 7B retry died on the 13B
+attempt's leftovers).
 """
 
 import json
+import os
+import subprocess
 import sys
 
 
-def main():
+def run_single(model: str) -> int:
     import jax
 
-    on_tpu = jax.default_backend() != "cpu"
     from minigpt4_tpu.benchmark import GEOMETRIES, bench_decode, bench_encode
     from minigpt4_tpu.formats.dtypes import DataType
 
+    on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
-        model = "13B"
-        try:
-            dec = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64)
-        except Exception as e:
-            print(f"[bench] 13B failed ({e}); falling back to 7B", file=sys.stderr)
-            model = "7B"
-            dec = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64)
+        if model == "13B":
+            # compile gate first: kernel VMEM/Mosaic regressions fail fast
+            # with a named shape (and warm the compile cache) instead of
+            # dying inside the 40-layer model
+            from minigpt4_tpu.kernel_gate import run_gate
+
+            if not run_gate(fast=True):
+                print("[bench] kernel gate FAILED (see stderr above)", file=sys.stderr)
+        dec = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64)
         try:
             enc = bench_encode(GEOMETRIES[model].n_embd)
         except Exception as e:  # encode is secondary; never lose the headline
             print(f"[bench] encode failed: {e}", file=sys.stderr)
             enc = {}
+        metric = f"decode tok/s/chip ({model} q5_k)"
     else:
         # CPU smoke: tiny geometry so CI completes; value not meaningful
         import jax.numpy as jnp
@@ -43,16 +53,34 @@ def main():
         dec = bench_decode("smoke", DataType.Q5_K, n_decode=8, prefill_len=8,
                            dtype=jnp.float32, cache_dtype=jnp.float32)
         enc = {}
+        metric = "decode tok/s (cpu smoke)"
 
     value = round(dec["decode_tok_s"], 2)
     extras = {k: round(v, 2) for k, v in {**dec, **enc}.items()}
     print(f"[bench] details: {json.dumps(extras)}", file=sys.stderr)
     print(json.dumps({
-        "metric": f"decode tok/s/chip ({model} q5_k)" if on_tpu else "decode tok/s (cpu smoke)",
+        "metric": metric,
         "value": value,
         "unit": "tok/s",
         "vs_baseline": round(value / 30.0, 3),
     }))
+    return 0
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        sys.exit(run_single(sys.argv[2]))
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for model in ("13B", "7B"):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", model],
+            cwd=here,
+        )
+        if r.returncode == 0:
+            return
+        print(f"[bench] {model} attempt failed (rc={r.returncode})", file=sys.stderr)
+    sys.exit(1)
 
 
 if __name__ == "__main__":

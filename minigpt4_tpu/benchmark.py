@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -76,60 +77,117 @@ def random_packed(
     return load_quant_weight(raw.reshape(-1), shape, dtype, mode)
 
 
-def _device_random_repacked(rng: np.random.Generator, shape: tuple[int, int], dtype: DataType):
+def _device_random_repacked(
+    rng: np.random.Generator, shape: tuple[int, int], dtype: DataType,
+    layers: int | None = None,
+):
     """RepackedQuant with device-generated random codes and constant scales
-    (layout/bandwidth identical to a real repacked checkpoint)."""
+    (layout/bandwidth identical to a real repacked checkpoint).
+
+    ``layers`` builds the STACKED [L, ...] planes as single device arrays —
+    building per-layer trees and stacking would transiently hold 2x the
+    model (the round-1 13B/7B OOM); ``jax.random.bits`` generates u8 directly
+    with no i32 intermediate."""
     import jax
-    import jax.numpy as jnp
 
     from .ops.repack import _LAYOUT, RepackedQuant
 
     n_out, n_in = shape
+    lead = () if layers is None else (layers,)
     code_bits, hi_bits = _LAYOUT[dtype]
     gs = 16 if dtype in (DataType.Q2_K, DataType.Q3_K, DataType.Q6_K) else 32
     key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+    codes, scales, mins, hi = _synth_planes(
+        key, lead=lead, n_out=n_out, n_in=n_in, gs=gs,
+        code_bits=code_bits, hi_bits=hi_bits,
+    )
+    return RepackedQuant(codes, scales, mins, hi, DataType(dtype), n_in, gs, code_bits, hi_bits)
+
+
+@partial(jax.jit, static_argnames=("lead", "n_out", "n_in", "gs", "code_bits", "hi_bits"))
+def _synth_planes(key, *, lead, n_out, n_in, gs, code_bits, hi_bits):
+    """All planes of one synthetic weight in ONE jitted computation so XLA
+    manages the transient buffers (eager op-by-op generation materializes
+    every intermediate; that transient pressure OOMed 13B builds)."""
+
+    def rand_u8(key, shape):
+        # quarter-size u32 draw, then 4 byte planes concatenated on the LAST
+        # (large) axis.  Avoids two TPU memory traps: jax.random.bits(uint8)
+        # draws a full u32 word PER BYTE (4x transient HBM), and
+        # bitcast_convert_type's trailing [..., 4] axis gets lane-padded to
+        # 128 (32x).  Byte order is irrelevant for random payloads.
+        rows, cols = int(np.prod(shape[:-1])), shape[-1]
+        w = jax.random.bits(key, (rows, cols // 4), jnp.uint32)
+        planes = [((w >> (8 * i)) & 0xFF).astype(jnp.uint8) for i in range(4)]
+        return jnp.concatenate(planes, axis=-1).reshape(shape)
+
     k1, k2 = jax.random.split(key)
-    codes_shape = (n_out, n_in // 2) if code_bits == 4 else (n_out, n_in)
-    codes = jax.random.randint(k1, codes_shape, 0, 256, jnp.int32).astype(jnp.uint8)
-    scales = jnp.full((n_out, n_in // gs), 0.002, jnp.float32)
-    mins = jnp.zeros((n_out, n_in // gs), jnp.float32)
+    if code_bits == 4:  # row-pair packed [N/2, K] u8
+        codes = rand_u8(k1, (*lead, n_out // 2, n_in))
+    else:  # signed byte codes [N, K] i8
+        codes = rand_u8(k1, (*lead, n_out, n_in)).astype(jnp.int8)
+    scales = jnp.full((*lead, n_out, n_in // gs), 0.002, jnp.bfloat16)
+    mins = jnp.zeros((*lead, n_out, n_in // gs), jnp.bfloat16)
     hi = None
     if hi_bits:
-        hi = jax.random.randint(
-            k2, (n_out, n_in * hi_bits // 8), 0, 256, jnp.int32
-        ).astype(jnp.uint8)
-    return RepackedQuant(codes, scales, mins, hi, DataType(dtype), n_in, gs, code_bits, hi_bits)
+        hi = rand_u8(k2, (*lead, n_out, n_in * hi_bits // 8))
+    return codes, scales, mins, hi
 
 
 def synth_llama_params(
     cfg: llama_mod.LlamaConfig, qtype: DataType, rng: np.random.Generator, dtype=jnp.bfloat16,
     quant_mode: str = "auto",
 ):
-    def qlin(n_out, n_in):
-        return {"w": random_packed(rng, (n_out, n_in), qtype, quant_mode)}
+    import jax as _jax
+    from .ops import repack as rp
 
-    def stack_q(makers):
-        outs = [m for m in makers]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+    d, ff, v, L = cfg.n_embd, cfg.n_ff, cfg.n_vocab, cfg.n_layer
+    on_repack_path = (
+        quant_mode == "repack"
+        or (quant_mode == "auto" and _jax.default_backend() == "tpu" and qtype in rp.REPACKABLE)
+    )
 
-    d, ff, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
-    layer = lambda: {
-        "attention_norm": jnp.ones((d,), dtype),
-        "wq": qlin(d, d),
-        "wk": qlin(d, d),
-        "wv": qlin(d, d),
-        "wo": qlin(d, d),
-        "ffn_norm": jnp.ones((d,), dtype),
-        "w1": qlin(ff, d),
-        "w2": qlin(d, ff),
-        "w3": qlin(ff, d),
-    }
-    layers = stack_q([layer() for _ in range(cfg.n_layer)])
+    if on_repack_path:
+        # stacked planes generated directly on device — no per-layer
+        # build-then-stack (that transiently doubles HBM: the round-1 OOM)
+        def qstack(n_out, n_in):
+            return {"w": _device_random_repacked(rng, (n_out, n_in), qtype, layers=L)}
+
+        layers = {
+            "attention_norm": jnp.ones((L, d), dtype),
+            "wqkv": qstack(3 * d, d),  # matches the load-time qkv fusion
+            "wo": qstack(d, d),
+            "ffn_norm": jnp.ones((L, d), dtype),
+            "w13": qstack(2 * ff, d),  # matches the gate/up fusion
+            "w2": qstack(d, ff),
+        }
+        out_p = {"w": _device_random_repacked(rng, (v, d), qtype)}
+    else:
+        def qlin(n_out, n_in):
+            return {"w": random_packed(rng, (n_out, n_in), qtype, quant_mode)}
+
+        def stack_q(makers):
+            outs = [m for m in makers]
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+        layer = lambda: {
+            "attention_norm": jnp.ones((d,), dtype),
+            "wq": qlin(d, d),
+            "wk": qlin(d, d),
+            "wv": qlin(d, d),
+            "wo": qlin(d, d),
+            "ffn_norm": jnp.ones((d,), dtype),
+            "w1": qlin(ff, d),
+            "w2": qlin(d, ff),
+            "w3": qlin(ff, d),
+        }
+        layers = stack_q([layer() for _ in range(cfg.n_layer)])
+        out_p = qlin(v, d)
     emb = rng.normal(0, 0.02, (v, d)).astype(np.float32)
     return {
         "tok_embeddings": jnp.asarray(emb, dtype),
         "norm": jnp.ones((d,), dtype),
-        "output": qlin(v, d),
+        "output": out_p,
         "layers": layers,
     }
 
@@ -219,7 +277,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     t0 = time.perf_counter()
     params = synth_llama_params(cfg, qtype, rng, dtype)
     params = jax.device_put(params)
-    jax.block_until_ready(jax.tree_util.tree_leaves(params["layers"]["wq"]))
+    jax.block_until_ready(jax.tree_util.tree_leaves(params["layers"]))
     build_s = time.perf_counter() - t0
 
     cache = llama_mod.init_cache(cfg, batch=1, dtype=cache_dtype)

@@ -98,6 +98,7 @@ def _layer(
     pos0: jnp.ndarray,
     cfg: LlamaConfig,
     attn_len: int | None = None,
+    use_flash: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer. x [B,S,D]; ck/cv [L,B,H,C,Dh] (the FULL cache —
     updated in place at layer ``li``).
@@ -142,25 +143,35 @@ def _layer(
         cv, v.astype(cv.dtype)[None], (li, 0, 0, pos0, 0)
     )
 
-    span = attn_len if attn_len is not None else cfg.n_ctx
-    ks = ck[li, :, :, :span]  # static slices fuse into the attention dots
-    vs = cv[li, :, :, :span]
+    if s <= 8 and use_flash:
+        # decode path: blockwise flash kernel over the stacked HBM cache —
+        # reads only ceil((pos0+s)/BLK) live KV blocks (no attn_len bucket,
+        # no per-layer cache slice copy); see ops/flash_decode.py
+        from ..ops.flash_decode import flash_decode_attention
 
-    # causal mask: query i may see key_pos <= pos0+i
-    key_pos = jnp.arange(span)
-    mask = jnp.where(
-        key_pos[None, :] <= (pos0 + jnp.arange(s))[:, None], 0.0, NEG_INF
-    )  # [S, span]
+        ctx = flash_decode_attention(
+            q, ck, cv, li, pos0, 1.0 / float(np.sqrt(cfg.head_dim))
+        ).astype(x.dtype)
+    else:
+        span = attn_len if attn_len is not None else cfg.n_ctx
+        ks = ck[li, :, :, :span]  # static slices fuse into the attention dots
+        vs = cv[li, :, :, :span]
 
-    scores = jnp.einsum(
-        "bhsd,bhcd->bhsc", q, ks.astype(q.dtype), preferred_element_type=jnp.float32
-    )
-    scores = scores / jnp.sqrt(jnp.float32(cfg.head_dim))
-    scores = scores + mask[None, None]
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    ctx = jnp.einsum(
-        "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+        # causal mask: query i may see key_pos <= pos0+i
+        key_pos = jnp.arange(span)
+        mask = jnp.where(
+            key_pos[None, :] <= (pos0 + jnp.arange(s))[:, None], 0.0, NEG_INF
+        )  # [S, span]
+
+        scores = jnp.einsum(
+            "bhsd,bhcd->bhsc", q, ks.astype(q.dtype), preferred_element_type=jnp.float32
+        )
+        scores = scores / jnp.sqrt(jnp.float32(cfg.head_dim))
+        scores = scores + mask[None, None]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        ctx = jnp.einsum(
+            "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_embd)
     x = x + linear(ctx, layers["wo"], li)
 
@@ -186,6 +197,7 @@ def forward(
     last_idx: jnp.ndarray | None = None,
     all_logits: bool = False,
     attn_len: int | None = None,
+    use_flash: bool = True,
 ) -> tuple[jnp.ndarray, dict]:
     """embeds [B, S, D] -> (logits [B, V] at ``last_idx``, updated cache).
 
@@ -202,7 +214,7 @@ def forward(
     x = embeds
     ck, cv = cache["k"], cache["v"]
     for li in range(cfg.n_layer):
-        x, ck, cv = _layer(x, params["layers"], li, ck, cv, pos0, cfg, attn_len)
+        x, ck, cv = _layer(x, params["layers"], li, ck, cv, pos0, cfg, attn_len, use_flash)
     new_cache = {"k": ck, "v": cv}
     if all_logits:
         h = rms_norm(x, params["norm"], RMS_EPS)
@@ -231,6 +243,7 @@ def decode_loop(
     scfg,
     cfg: LlamaConfig,
     attn_len: int | None = None,
+    use_flash: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Fused multi-token decode: ONE dispatch generates ``n_steps`` tokens.
 
@@ -257,7 +270,7 @@ def decode_loop(
         keys = jax.random.split(step_key, b)
         tok = jax.vmap(lambda l, k: sample_token(l, k, scfg))(logits, keys)
         emb = embed_tokens(params, tok[:, None])
-        new_logits, kc = forward(params, kc, emb, pos, cfg, attn_len=attn_len)
+        new_logits, kc = forward(params, kc, emb, pos, cfg, attn_len=attn_len, use_flash=use_flash)
         return (new_logits, kc, pos + 1), tok
 
     keys = jax.random.split(key, n_steps)

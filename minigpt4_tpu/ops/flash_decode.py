@@ -1,0 +1,135 @@
+"""Blockwise flash-decode attention over the HBM-resident KV cache.
+
+Replaces the decode-path attention einsum (models/llama.py) which reads the
+whole ``attn_len`` bucket of cache every step.  This kernel keeps the K/V
+cache in HBM (``memory_space=ANY``, no XLA slice — a slice of the stacked
+[L, B, H, C, Dh] cache would materialize a per-layer copy every call) and
+DMAs only the **live** blocks (``ceil((pos0+S)/BLK)``), with an online
+softmax so the schedule is blockwise — the ring-attention / sequence-parallel
+seam SURVEY.md §5 calls for: extending to multi-chip SP is a change of who
+owns which C-blocks, not of the kernel's math.
+
+One compilation serves every decode position: the block loop bound is a
+traced scalar (SMEM input), not a static ``attn_len`` bucket — unlike the
+einsum path, no per-bucket recompiles and no dead-key traffic.
+
+Reference behavior replaced: llama.cpp decode attention inside llama_eval
+(vendored at reference CMakeLists.txt:318; driven via
+/root/reference/minigpt4.cpp:2365-2382).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 512  # KV block (C) per DMA; [BLK, 128] bf16 = 128 KB per buffer
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, li, s, blk, c, dh, scale):
+    """One (b, h) pair per program.  k_ref/v_ref are the FULL stacked caches
+    ([L, B, H, C, Dh], HBM); q_ref/o_ref are [1, 1, S, Dh] VMEM blocks."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    pos0 = pos_ref[0, 0]
+    live = pos0 + s  # number of visible keys for the last query row
+    nblk = jax.lax.min((live + blk - 1) // blk, jnp.int32(c // blk))
+
+    def scoped(kb, vb, ksem, vsem):
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # [S, Dh]
+        q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (s, blk), 0)
+
+        def body(i, carry):
+            m, l, acc = carry
+            c0 = pl.multiple_of(i * blk, blk)
+            ck = pltpu.make_async_copy(
+                k_ref.at[li, b, h, pl.ds(c0, blk)], kb, ksem
+            )
+            cv = pltpu.make_async_copy(
+                v_ref.at[li, b, h, pl.ds(c0, blk)], vb, vsem
+            )
+            ck.start()
+            cv.start()
+            key_pos = c0 + jax.lax.broadcasted_iota(jnp.int32, (s, blk), 1)
+            mask = jnp.where(key_pos <= q_pos, 0.0, NEG_INF)  # [S, BLK]
+            ck.wait()
+            sc = (
+                jax.lax.dot_general(
+                    q, kb[...].astype(jnp.float32), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + mask
+            )  # [S, BLK]
+            m_new = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))  # [S, 1]
+            p = jnp.exp(sc - m_new)  # [S, BLK]
+            alpha = jnp.exp(m - m_new)  # [S, 1]
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            cv.wait()
+            pv = jax.lax.dot_general(
+                p, vb[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [S, Dh]
+            return m_new, l_new, acc * alpha + pv
+
+        m0 = jnp.full((s, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((s, 1), jnp.float32)
+        a0 = jnp.zeros((s, dh), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
+        o_ref[0, 0] = acc / l
+
+    pl.run_scoped(
+        scoped,
+        kb=pltpu.VMEM((blk, dh), k_ref.dtype),
+        vb=pltpu.VMEM((blk, dh), v_ref.dtype),
+        ksem=pltpu.SemaphoreType.DMA(()),
+        vsem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("li", "scale", "interpret")
+)
+def _run(q, ck, cv, pos0, *, li, scale, interpret):
+    b, h, s, dh = q.shape
+    c = ck.shape[-2]
+    blk = min(BLK, c)
+    grid = (b, h)
+    out = pl.pallas_call(
+        functools.partial(_kernel, li=li, s=s, blk=blk, c=c, dh=dh, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, hi: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(pos0, jnp.int32).reshape(1, 1), q, ck, cv)
+    return out
+
+
+def flash_decode_attention(
+    q: jnp.ndarray,
+    ck: jnp.ndarray,
+    cv: jnp.ndarray,
+    li: int,
+    pos0: jnp.ndarray,
+    scale: float,
+) -> jnp.ndarray:
+    """q [B, H, S, Dh] x stacked cache [L, B, H, C, Dh] -> ctx [B, H, S, Dh]
+    (f32), causal from absolute position ``pos0`` (query row i sees keys at
+    positions <= pos0 + i).  ``li`` must be a static layer index (the layer
+    loop is unrolled; see models/llama.py)."""
+    if ck.ndim == 4:  # un-stacked [B, H, C, Dh]: add the L axis
+        ck, cv = ck[None], cv[None]
+        li = 0
+    interpret = jax.default_backend() != "tpu"
+    return _run(q, ck, cv, pos0, li=li, scale=scale, interpret=interpret)

@@ -15,11 +15,20 @@ The affine/offset term is algebraically hoisted out of the kernel:
 
 so the wrapper subtracts a tiny [M, K/gs] x [K/gs, N] XLA matmul.
 
-Layout invariants (from repack.py): nibble planes pair elem i with elem
-i + K/2 in one byte; hi-bit planes are packed along logical k.  The kernel
-therefore splits x into its two K/2 halves and issues two MXU contractions
-per tile.  Grid is (m_tiles, n_tiles); K is processed whole per tile (VMEM
-footprint at TN=128, K=13824 is ~5 MB).
+Layout invariants (from repack.py): nibble codes are row-pair packed
+([N/2, K] u8, unpacked by one ``pltpu.bitcast`` to uint4 — the sublane dim
+doubles with lo/hi interleaved, zero bit ops); hi-bit planes are packed
+tile-major (lane j -> byte j % nb, field j // nb, nb = K*hi_bits/8).  Grid
+is (n_tiles, m_tiles) — M innermost, so packed planes DMA once per N tile
+while only the small x blocks re-fetch.  The packed planes for the whole K
+are DMA'd per tile (codes are <= 0.5 B/weight: ~1.8 MB at TN=256, K=13824),
+but the *unpack* runs in static chunks of c*G storage lanes so bf16/i32
+temporaries stay bounded regardless of K — the round-1 kernel expanded the
+full [TN, K] row to i32 in one shot, which at K=13824 is 14 MB and blew the
+16 MB scoped-VMEM limit.  Chunk boundaries are multiples of G (so lane j's
+scale is a plain tile-repeat of scales[:G]) and never cross a hi-bit field,
+so every chunk reads one static slice of each plane.  _tile_policy shrinks
+(chunk, TM, TN) until a conservative VMEM estimate fits.
 """
 
 from __future__ import annotations
@@ -38,6 +47,9 @@ import os
 
 TN = int(os.environ.get("MINIGPT4_TPU_QMM_TN", "256"))  # N tile
 TM_DECODE = 8  # M tile for small batch
+# per-chunk i32 temporary budget (bytes): bounds unpack temporaries at any K
+CHUNK_BYTES = int(os.environ.get("MINIGPT4_TPU_QMM_CHUNK_BYTES", str(2 << 20)))
+_tile_policy_override = None  # dev hook for tools/sweep_qmm.py
 
 
 def _rd(ref):
@@ -47,77 +59,129 @@ def _rd(ref):
     return v[0] if v.ndim == 3 else v
 
 
+def _sl(ref, i0, i1):
+    """Static column slice of a block ref, dropping the stacked path's
+    leading singleton layer axis."""
+    if len(ref.shape) == 3:
+        return ref[0, :, i0:i1]
+    return ref[:, i0:i1]
+
+
+def _seg_lanes(k: int, code_bits: int, hi_bits: int) -> int:
+    """Lanes per unpack segment: chunks must not cross a hi-bit field
+    boundary (the constant shift amount flips there).  Row-pair nibble
+    packing has no half boundary — both nibbles of a byte are in the same
+    column — so hi-less formats chunk freely across the whole row."""
+    return (k * hi_bits // 8) if hi_bits else k
+
+
+def _chunk_plan(k: int, code_bits: int, hi_bits: int, cl: int):
+    """Static (lane0, n_lanes) chunks of length ``cl`` covering storage lanes
+    [0, K).  ``cl`` is a multiple of G = K/gs (so the per-lane scale is a
+    tile-repeat of scales[:, :G]) dividing the segment length — guaranteed by
+    _tile_policy."""
+    seg = _seg_lanes(k, code_bits, hi_bits)
+    return [(s + o, cl) for s in range(0, k, seg) for o in range(0, seg, cl)]
+
+
+def _tile_policy(m: int, k: int, gs: int, code_bits: int, hi_bits: int):
+    """Choose (tm, tn, cl) so the kernel's conservative VMEM estimate fits the
+    16 MB scoped limit: shrink the unpack chunk first (cheapest — a few more
+    VPU slices), then the M tile (prefill re-reads x per N tile, which is
+    cheap since x << codes with the N-outer grid), then the N tile.
+
+    The estimate double-counts lifetimes on purpose (double-buffered input
+    blocks + peak unpack temporaries); it over- rather than under-shoots what
+    Mosaic's scoped allocator reports.
+    """
+    g = k // gs
+    code_cols = k  # v2 layout: row-pair packing keeps all K columns
+    hi_cols = (k * hi_bits // 8) if hi_bits else 0
+    per_seg = _seg_lanes(k, code_bits, hi_bits) // g
+
+    def est(tm, tn, cl):
+        tm_eff = max(tm, 16)  # bf16 sublane padding
+        inputs = 2 * (
+            (tn // 2 if code_bits == 4 else tn) * code_cols  # codes u8/i8
+            + tn * hi_cols  # hi u8
+            + 2 * tn * g * 4  # scales + mins planes (f32 worst case)
+            + tm_eff * k * 2  # x bf16
+            + tm_eff * g * 4  # xg f32
+        )
+        out = 2 * tm_eff * tn * 4
+        # unpack temporaries per chunk: q bf16 + w bf16 + sc_c bf16
+        # (+ hb i32 + bit bf16 when hi), + the sliced x copy
+        temps = tn * cl * (2 + 2 + 2 + ((4 + 2) if hi_bits else 0)) + tm_eff * cl * 2
+        return inputs + out + temps
+
+    budget = 14_500_000  # headroom under the 16 MB scoped-VMEM limit
+    tms = [t for t in (128, 64, 32, 16, 8) if t <= max(m, 8)] or [8]
+    divisors = [d for d in range(per_seg, 0, -1) if per_seg % d == 0]
+    for tn in (TN, 128):
+        for tm in tms:
+            for d in divisors:
+                if d * g * 4 > CHUNK_BYTES // max(tn, 1):
+                    continue
+                if est(tm, tn, d * g) <= budget:
+                    return tm, tn, d * g
+    # last resort: smallest everything (tiny geometries always fit)
+    return tms[-1], 128, g
+
+
 def _kernel(x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref, out_ref, *, k, gs,
-            code_bits, hi_bits):
-    """Tile-interleaved layout (ops.repack): every expansion is a 2D
-    ``pltpu.repeat`` (tile semantics) — Mosaic cannot lower the 3D reshapes
-    an element-repeat would need.  Storage lane j's scale is scales[j % G]
-    and its hi-bit field index is j // (bytes_per_row), both of which
-    tile-repeat + iota arithmetic produce directly."""
+            code_bits, hi_bits, cl):
+    """Tile-interleaved storage lanes (ops.repack): storage lane j's scale is
+    scales[j % G] (a plain tile-repeat — Mosaic cannot lower the 3D reshapes
+    an element-repeat would need) and its hi-bit field index is j // nb —
+    constant within a chunk from _chunk_plan, so each chunk is one static
+    slice + constant shift.  Nibble unpack is ``pltpu.bitcast(u8, uint4)``:
+    the row-pair packed [TN/2, CL] byte tile doubles into the [TN, CL] code
+    tile with lo/hi sublane-interleaved — zero bit ops on the VPU (the
+    round-1 layout's i32 widen+mask+shift per element made the kernel
+    VPU-bound at ~200 GB/s effective; this path is DMA-bound)."""
     xf = _rd(x_ref)  # [TM, K] bf16, already tile-permuted by the wrapper
-    # scales: one bf16 convert on the SMALL [TN, G] plane, then tile-repeat —
-    # keeps the big per-element multiply at bf16 width (2x VPU throughput)
-    sc16 = _rd(scales_ref).astype(jnp.bfloat16)  # [TN, G]
-    if code_bits == 4:
-        half = k // 2
-        # widen to i32 before bit ops: Mosaic cannot legalize shifts on i8
-        codes = _rd(codes_ref).astype(jnp.int32)  # [TN, K/2]
-        lo = codes & 0x0F
-        hi4 = codes >> 4
-        if hi_bits:
-            # tile-major bit plane: byte i, field p <-> storage lane p*nb + i,
-            # so extraction is per_byte CONSTANT-shift slices concatenated on
-            # lanes — no per-lane variable shifts (3 VPU ops/elem vs ~7)
-            per_byte = 8 // hi_bits
-            mask = (1 << hi_bits) - 1
-            hb = _rd(hi_ref).astype(jnp.int32)  # [TN, K/per_byte]
-            bits = jnp.concatenate(
-                [(hb >> (p * hi_bits)) & mask for p in range(per_byte)], axis=1
-            )  # [TN, K] in storage-lane order
-            lo = lo | (bits[:, :half] << 4)
-            hi4 = hi4 | (bits[:, half:] << 4)
-        # storage lane j -> scale group j % G; K/2 = G*(gs/2) so one repeat
-        # serves both nibble planes ((j + K/2) % G == j % G)
-        sc_half = pltpu.repeat(sc16, gs // 2, 1)  # [TN, K/2] bf16
-        wa = lo.astype(jnp.bfloat16) * sc_half
-        wb = hi4.astype(jnp.bfloat16) * sc_half
-        acc = jax.lax.dot_general(
-            xf[:, :half], wa.astype(xf.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc += jax.lax.dot_general(
-            xf[:, half:], wb.astype(xf.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        codes = _rd(codes_ref).astype(jnp.int32)  # [TN, K]
-        w = codes.astype(jnp.bfloat16) * pltpu.repeat(sc16, gs, 1)
-        acc = jax.lax.dot_general(
-            xf, w.astype(xf.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    # affine term folded in: y -= groupsum(x) @ mins.T  (tiny MXU dot)
+    sc = _rd(scales_ref).astype(jnp.bfloat16)  # [TN, G]
+    g = k // gs
+    nb = k * hi_bits // 8 if hi_bits else 0
+    mask = (1 << hi_bits) - 1 if hi_bits else 0
+
+    # affine term first: acc = -groupsum(x) @ mins.T  (tiny MXU dot)
     xg = _rd(xg_ref)  # [TM, G] f32
-    mins = _rd(mins_ref)  # [TN, G] f32
-    acc -= jax.lax.dot_general(
+    mins = _rd(mins_ref).astype(jnp.float32)  # [TN, G]
+    acc = -jax.lax.dot_general(
         xg, mins, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    for l0, cle in _chunk_plan(k, code_bits, hi_bits, cl):
+        if code_bits == 4:
+            c8 = _sl(codes_ref, l0, l0 + cle)  # [TN/2, CL] u8
+            q = pltpu.bitcast(c8, jnp.uint4).astype(jnp.int8).astype(jnp.bfloat16)
+        else:
+            q = _sl(codes_ref, l0, l0 + cle).astype(jnp.bfloat16)  # i8 codes
+        if hi_bits:
+            # bit extraction stays i32 (Mosaic only legalizes shifts there);
+            # the merge q + 16*bit is exact in bf16 (both integers <= 63)
+            p = l0 // nb
+            i0 = l0 - p * nb
+            hb = _sl(hi_ref, i0, i0 + cle).astype(jnp.int32)
+            bit = ((hb >> (p * hi_bits)) & mask).astype(jnp.bfloat16)
+            q = q + bit * jnp.bfloat16(16.0)
+        reps = cle // g
+        sc_c = pltpu.repeat(sc, reps, 1) if reps > 1 else sc  # [TN, CL]
+        acc += jax.lax.dot_general(
+            xf[:, l0 : l0 + cle], (q * sc_c).astype(xf.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     out_ref[:] = acc  # [TM, TN] f32
 
 
 def _supported(rq: RepackedQuant) -> bool:
     if rq.codes.ndim != 2:
         return False
-    k, gs = rq.n_in, rq.group_size
-    if rq.code_bits == 4 and (k % 2 or (k // 2) % gs):
-        return False
-    if k % gs:
-        return False
-    return True
+    return rq.n_in % rq.group_size == 0
 
 
 def _kernel_stacked(idx_ref, x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref,
-                    out_ref, *, k, gs, code_bits, hi_bits):
+                    out_ref, *, k, gs, code_bits, hi_bits, cl):
     """Stacked-weight kernel: blocks are selected from [L, N, *] arrays by the
     prefetched layer index (index maps in _run) — weights stream straight
     from the stacked HBM array with no per-layer slice copy (the XLA
@@ -126,7 +190,7 @@ def _kernel_stacked(idx_ref, x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_
     index maps; the body just squeezes the [1, ...] blocks via _rd."""
     del idx_ref
     _kernel(x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref, out_ref,
-            k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits)
+            k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits, cl=cl)
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret", "static_layer"))
@@ -144,9 +208,10 @@ def _run(x, xg, codes, scales, mins, hi, layer=None, *, meta, interpret=False,
     """
     k, gs, code_bits, hi_bits, n_out = meta
     m = x.shape[0]
-    tm = TM_DECODE if m <= TM_DECODE else min(128, m)
+    # dev hook (tools/sweep_qmm.py): force a tile policy; requires cache clear
+    tm, tn, cl = _tile_policy_override or _tile_policy(m, k, gs, code_bits, hi_bits)
     m_pad = -(-m // tm) * tm
-    n_pad = -(-n_out // TN) * TN
+    n_pad = -(-n_out // tn) * tn
     g = k // gs
     xp = jnp.zeros((m_pad, k), jnp.bfloat16).at[:m].set(x.astype(jnp.bfloat16))
     xgp = jnp.zeros((m_pad, g), jnp.float32).at[:m].set(xg)
@@ -160,6 +225,12 @@ def _run(x, xg, codes, scales, mins, hi, layer=None, *, meta, interpret=False,
         hi_arr = hi
         hi_shape = hi.shape[-1]
 
+    # Grid is (n_tiles, m_tiles) — M innermost — so the big packed planes are
+    # DMA'd once per N tile while only the small x/xg blocks re-fetch per M
+    # tile (at prefill x is ~25x smaller than the codes it would otherwise
+    # re-stream per M tile).
+    grid = (n_pad // tn, m_pad // tm)
+    tn_c = tn // 2 if code_bits == 4 else tn  # codes block rows (row-pair packing)
     if static_layer:
         # unrolled-layer path: the index maps close over the constant layer,
         # so these are plain custom calls (the scalar-prefetch variant hangs
@@ -167,73 +238,75 @@ def _run(x, xg, codes, scales, mins, hi, layer=None, *, meta, interpret=False,
         # need no prefetch at all)
         li = layer
         in_specs = [
-            pl.BlockSpec((tm, k), lambda mi, ni: (mi, 0)),
-            pl.BlockSpec((tm, g), lambda mi, ni: (mi, 0)),
-            pl.BlockSpec((1, TN, codes.shape[-1]), lambda mi, ni: (li, ni, 0)),
-            pl.BlockSpec((1, TN, g), lambda mi, ni: (li, ni, 0)),
-            pl.BlockSpec((1, TN, g), lambda mi, ni: (li, ni, 0)),
+            pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0)),
+            pl.BlockSpec((tm, g), lambda ni, mi: (mi, 0)),
+            pl.BlockSpec((1, tn_c, codes.shape[-1]), lambda ni, mi: (li, ni, 0)),
+            pl.BlockSpec((1, tn, g), lambda ni, mi: (li, ni, 0)),
+            pl.BlockSpec((1, tn, g), lambda ni, mi: (li, ni, 0)),
             pl.BlockSpec(
-                (1, TN, hi_shape) if hi_shape else (1, 1, 1),
-                (lambda mi, ni: (li, ni, 0)) if hi_shape else (lambda mi, ni: (0, 0, 0)),
+                (1, tn, hi_shape) if hi_shape else (1, 1, 1),
+                (lambda ni, mi: (li, ni, 0)) if hi_shape else (lambda ni, mi: (0, 0, 0)),
             ),
         ]
         grid_spec = pl.GridSpec(
-            grid=(m_pad // tm, n_pad // TN),
+            grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((tm, TN), lambda mi, ni: (mi, ni)),
+            out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni)),
         )
         args = (xp, xgp, codes, scales, mins, hi_arr)
         call_kernel = functools.partial(
-            _kernel, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits
+            _kernel, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits, cl=cl
         )
     elif not stacked:
         in_specs = [
-            pl.BlockSpec((tm, k), lambda mi, ni: (mi, 0)),
-            pl.BlockSpec((tm, g), lambda mi, ni: (mi, 0)),
-            pl.BlockSpec((TN, codes.shape[-1]), lambda mi, ni: (ni, 0)),
-            pl.BlockSpec((TN, g), lambda mi, ni: (ni, 0)),
-            pl.BlockSpec((TN, g), lambda mi, ni: (ni, 0)),
+            pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0)),
+            pl.BlockSpec((tm, g), lambda ni, mi: (mi, 0)),
+            pl.BlockSpec((tn_c, codes.shape[-1]), lambda ni, mi: (ni, 0)),
+            pl.BlockSpec((tn, g), lambda ni, mi: (ni, 0)),
+            pl.BlockSpec((tn, g), lambda ni, mi: (ni, 0)),
             pl.BlockSpec(
-                (TN, hi_shape) if hi_shape else (1, 1),
-                (lambda mi, ni: (ni, 0)) if hi_shape else (lambda mi, ni: (0, 0)),
+                (tn, hi_shape) if hi_shape else (1, 1),
+                (lambda ni, mi: (ni, 0)) if hi_shape else (lambda ni, mi: (0, 0)),
             ),
         ]
         grid_spec = pl.GridSpec(
-            grid=(m_pad // tm, n_pad // TN),
+            grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((tm, TN), lambda mi, ni: (mi, ni)),
+            out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni)),
         )
         args = (xp, xgp, codes, scales, mins, hi_arr)
         call_kernel = functools.partial(
-            _kernel, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits
+            _kernel, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits, cl=cl
         )
     else:
         in_specs = [
-            pl.BlockSpec((tm, k), lambda mi, ni, l_ref: (mi, 0)),
-            pl.BlockSpec((tm, g), lambda mi, ni, l_ref: (mi, 0)),
-            pl.BlockSpec((1, TN, codes.shape[-1]), lambda mi, ni, l_ref: (l_ref[0], ni, 0)),
-            pl.BlockSpec((1, TN, g), lambda mi, ni, l_ref: (l_ref[0], ni, 0)),
-            pl.BlockSpec((1, TN, g), lambda mi, ni, l_ref: (l_ref[0], ni, 0)),
+            pl.BlockSpec((tm, k), lambda ni, mi, l_ref: (mi, 0)),
+            pl.BlockSpec((tm, g), lambda ni, mi, l_ref: (mi, 0)),
+            pl.BlockSpec((1, tn_c, codes.shape[-1]), lambda ni, mi, l_ref: (l_ref[0], ni, 0)),
+            pl.BlockSpec((1, tn, g), lambda ni, mi, l_ref: (l_ref[0], ni, 0)),
+            pl.BlockSpec((1, tn, g), lambda ni, mi, l_ref: (l_ref[0], ni, 0)),
             pl.BlockSpec(
-                (1, TN, hi_shape) if hi_shape else (1, 1, 1),
-                (lambda mi, ni, l_ref: (l_ref[0], ni, 0))
+                (1, tn, hi_shape) if hi_shape else (1, 1, 1),
+                (lambda ni, mi, l_ref: (l_ref[0], ni, 0))
                 if hi_shape
-                else (lambda mi, ni, l_ref: (0, 0, 0)),
+                else (lambda ni, mi, l_ref: (0, 0, 0)),
             ),
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(m_pad // tm, n_pad // TN),
+            grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((tm, TN), lambda mi, ni, l_ref: (mi, ni)),
+            out_specs=pl.BlockSpec((tm, tn), lambda ni, mi, l_ref: (mi, ni)),
         )
         args = (jnp.asarray(layer, jnp.int32).reshape(1), xp, xgp, codes, scales, mins, hi_arr)
         call_kernel = functools.partial(
-            _kernel_stacked, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits
+            _kernel_stacked, k=k, gs=gs, code_bits=code_bits, hi_bits=hi_bits, cl=cl
         )
 
     per_layer_codes = codes.shape[-2] * codes.shape[-1]
-    bytes_accessed = per_layer_codes + m_pad * k * 2 + n_pad * g * 8
+    hi_bytes = n_pad * hi_shape if hi_shape else 0
+    plane_bytes = 2 * n_pad * g * jnp.dtype(scales.dtype).itemsize
+    bytes_accessed = per_layer_codes + hi_bytes + plane_bytes + m_pad * k * 2
     out = pl.pallas_call(
         call_kernel,
         grid_spec=grid_spec,

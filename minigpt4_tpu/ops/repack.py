@@ -5,23 +5,33 @@ j/j+16, 6-bit packed scales...) are hostile to TPU vector loads.  At weight-
 load time we repack every format once on the host into a unified
 structure-of-arrays the Pallas kernel consumes with plain strided loads:
 
-    codes   uint8 [N, K/2]  nibble planes: byte i = elem i (lo) | elem i+K/2 (hi)
-            (byte formats q6/q8 use [N, K] instead)
-    hi      uint8 [N, K/8]  optional 5th-bit plane (q5_*): bit k%8 of byte k/8
-            (q6_k uses a 2-bit plane [N, K/4])
-    scales  f32  [N, K/gs]  per-group multiplier
-    mins    f32  [N, K/gs]  per-group subtrahend, in the unified form
+    codes   uint8 [N/2, K]  row-pair nibble packing: byte (r, j) = code of
+            output row 2r (lo nibble) | row 2r+1 (hi nibble) at storage lane
+            j.  This matches ``pltpu.bitcast(u8, uint4)`` semantics exactly —
+            the bitcast doubles the sublane dim with lo/hi interleaved — so
+            the kernel unpacks a nibble tile with ZERO bit ops (bitcast +
+            int8 + bf16 casts), where the round-1 K-paired layout needed an
+            i32 widen + mask + shift per element (VPU-bound at 13B).
+            (byte formats q8_0 use int8 [N, K]: direct i8->bf16 cast.)
+    hi      uint8 [N, K/8]  optional 5th-bit plane (q5_*), packed tile-major:
+            the bit for storage lane j is byte j % nb, field j // nb
+            (nb = K*hi_bits/8; q6_k uses a 2-bit plane [N, K/4])
+    scales  bf16 [N, K/gs]  per-group multiplier (f32 via plane_dtype for
+            bit-exact decode; bf16 halves scale-plane HBM traffic and adds
+            <=2^-9 relative scale error, far under 4/5-bit quant noise)
+    mins    bf16 [N, K/gs]  per-group subtrahend, in the unified form
 
         w[n, k] = scales[n, k/gs] * q[n, k] - mins[n, k/gs]
 
-    (symmetric formats fold their zero offset into mins: q4_0 -> 8*d, etc.)
+    (asymmetric formats fold their zero offset into mins: q4_0 -> 8*d, etc.;
+    q8_0 keeps signed codes and mins = 0)
 
 The min term never enters the kernel's inner loop: since
 ``sum_k w x = sum_k scale*q*x - sum_g min_g * groupsum_g(x)``, the kernel
 computes the q-matmul and subtracts a tiny [M, K/gs] x [K/gs, N] matmul.
 
-Memory cost vs ggml packing: +0.25-0.38 B/weight for the f32 scale planes
-(13B q5_k: 9.0 -> 11.4 GB) — bought back many times over by the kernel
+Memory cost vs ggml packing: +0.125 B/weight for the bf16 scale planes
+(13B q5_k: 9.0 -> 9.7 GB) — bought back many times over by the kernel
 reading 4-8x fewer bytes than the dense-dequant fallback.
 """
 
@@ -42,14 +52,14 @@ from ..formats import quants as nq
 class RepackedQuant:
     """TPU-layout quantized 2-D weight, logically [n_out, n_in]."""
 
-    codes: jnp.ndarray  # uint8 [..., N, K/2] or [..., N, K]
-    scales: jnp.ndarray  # f32 [..., N, K/gs]
-    mins: jnp.ndarray  # f32 [..., N, K/gs]
+    codes: jnp.ndarray  # uint8 [..., N/2, K] (4-bit, row-pair) or int8 [..., N, K]
+    scales: jnp.ndarray  # bf16/f32 [..., N, K/gs]
+    mins: jnp.ndarray  # bf16/f32 [..., N, K/gs]
     hi: jnp.ndarray | None  # uint8 [..., N, K/8] (1-bit) or [..., N, K/4] (2-bit)
     dtype: DataType  # static: source format
     n_in: int  # static
     group_size: int  # static
-    code_bits: int  # static: 4 (nibble planes) or 8 (byte codes)
+    code_bits: int  # static: 4 (row-pair nibble planes) or 8 (byte codes)
     hi_bits: int  # static: 0, 1, or 2
 
     def tree_flatten(self):
@@ -63,7 +73,8 @@ class RepackedQuant:
 
     @property
     def n_out(self) -> int:
-        return self.codes.shape[-2]
+        n = self.codes.shape[-2]
+        return 2 * n if self.code_bits == 4 else n
 
 
 def _f16(b: np.ndarray) -> np.ndarray:
@@ -86,12 +97,11 @@ def _tile_permute(q: np.ndarray, gs: int) -> np.ndarray:
     return np.ascontiguousarray(q.reshape(n, g, gs).swapaxes(1, 2).reshape(n, k))
 
 
-def _pack_nibbles(q: np.ndarray) -> np.ndarray:
-    """int [N, K] (0..15) -> uint8 [N, K/2]: byte i = elem i | elem i+K/2 <<4
-    (element indices in storage order)."""
-    n, k = q.shape
-    half = k // 2
-    return (q[:, :half] | (q[:, half:] << 4)).astype(np.uint8)
+def _pack_nibbles_rowpair(q: np.ndarray) -> np.ndarray:
+    """int [N, K] (0..15) -> uint8 [N/2, K]: byte (r, j) = q[2r, j] |
+    q[2r+1, j] << 4, matching ``pltpu.bitcast(., uint4)``'s sublane-interleave
+    (u4 row 2r = lo nibble, row 2r+1 = hi nibble of byte row r)."""
+    return (q[0::2] | (q[1::2] << 4)).astype(np.uint8)
 
 
 def _pack_bits_tilemajor(b: np.ndarray, bits: int) -> np.ndarray:
@@ -156,8 +166,9 @@ def _decode_codes_scales(raw: np.ndarray, shape: tuple[int, int], dtype: DataTyp
     if dtype == DataType.Q8_0:
         blk = b.reshape(n, -1, 34)
         d = _f16(blk[:, :, 0:2]).reshape(n, -1)
-        qs = blk[:, :, 2:34].view(np.int8).astype(np.int32) + 128
-        return qs.reshape(n, k).astype(np.uint8), d, 128.0 * d, 32
+        qs = blk[:, :, 2:34].view(np.int8)
+        # signed codes, zero mins: the kernel casts i8 -> bf16 directly
+        return qs.reshape(n, k).copy(), d, np.zeros_like(d), 32
 
     # k-quants: decode via the exact codec scale logic, vectorized over all
     # blocks of the whole tensor at once (13B-scale tensors repack in seconds)
@@ -249,29 +260,35 @@ _LAYOUT = {
 REPACKABLE = frozenset(_LAYOUT)
 
 
-def repack(raw: np.ndarray, shape: tuple[int, int], dtype: DataType) -> RepackedQuant:
+def repack(
+    raw: np.ndarray, shape: tuple[int, int], dtype: DataType, plane_dtype=jnp.bfloat16
+) -> RepackedQuant:
     """ggml packed bytes -> TPU-plane representation (host-side, one-time).
 
     K is stored tile-interleaved (see _tile_permute); the kernel permutes the
-    activation vector to match."""
+    activation vector to match.  ``plane_dtype`` sets the scale/min plane
+    precision: bf16 (default, -0.125 B/weight HBM traffic, <=2^-9 relative
+    scale error) or f32 (bit-exact decode vs the ggml codecs)."""
     dtype = DataType(dtype)
     n, k = shape
     q, scales, mins, gs = _decode_codes_scales(np.ascontiguousarray(raw, np.uint8), shape, dtype)
-    q = _tile_permute(q.astype(np.uint8), gs)
     code_bits, hi_bits = _LAYOUT[dtype]
     if code_bits == 4:
-        codes = _pack_nibbles(q & 0x0F)
+        if n % 2:
+            raise ValueError(f"row-pair packing needs even n_out, got {n}")
+        q = _tile_permute(q.astype(np.uint8), gs)
+        codes = _pack_nibbles_rowpair(q & 0x0F)
         if hi_bits:
             hi = _pack_bits_tilemajor((q >> 4).astype(np.uint8), hi_bits)
         else:
             hi = None
     else:
-        codes = q
+        codes = _tile_permute(q.astype(np.int8), gs)
         hi = None
     return RepackedQuant(
         codes=jnp.asarray(codes),
-        scales=jnp.asarray(scales.astype(np.float32)),
-        mins=jnp.asarray(mins.astype(np.float32)),
+        scales=jnp.asarray(scales.astype(np.float32), plane_dtype),
+        mins=jnp.asarray(mins.astype(np.float32), plane_dtype),
         hi=jnp.asarray(hi) if hi is not None else None,
         dtype=dtype,
         n_in=k,
@@ -294,9 +311,9 @@ def dequantize_repacked(rq: RepackedQuant, out_dtype=jnp.float32) -> jnp.ndarray
     *original* (ggml) K order; used for testing and as a fallback."""
     k = rq.n_in
     if rq.code_bits == 4:
-        lo = (rq.codes & 0x0F).astype(jnp.int32)
-        hi4 = (rq.codes >> 4).astype(jnp.int32)
-        q = jnp.concatenate([lo, hi4], axis=-1)  # storage order
+        lo = (rq.codes & 0x0F).astype(jnp.int32)  # [..., N/2, K] -> rows 2r
+        hi4 = (rq.codes >> 4).astype(jnp.int32)  # -> rows 2r+1
+        q = jnp.stack([lo, hi4], axis=-2).reshape(*rq.codes.shape[:-2], rq.n_out, k)
     else:
         q = rq.codes.astype(jnp.int32)
     if rq.hi_bits:
@@ -311,9 +328,9 @@ def dequantize_repacked(rq: RepackedQuant, out_dtype=jnp.float32) -> jnp.ndarray
     gs = rq.group_size
     g = k // gs
     # storage lane j -> scale group j % G
-    sc = jnp.tile(rq.scales, (1,) * (rq.scales.ndim - 1) + (gs,))
+    sc = jnp.tile(rq.scales.astype(jnp.float32), (1,) * (rq.scales.ndim - 1) + (gs,))
     w_st = sc * q.astype(jnp.float32)
     # un-permute storage -> original order, then subtract per-group mins
     w = w_st.reshape(*w_st.shape[:-1], gs, g).swapaxes(-1, -2).reshape(*w_st.shape[:-1], k)
-    mn = jnp.repeat(rq.mins, gs, axis=-1)
+    mn = jnp.repeat(rq.mins.astype(jnp.float32), gs, axis=-1)
     return (w - mn).astype(out_dtype)

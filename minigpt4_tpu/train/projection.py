@@ -48,8 +48,11 @@ def caption_loss(
     t = caption_tokens.shape[1]
     cfg_t = dataclasses.replace(llm_cfg, n_ctx=n_q + t)
     cache = llama_mod.init_cache(cfg_t, batch=b, dtype=tok_embeds.dtype)
+    # use_flash=False: the flash-decode kernel has no VJP and training runs
+    # sharded (the einsum path differentiates and partitions cleanly)
     logits, _ = llama_mod.forward(
-        frozen["llm"], cache, seq, jnp.int32(0), cfg_t, all_logits=True
+        frozen["llm"], cache, seq, jnp.int32(0), cfg_t, all_logits=True,
+        use_flash=False,
     )  # [B, n_q+T, V]
 
     # predict caption token t+1 from position (n_q + t)

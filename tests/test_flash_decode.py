@@ -1,0 +1,82 @@
+"""Flash-decode attention kernel vs the einsum reference path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from minigpt4_tpu.ops.flash_decode import flash_decode_attention
+
+RNG = np.random.default_rng(11)
+
+
+def _ref_attention(q, ks, vs, pos0, scale):
+    """The models/llama.py einsum path over the full cache length."""
+    b, h, s, dh = q.shape
+    c = ks.shape[-2]
+    key_pos = np.arange(c)
+    mask = np.where(key_pos[None, :] <= (pos0 + np.arange(s))[:, None], 0.0,
+                    np.finfo(np.float32).min)
+    scores = np.einsum("bhsd,bhcd->bhsc", q.astype(np.float32),
+                       ks.astype(np.float32)) * scale
+    scores = scores + mask[None, None]
+    probs = jax.nn.softmax(jnp.asarray(scores), axis=-1)
+    return np.einsum("bhsc,bhcd->bhsd", np.asarray(probs), vs.astype(np.float32))
+
+
+@pytest.mark.parametrize("pos0,s", [(0, 1), (5, 1), (100, 1), (700, 1), (37, 4)])
+def test_flash_matches_einsum(pos0, s):
+    b, h, c, dh = 1, 4, 1024, 128
+    q = RNG.normal(0, 1, (b, h, s, dh)).astype(np.float32)
+    ks = RNG.normal(0, 1, (b, h, c, dh)).astype(np.float32)
+    vs = RNG.normal(0, 1, (b, h, c, dh)).astype(np.float32)
+    # zero out dead cache slots like a real run would leave garbage — the
+    # kernel must not read past pos0+s regardless
+    ks[:, :, pos0 + s:] = 7e3
+    vs[:, :, pos0 + s:] = -7e3
+    scale = 1.0 / np.sqrt(dh)
+    got = np.asarray(
+        flash_decode_attention(
+            jnp.asarray(q), jnp.asarray(ks), jnp.asarray(vs), 0,
+            jnp.int32(pos0), scale,
+        )
+    )
+    want = _ref_attention(q, ks, vs, pos0, scale)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_stacked_layer_select():
+    b, h, c, dh, L = 2, 2, 512, 128, 3
+    pos0, s = 60, 1
+    q = RNG.normal(0, 1, (b, h, s, dh)).astype(np.float32)
+    ck = RNG.normal(0, 1, (L, b, h, c, dh)).astype(np.float32)
+    cv = RNG.normal(0, 1, (L, b, h, c, dh)).astype(np.float32)
+    scale = 1.0 / np.sqrt(dh)
+    for li in range(L):
+        got = np.asarray(
+            flash_decode_attention(
+                jnp.asarray(q), jnp.asarray(ck), jnp.asarray(cv), li,
+                jnp.int32(pos0), scale,
+            )
+        )
+        want = _ref_attention(q, ck[li], cv[li], pos0, scale)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5, err_msg=f"layer {li}")
+
+
+def test_flash_bf16_cache():
+    b, h, c, dh = 1, 3, 256, 128
+    pos0, s = 19, 1
+    q = RNG.normal(0, 1, (b, h, s, dh)).astype(np.float32)
+    ks = RNG.normal(0, 1, (b, h, c, dh)).astype(np.float32)
+    vs = RNG.normal(0, 1, (b, h, c, dh)).astype(np.float32)
+    kb = jnp.asarray(ks, jnp.bfloat16)
+    vb = jnp.asarray(vs, jnp.bfloat16)
+    scale = 1.0 / np.sqrt(dh)
+    got = np.asarray(
+        flash_decode_attention(jnp.asarray(q, jnp.bfloat16), kb, vb, 0,
+                               jnp.int32(pos0), scale)
+    )
+    want = _ref_attention(
+        np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32),
+        np.asarray(kb, np.float32), np.asarray(vb, np.float32), pos0, scale)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

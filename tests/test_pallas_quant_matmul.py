@@ -55,16 +55,22 @@ def test_batched_lead_dims():
 
 
 def test_repack_decode_exact():
-    """Repacked planes decode bit-identically to the reference codecs."""
+    """f32-plane repack decodes bit-identically to the reference codecs; the
+    default bf16 planes decode within bf16 scale rounding (<= 2^-8 of the
+    group scale — far below 4/5-bit quantization noise)."""
     for dt in sorted(rp.REPACKABLE):
         t = traits(dt)
         N, K = 8, 512
         w = RNG.normal(0, 1, (N, K)).astype(np.float32)
         raw = quants.quantize(w.reshape(-1), dt)
         want = quants.dequantize(raw, dt).reshape(N, K)
-        rq = rp.repack(raw, (N, K), dt)
-        got = np.asarray(rp.dequantize_repacked(rq))
-        np.testing.assert_array_equal(got, want, err_msg=t.name)
+        rq32 = rp.repack(raw, (N, K), dt, plane_dtype=jnp.float32)
+        got32 = np.asarray(rp.dequantize_repacked(rq32))
+        np.testing.assert_array_equal(got32, want, err_msg=t.name)
+        rq16 = rp.repack(raw, (N, K), dt)
+        got16 = np.asarray(rp.dequantize_repacked(rq16))
+        scale = np.abs(want).max() + 1e-9
+        assert np.abs(got16 - want).max() / scale < 2e-2, t.name
 
 
 def test_stacked_repacked_scan_slicing():

@@ -38,7 +38,7 @@ def test_sharded_forward_matches_single_device(models):
 
     embeds = llama_mod.embed_tokens(eng.llm_params, tokens)
     cache = llama_mod.init_cache(eng.llm_cfg, batch=1)
-    want, _ = llama_mod.forward(eng.llm_params, cache, embeds, jnp.int32(0), eng.llm_cfg)
+    want, _ = llama_mod.forward(eng.llm_params, cache, embeds, jnp.int32(0), eng.llm_cfg, use_flash=False)
     want = np.asarray(want)
 
     mesh = make_mesh(dp=2, tp=4)
@@ -47,7 +47,7 @@ def test_sharded_forward_matches_single_device(models):
         cache2 = jax.device_put(llama_mod.init_cache(eng.llm_cfg, batch=2), cache_sharding(mesh))
         tok2 = jnp.tile(tokens, (2, 1))
         emb2 = llama_mod.embed_tokens(lparams, tok2)
-        got, _ = llama_mod.forward(lparams, cache2, emb2, jnp.int32(0), eng.llm_cfg)
+        got, _ = llama_mod.forward(lparams, cache2, emb2, jnp.int32(0), eng.llm_cfg, use_flash=False)
         got = np.asarray(got)
     np.testing.assert_allclose(got[0], want[0], rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(got[1], want[0], rtol=2e-4, atol=2e-5)
@@ -104,7 +104,7 @@ def test_sharded_repacked_forward(models):
     tokens = jnp.asarray(np.array([[1, 7, 9, 4]], np.int32))
     embeds = llama_mod.embed_tokens(eng.llm_params, tokens)
     cache = llama_mod.init_cache(eng.llm_cfg, batch=1)
-    want, _ = llama_mod.forward(eng.llm_params, cache, embeds, jnp.int32(0), eng.llm_cfg)
+    want, _ = llama_mod.forward(eng.llm_params, cache, embeds, jnp.int32(0), eng.llm_cfg, use_flash=False)
     want = np.asarray(want)
 
     mesh = make_mesh(dp=1, tp=4)
@@ -112,7 +112,7 @@ def test_sharded_repacked_forward(models):
         lparams = apply_shardings(eng.llm_params, llama_param_shardings(mesh, eng.llm_params))
         cache2 = jax.device_put(llama_mod.init_cache(eng.llm_cfg, batch=1), cache_sharding(mesh))
         emb2 = llama_mod.embed_tokens(lparams, tokens)
-        got, _ = llama_mod.forward(lparams, cache2, emb2, jnp.int32(0), eng.llm_cfg)
+        got, _ = llama_mod.forward(lparams, cache2, emb2, jnp.int32(0), eng.llm_cfg, use_flash=False)
         got = np.asarray(got)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
     eng.close()

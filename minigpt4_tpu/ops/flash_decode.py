@@ -28,7 +28,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 512  # KV block (C) per DMA; [BLK, 128] bf16 = 128 KB per buffer
+import os
+
+BLK = int(os.environ.get("MINIGPT4_TPU_FLASH_BLK", "128"))  # KV block (C) per DMA
+# 128 keeps block-granularity waste low at small decode positions (reading a
+# 512-block for pos<128 wastes 4x the DMA); larger contexts read the same
+# total bytes either way
 NEG_INF = float(np.finfo(np.float32).min)
 
 

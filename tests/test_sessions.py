@@ -78,6 +78,24 @@ def test_concurrent_generation_threads(pool):
         assert all(isinstance(t, str) for t in toks)
 
 
+def test_sessions_share_compilations(pool):
+    """Sessions with different prompt lengths reuse the pool's bucketed
+    compilations: feeding a new length inside an already-compiled bucket
+    adds ZERO new executables (VERDICT.md round-1 weak #7)."""
+    a = pool.new_session()
+    pool._add_strings(a, "one two three")  # some bucket
+    b = pool.new_session()
+    pool._add_strings(b, "four five six seven eight nine")  # larger bucket
+    fns = pool.fns
+    sizes = (fns.forward._cache_size(), fns.decode_step._cache_size())
+    c = pool.new_session()
+    pool._add_strings(c, "ten eleven")  # same buckets as above
+    pool._add_strings(c, "twelve thirteen fourteen fifteen sixteen")
+    assert (fns.forward._cache_size(), fns.decode_step._cache_size()) == sizes
+    for s in (a, b, c):
+        s.close()
+
+
 def test_session_context_overflow(pool):
     s = pool.new_session()
     with pytest.raises(ValueError, match="overflow"):

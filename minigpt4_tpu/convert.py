@@ -81,20 +81,102 @@ def split_submodels(sd: dict[str, np.ndarray]) -> dict[str, dict[str, np.ndarray
     return out
 
 
+def _strip_qformer_key(k: str) -> bool:
+    """The reference drops the Q-Former's text-generation branches before
+    serializing (/root/reference/minigpt4/convert.py:219-224): cls head,
+    word/position embeddings, and each layer's text-FFN ``output``/
+    ``intermediate`` (the image branch keeps ``output_query``/
+    ``intermediate_query``)."""
+    import re
+
+    if k.startswith("cls."):
+        return True
+    if k.startswith("bert.embeddings.word_embeddings") or k.startswith(
+        "bert.embeddings.position_embeddings"
+    ):
+        return True
+    # ".output." / ".intermediate." FFN segments only — attention has its own
+    # "attention.output.dense" which the reference KEEPS
+    if re.search(r"bert\.encoder\.layer\.\d+\.(output|intermediate)\.", k):
+        return True
+    return False
+
+
+_VIT_JUNK_PREFIXES = ("head.", "fc_norm.", "norm.", "mask_token", "lm_head.")
+
+
+def assemble_from_pretrained(
+    projection_ckpt: str | Path,
+    vit_ckpt: str | Path,
+    qformer_ckpt: str | Path,
+) -> dict[str, np.ndarray]:
+    """Assemble a full MiniGPT-4 state dict from a *projection-only* stage
+    checkpoint plus the standard pretrained sources, mirroring the
+    reference's model construction (/root/reference/minigpt4/convert.py:182-243):
+    EVA ViT-G weights (`eva_clip_g` / `eva_vit_g.pth`), the BLIP-2 pretrained
+    checkpoint (Q-Former + query_tokens + ln_vision), and the stage
+    checkpoint's ``llama_proj`` (``load_projection``, reference :240-243).
+
+    This environment has no network access, so the pretrained sources are
+    local files rather than download URLs; the key handling is identical.
+    """
+    merged: dict[str, np.ndarray] = {}
+
+    vit = load_state_dict(vit_ckpt)
+    for k, v in vit.items():
+        k = k.removeprefix("module.").removeprefix("visual_encoder.")
+        if k.startswith(_VIT_JUNK_PREFIXES):
+            continue  # classification head etc. — not part of the encoder
+        merged[f"visual_encoder.{k}"] = v
+
+    qf = load_state_dict(qformer_ckpt)
+    for k, v in qf.items():
+        if k == "query_tokens" or k.startswith("query_tokens."):
+            merged["query_tokens"] = v
+        elif k.startswith("ln_vision."):
+            merged[k] = v
+        elif k.startswith("Qformer."):
+            if _strip_qformer_key(k[len("Qformer.") :]):
+                continue
+            merged[k] = v
+        # anything else (visual_encoder dup, t5 branches) is ignored
+
+    proj = load_state_dict(projection_ckpt)
+    for name in ("llama_proj.weight", "llama_proj.bias"):
+        if name not in proj:
+            raise ValueError(
+                f"projection checkpoint lacks {name} — not a MiniGPT-4 stage "
+                "checkpoint (reference load_projection, convert.py:240-243)"
+            )
+        merged[name] = proj[name]
+    return merged
+
+
 def convert(
     checkpoint: str | Path,
     out_path: str | Path,
     ftype: str = "f16",
     qformer_config: dict | None = None,
+    vit_ckpt: str | Path | None = None,
+    qformer_ckpt: str | Path | None = None,
 ) -> Path:
-    sd = load_state_dict(checkpoint)
+    if vit_ckpt is not None or qformer_ckpt is not None:
+        if not (vit_ckpt and qformer_ckpt):
+            raise ValueError("assembly needs BOTH --vit and --qformer checkpoints")
+        sd = assemble_from_pretrained(checkpoint, vit_ckpt, qformer_ckpt)
+    else:
+        sd = load_state_dict(checkpoint)
     models = split_submodels(sd)
     missing = [m for m, t in models.items() if not t]
     if missing:
-        raise ValueError(
-            f"checkpoint lacks sub-models {missing}; expected keys with "
-            f"prefixes {PREFIXES} (an assembled MiniGPT-4 state dict)"
+        hint = (
+            " (a projection-only stage checkpoint: pass --vit and --qformer "
+            "pretrained checkpoints to assemble the full model, like the "
+            "reference converter does)"
+            if any(k.startswith("llama_proj.") for k in sd)
+            else f"; expected keys with prefixes {PREFIXES}"
         )
+        raise ValueError(f"checkpoint lacks sub-models {missing}{hint}")
 
     qcfg = dict(DEFAULT_QFORMER_CONFIG)
     # derive what we can from the weights themselves
@@ -147,12 +229,26 @@ def convert(
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Convert MiniGPT-4 torch weights to container")
-    ap.add_argument("checkpoint", help=".pth/.bin/.safetensors with assembled MiniGPT-4 weights")
+    ap.add_argument(
+        "checkpoint",
+        help=".pth/.bin/.safetensors: either an assembled MiniGPT-4 state dict, "
+        "or a projection-only stage checkpoint (with --vit/--qformer)",
+    )
     ap.add_argument("-o", "--out", default=None)
     ap.add_argument("--ftype", default="f16", choices=["f16", "f32"])
+    ap.add_argument(
+        "--vit", default=None,
+        help="EVA ViT-G pretrained state dict (eva_vit_g.pth) for assembly "
+        "from a projection-only stage checkpoint",
+    )
+    ap.add_argument(
+        "--qformer", default=None,
+        help="BLIP-2 pretrained checkpoint (Q-Former + query_tokens + "
+        "ln_vision, e.g. blip2_pretrained_flant5xxl.pth) for assembly",
+    )
     args = ap.parse_args(argv)
     out = args.out or f"minigpt4-{args.ftype}.bin"
-    path = convert(args.checkpoint, out, args.ftype)
+    path = convert(args.checkpoint, out, args.ftype, vit_ckpt=args.vit, qformer_ckpt=args.qformer)
     print(f"wrote {path}")
 
 

@@ -89,6 +89,28 @@ def rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jn
     return out.reshape(b, h, s, dh).astype(x.dtype)
 
 
+def _row_linear(x: jnp.ndarray, p: dict, li, tp_axis: str | None) -> jnp.ndarray:
+    """Row-parallel linear under shard_map: when the weight's K matches the
+    local (column-parallel) input width, contract locally and psum; when the
+    weight could not be K-sharded (K smaller than tp x group size), it is
+    replicated — all-gather the input instead and skip the reduce."""
+    if not tp_axis:
+        return linear(x, p, li)
+    from ..ops.repack import RepackedQuant
+
+    w = p["w"]
+    if isinstance(w, RepackedQuant):
+        kw = w.codes.shape[-1]
+    elif isinstance(w, QTensor):
+        kw = w.n_in
+    else:
+        kw = w.shape[-2]
+    if kw == x.shape[-1]:
+        return jax.lax.psum(linear(x, p, li), tp_axis)
+    xg = jax.lax.all_gather(x, tp_axis, axis=-1, tiled=True)
+    return linear(xg, p, li)
+
+
 def _layer(
     x: jnp.ndarray,
     layers: dict,
@@ -99,9 +121,16 @@ def _layer(
     cfg: LlamaConfig,
     attn_len: int | None = None,
     use_flash: bool = True,
+    tp_axis: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer. x [B,S,D]; ck/cv [L,B,H,C,Dh] (the FULL cache —
     updated in place at layer ``li``).
+
+    ``tp_axis``: Megatron tensor parallelism under ``shard_map`` (see
+    parallel/spmd.py) — this function then runs on PER-DEVICE shards:
+    qkv/w13 are column-sharded (local head/ff slices, discovered from the
+    array shapes), wo/w2 are row-sharded (k-sharded repack) and their
+    outputs all-reduced over ``tp_axis``.  x and the norms stay replicated.
 
     ``layers`` holds the STACKED per-layer params and ``li`` a *static*
     layer index (the loop is unrolled): quantized weights stream from the
@@ -120,13 +149,14 @@ def _layer(
     positions = pos0 + jnp.arange(s)
 
     def heads(t):
-        return t.reshape(b, s, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+        # head count from the ARRAY width (n_head/tp local heads under tp)
+        return t.reshape(b, s, -1, cfg.head_dim).transpose(0, 2, 1, 3)
 
-    d = cfg.n_embd
     if "wqkv" in layers:
         # load-time fused projection: one kernel call instead of three
         # (per-call fixed cost is material at 224 calls/token unfused)
         qkv = linear(h, layers["wqkv"], li)
+        d = qkv.shape[-1] // 3  # local width under tp
         xq, xk, xv = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
     else:
         xq = linear(h, layers["wq"], li)
@@ -172,8 +202,8 @@ def _layer(
         ctx = jnp.einsum(
             "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_embd)
-    x = x + linear(ctx, layers["wo"], li)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    x = x + _row_linear(ctx, layers["wo"], li, tp_axis)
 
     h = rms_norm(x, layers["ffn_norm"][li], RMS_EPS)
     if "w13" in layers:
@@ -184,7 +214,7 @@ def _layer(
         gate_in = linear(h, layers["w1"], li)
         up = linear(h, layers["w3"], li)
     gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(x.dtype)
-    x = x + linear(gate * up, layers["w2"], li)
+    x = x + _row_linear(gate * up, layers["w2"], li, tp_axis)
     return x, ck, cv
 
 
@@ -198,6 +228,7 @@ def forward(
     all_logits: bool = False,
     attn_len: int | None = None,
     use_flash: bool = True,
+    tp_axis: str | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """embeds [B, S, D] -> (logits [B, V] at ``last_idx``, updated cache).
 
@@ -214,18 +245,26 @@ def forward(
     x = embeds
     ck, cv = cache["k"], cache["v"]
     for li in range(cfg.n_layer):
-        x, ck, cv = _layer(x, params["layers"], li, ck, cv, pos0, cfg, attn_len, use_flash)
+        x, ck, cv = _layer(
+            x, params["layers"], li, ck, cv, pos0, cfg, attn_len, use_flash, tp_axis
+        )
     new_cache = {"k": ck, "v": cv}
+
+    def head(h):
+        logits = linear(h, params["output"])
+        if tp_axis and logits.shape[-1] != cfg.n_vocab:
+            # vocab-parallel head: one tiled all-gather of [., V/tp] slices
+            # (skipped when the head fell back to replication, e.g. V % tp)
+            logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+        return logits.astype(jnp.float32)
+
     if all_logits:
-        h = rms_norm(x, params["norm"], RMS_EPS)
-        return linear(h, params["output"]).astype(jnp.float32), new_cache
+        return head(rms_norm(x, params["norm"], RMS_EPS)), new_cache
     if last_idx is None:
         h = x[:, -1]
     else:
         h = jax.lax.dynamic_index_in_dim(x, last_idx, axis=1, keepdims=False)
-    h = rms_norm(h, params["norm"], RMS_EPS)
-    logits = linear(h, params["output"])
-    return logits.astype(jnp.float32), new_cache
+    return head(rms_norm(h, params["norm"], RMS_EPS)), new_cache
 
 
 def embed_tokens(params: dict, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -244,6 +283,7 @@ def decode_loop(
     cfg: LlamaConfig,
     attn_len: int | None = None,
     use_flash: bool = True,
+    tp_axis: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Fused multi-token decode: ONE dispatch generates ``n_steps`` tokens.
 
@@ -270,7 +310,8 @@ def decode_loop(
         keys = jax.random.split(step_key, b)
         tok = jax.vmap(lambda l, k: sample_token(l, k, scfg))(logits, keys)
         emb = embed_tokens(params, tok[:, None])
-        new_logits, kc = forward(params, kc, emb, pos, cfg, attn_len=attn_len, use_flash=use_flash)
+        new_logits, kc = forward(params, kc, emb, pos, cfg, attn_len=attn_len,
+                                 use_flash=use_flash, tp_axis=tp_axis)
         return (new_logits, kc, pos + 1), tok
 
     keys = jax.random.split(key, n_steps)

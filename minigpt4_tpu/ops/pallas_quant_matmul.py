@@ -177,7 +177,7 @@ def _kernel(x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref, out_ref, *, 
 def _supported(rq: RepackedQuant) -> bool:
     if rq.codes.ndim != 2:
         return False
-    return rq.n_in % rq.group_size == 0
+    return rq.codes.shape[-1] % rq.group_size == 0
 
 
 def _kernel_stacked(idx_ref, x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref,
@@ -345,8 +345,16 @@ def qmatmul_repacked(
     from .repack import tile_permute_x
 
     lead = x.shape[:-1]
-    k = rq.n_in
+    # K from the array shape, NOT the static n_in: inside shard_map the
+    # leaves are the per-device K/S slices (each a self-consistent repack —
+    # see repack.with_k_shards) while the static aux still says global K
+    k = rq.codes.shape[-1]
     gs = rq.group_size
+    if rq.k_shards != 1 and k == rq.n_in:
+        raise ValueError(
+            "k-sharded RepackedQuant must be consumed shard-locally "
+            "(row-parallel shard_map path); global use would mis-map scales"
+        )
     x2 = x.reshape(-1, k)
     xp = tile_permute_x(x2, gs)  # match the storage K order
     xg = x2.astype(jnp.float32).reshape(-1, k // gs, gs).sum(axis=2)  # [M, G]

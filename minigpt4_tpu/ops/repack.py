@@ -61,10 +61,12 @@ class RepackedQuant:
     group_size: int  # static
     code_bits: int  # static: 4 (row-pair nibble planes) or 8 (byte codes)
     hi_bits: int  # static: 0, 1, or 2
+    k_shards: int = 1  # static: tensor-parallel K shards (see with_k_shards)
 
     def tree_flatten(self):
         children = (self.codes, self.scales, self.mins, self.hi)
-        aux = (self.dtype, self.n_in, self.group_size, self.code_bits, self.hi_bits)
+        aux = (self.dtype, self.n_in, self.group_size, self.code_bits, self.hi_bits,
+               self.k_shards)
         return children, aux
 
     @classmethod
@@ -298,12 +300,72 @@ def repack(
     )
 
 
-def tile_permute_x(x: jnp.ndarray, gs: int) -> jnp.ndarray:
+def tile_permute_x(x: jnp.ndarray, gs: int, k_shards: int = 1) -> jnp.ndarray:
     """Apply the storage permutation to activations: x [..., K] -> [..., K]
-    with x_perm[..., b*G + g] = x[..., g*gs + b] (jit-safe, runs in XLA)."""
+    with x_perm[..., b*G + g] = x[..., g*gs + b] within each of ``k_shards``
+    contiguous K slices (jit-safe, runs in XLA)."""
     k = x.shape[-1]
+    ks = k // k_shards
+    g = ks // gs
+    lead = x.shape[:-1]
+    xp = x.reshape(*lead, k_shards, g, gs).swapaxes(-1, -2)
+    return xp.reshape(*lead, k)
+
+
+def with_k_shards(rq: RepackedQuant, k_shards: int) -> RepackedQuant:
+    """Re-layout a repacked weight so every plane is CONTIGUOUSLY shardable
+    along its last axis into ``k_shards`` tensor-parallel K slices.
+
+    The base layout's tile-interleave (lane j <-> element (j%G)*gs + j//G)
+    scatters any contiguous K range across all lanes, which is why round 1
+    could not row-shard quantized weights (VERDICT.md weak #6).  Here each
+    K/S slice is tile-interleaved INDEPENDENTLY, so chip s's column slice is
+    a self-consistent k_shards=1 repack of its logical K/S range: inside
+    shard_map the local planes feed the unmodified kernel, with scales/mins
+    (original group order, contiguous per shard) sharded the same way.
+
+    Host-side, one-time (device arrays are pulled back; called at load)."""
+    if k_shards == rq.k_shards:
+        return rq
+    if rq.k_shards != 1:
+        raise ValueError("re-sharding an already k-sharded weight is unsupported")
+    k, gs, s = rq.n_in, rq.group_size, k_shards
+    if (k // s) % gs or k % s:
+        raise ValueError(f"K={k} not shardable into {s} group-aligned slices")
     g = k // gs
-    return x.reshape(*x.shape[:-1], g, gs).swapaxes(-1, -2).reshape(*x.shape[:-1], k)
+    g_s = g // s
+    ks = k // s
+
+    # target storage lane t = s_idx*ks + j' holds original element
+    # e = s_idx*ks + (j' % G_s)*gs + j' // G_s; base lane of e is b*G + g_e
+    t = np.arange(k)
+    s_idx, jp = t // ks, t % ks
+    e = s_idx * ks + (jp % g_s) * gs + jp // g_s
+    src = (e % gs) * g + e // gs  # base-layout lane holding element e
+
+    codes = np.asarray(rq.codes)[..., src]  # column permute (both nibbles ride along)
+    hi = None
+    if rq.hi_bits:
+        # unpack base bit-plane to per-lane values, permute, repack per shard
+        per_byte = 8 // rq.hi_bits
+        mask = (1 << rq.hi_bits) - 1
+        nb = k // per_byte
+        hb = np.asarray(rq.hi)
+        lanes = np.arange(k)
+        vals = (hb[..., lanes % nb] >> ((lanes // nb) * rq.hi_bits)) & mask  # [.., N, K]
+        vals = vals[..., src]  # target lane t's value comes from base lane src[t]
+        nb_s = ks // per_byte
+        # per-shard tile-major pack: shard-local lane j' -> byte j' % nb_s,
+        # field j' // nb_s
+        v4 = vals.reshape(*vals.shape[:-1], s, per_byte, nb_s).astype(np.uint8)
+        out = np.zeros((*vals.shape[:-1], s, nb_s), np.uint8)
+        for p in range(per_byte):
+            out |= v4[..., p, :] << (p * rq.hi_bits)
+        hi = jnp.asarray(out.reshape(*vals.shape[:-1], s * nb_s))
+    return RepackedQuant(
+        jnp.asarray(codes), rq.scales, rq.mins, hi,
+        rq.dtype, rq.n_in, rq.group_size, rq.code_bits, rq.hi_bits, k_shards,
+    )
 
 
 def dequantize_repacked(rq: RepackedQuant, out_dtype=jnp.float32) -> jnp.ndarray:
@@ -316,21 +378,34 @@ def dequantize_repacked(rq: RepackedQuant, out_dtype=jnp.float32) -> jnp.ndarray
         q = jnp.stack([lo, hi4], axis=-2).reshape(*rq.codes.shape[:-2], rq.n_out, k)
     else:
         q = rq.codes.astype(jnp.int32)
+    s = rq.k_shards
+    ks = k // s
     if rq.hi_bits:
+        # per-shard tile-major fields (shard-local lane j' -> byte j' % nb_s,
+        # field j' // nb_s)
         per_byte = 8 // rq.hi_bits
-        nb = k // per_byte
+        nb_s = ks // per_byte
+        hb = rq.hi.astype(jnp.int32).reshape(*rq.hi.shape[:-1], s, nb_s)
         fields = [
-            ((rq.hi.astype(jnp.int32) >> (p * rq.hi_bits)) & ((1 << rq.hi_bits) - 1))
+            (hb >> (p * rq.hi_bits)) & ((1 << rq.hi_bits) - 1)
             for p in range(per_byte)
         ]
-        bits = jnp.concatenate(fields, axis=-1)  # [N, K] storage order
+        bits = jnp.concatenate(fields, axis=-1).reshape(*rq.hi.shape[:-1], k)
         q = q + (bits << 4)
     gs = rq.group_size
-    g = k // gs
-    # storage lane j -> scale group j % G
-    sc = jnp.tile(rq.scales.astype(jnp.float32), (1,) * (rq.scales.ndim - 1) + (gs,))
-    w_st = sc * q.astype(jnp.float32)
-    # un-permute storage -> original order, then subtract per-group mins
-    w = w_st.reshape(*w_st.shape[:-1], gs, g).swapaxes(-1, -2).reshape(*w_st.shape[:-1], k)
+    g_s = ks // gs
+    lead = q.shape[:-1]
+    # shard-local storage lane j' -> scale group j' % G_s
+    sc = jnp.tile(
+        rq.scales.astype(jnp.float32).reshape(*lead, s, g_s),
+        (1,) * len(lead) + (1, gs),
+    )  # [..., S, ks]
+    w_st = sc.reshape(*lead, k) * q.astype(jnp.float32)
+    # un-permute per-shard storage -> original order, then per-group mins
+    w = (
+        w_st.reshape(*lead, s, gs, g_s)
+        .swapaxes(-1, -2)
+        .reshape(*lead, k)
+    )
     mn = jnp.repeat(rq.mins.astype(jnp.float32), gs, axis=-1)
     return (w - mn).astype(out_dtype)

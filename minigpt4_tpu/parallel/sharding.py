@@ -49,10 +49,10 @@ def _linear_sharding(mesh: Mesh, p: dict, kind: str, stacked: bool) -> dict:
     out: dict = {}
     if isinstance(w, RepackedQuant):
         # TPU-plane weights: column (N) sharding splits every plane's -2
-        # axis.  Row (K) sharding is NOT supported for the tile-interleaved
-        # storage (a K shard in storage order interleaves logical positions,
-        # so per-shard activation permutes would disagree) — row-parallel
-        # layers fall back to replication.
+        # axis.  Row (K) sharding needs the per-shard repack + shard_map
+        # execution in parallel/spmd.py (auto-SPMD has no partitioning rule
+        # for the Pallas call anyway); under THIS auto-SPMD placement,
+        # row-parallel quantized layers stay replicated.
         nd = w.codes.ndim
         col_ok = kind == "col" and axis_ok(w.codes.shape[-2])
         axes = [None] * nd

@@ -174,6 +174,93 @@ class TestConverter:
             want = sd["ln_vision.weight"].numpy()
             np.testing.assert_array_equal(got, want)
 
+    def test_convert_projection_stage_checkpoint(self, tmp_path):
+        """Real MiniGPT-4 stage checkpoints contain ONLY llama_proj; the
+        converter assembles visual_encoder/Q-Former from their pretrained
+        sources like the reference (convert.py:182-243), stripping the
+        Q-Former's text branches (:219-224)."""
+        import torch
+
+        from minigpt4_tpu.convert import convert
+
+        _, sd = self._torch_checkpoint(tmp_path)
+
+        def t(*shape):
+            return torch.from_numpy(
+                np.random.default_rng(1).normal(0, 0.05, shape).astype(np.float32)
+            )
+
+        # EVA ViT pretrained: unprefixed keys + classifier junk to drop
+        vit_sd = {
+            k[len("visual_encoder.") :]: v
+            for k, v in sd.items()
+            if k.startswith("visual_encoder.")
+        }
+        vit_sd["head.weight"] = t(10, 32)
+        vit_sd["fc_norm.weight"] = t(32)
+        vit_path = tmp_path / "eva_vit_g.pth"
+        torch.save(vit_sd, vit_path)
+
+        # BLIP-2 pretrained: Qformer + query_tokens + ln_vision, PLUS the
+        # text branches the reference strips
+        qf_sd = {
+            k: v
+            for k, v in sd.items()
+            if k.startswith(("Qformer.", "ln_vision.")) or k == "query_tokens"
+        }
+        qf_sd["Qformer.cls.predictions.bias"] = t(30523)
+        qf_sd["Qformer.bert.embeddings.word_embeddings.weight"] = t(30523, 16)
+        qf_sd["Qformer.bert.embeddings.position_embeddings.weight"] = t(512, 16)
+        qf_sd["Qformer.bert.encoder.layer.0.output.dense.weight"] = t(16, 32)
+        qf_sd["Qformer.bert.encoder.layer.0.intermediate.dense.weight"] = t(32, 16)
+        qf_path = tmp_path / "blip2_pretrained.pth"
+        torch.save({"model": qf_sd}, qf_path)
+
+        # projection-only stage checkpoint (what HuggingFace actually ships)
+        stage_path = tmp_path / "pretrained_minigpt4_7b.pth"
+        torch.save(
+            {"model": {"llama_proj.weight": sd["llama_proj.weight"],
+                       "llama_proj.bias": sd["llama_proj.bias"]}},
+            stage_path,
+        )
+
+        # a projection-only checkpoint alone must fail with the assembly hint
+        with pytest.raises(ValueError, match="--vit"):
+            convert(stage_path, tmp_path / "nope.bin", ftype="f32")
+
+        out = convert(stage_path, tmp_path / "assembled-f32.bin", ftype="f32",
+                      vit_ckpt=vit_path, qformer_ckpt=qf_path)
+        with ContainerReader(out) as r:
+            qf = r.models["Qformer"].tensors
+            # text branches stripped; image (query) branch kept
+            assert "bert.encoder.layer.0.output.dense.weight" not in qf
+            assert "bert.encoder.layer.0.intermediate.dense.weight" not in qf
+            assert "cls.predictions.bias" not in qf
+            assert "bert.encoder.layer.0.output_query.dense.weight" in qf
+            ve = r.models["visual_encoder"].tensors
+            assert "head.weight" not in ve and "fc_norm.weight" not in ve
+            # values identical to the assembled-checkpoint conversion
+            np.testing.assert_array_equal(
+                r.tensor_f32("llama_proj", "weight"), sd["llama_proj.weight"].numpy()
+            )
+            np.testing.assert_array_equal(
+                r.tensor_f32("visual_encoder", "blocks.0.attn.qkv.weight"),
+                sd["visual_encoder.blocks.0.attn.qkv.weight"].numpy(),
+            )
+
+            # assembled container loads and runs through the vision stack
+            import jax.numpy as jnp
+
+            from minigpt4_tpu.models import minigpt4 as vision_mod
+
+            r.config["vit"] = {"head_dim": 8}
+            r.config["Qformer"]["num_attention_heads"] = 2
+            params, cfg = vision_mod.load_params(r)
+            emb = vision_mod.encode_image(
+                params, jnp.zeros((1, 3, 28, 28), jnp.float32), cfg
+            )
+            assert np.all(np.isfinite(np.asarray(emb)))
+
 
 class TestLibrary:
     def test_chatbot_surface(self, tmp_path):

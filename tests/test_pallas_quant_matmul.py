@@ -73,6 +73,59 @@ def test_repack_decode_exact():
         assert np.abs(got16 - want).max() / scale < 2e-2, t.name
 
 
+def test_with_k_shards_decode_exact():
+    """K-sharded re-layout decodes identically to the base layout (same
+    values, planes contiguously shardable along K)."""
+    rng = np.random.default_rng(3)  # own stream: module RNG order is load-bearing
+    for dt in sorted(rp.REPACKABLE):
+        N, K, S = 8, 512, 4
+        w = rng.normal(0, 1, (N, K)).astype(np.float32)
+        raw = quants.quantize(w.reshape(-1), dt)
+        base = rp.repack(raw, (N, K), dt, plane_dtype=jnp.float32)
+        shd = rp.with_k_shards(base, S)
+        np.testing.assert_array_equal(
+            np.asarray(rp.dequantize_repacked(shd)),
+            np.asarray(rp.dequantize_repacked(base)),
+            err_msg=traits(dt).name,
+        )
+
+
+def test_k_sharded_local_matmul():
+    """Each K/S column slice of a k-sharded weight is a self-consistent
+    repack: per-shard kernel calls + sum == the full matmul (the row-parallel
+    shard_map contraction)."""
+    import jax
+
+    rng = np.random.default_rng(4)  # own stream: module RNG order is load-bearing
+    for dt in (DataType.Q5_K, DataType.Q4_0, DataType.Q8_0):
+        N, K, S = 128, 1024, 4
+        ks = K // S
+        x = rng.normal(0, 1, (2, K)).astype(np.float32)
+        w = rng.normal(0, 1, (N, K)).astype(np.float32)
+        raw = quants.quantize(w.reshape(-1), dt)
+        wd = quants.dequantize(raw, dt).reshape(N, K)
+        shd = rp.with_k_shards(rp.repack(raw, (N, K), dt), S)
+        hi_s = shd.hi.shape[-1] // S if shd.hi is not None else 0
+        g_s = shd.scales.shape[-1] // S
+        parts = []
+        for s in range(S):
+            local = rp.RepackedQuant(
+                shd.codes[:, s * ks : (s + 1) * ks],
+                shd.scales[:, s * g_s : (s + 1) * g_s],
+                shd.mins[:, s * g_s : (s + 1) * g_s],
+                shd.hi[:, s * hi_s : (s + 1) * hi_s] if shd.hi is not None else None,
+                shd.dtype, shd.n_in, shd.group_size, shd.code_bits, shd.hi_bits,
+                shd.k_shards,
+            )
+            parts.append(np.asarray(qmatmul_repacked(
+                jnp.asarray(x[:, s * ks : (s + 1) * ks]), local, out_dtype=jnp.float32
+            )))
+        got = np.sum(parts, axis=0)
+        want = x @ wd.T
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert err < BF16_TOL * 2, f"{traits(dt).name}: rel err {err:.2e}"
+
+
 def test_stacked_repacked_scan_slicing():
     """Stacked RepackedQuant (leading L axis) slices correctly per layer."""
     import jax

@@ -372,15 +372,3 @@ def qmatmul_repacked(
         )
     return y.reshape(*lead, rq.n_out).astype(out_dtype or x.dtype)
 
-
-# legacy registry used by quant_matmul.qmatmul (QTensor path): no kernels are
-# registered for raw ggml-byte QTensors — the repacked representation is the
-# TPU path.
-_KERNELS: dict = {}
-
-
-def qmatmul_pallas(x: jnp.ndarray, qt, out_dtype=None):
-    fn = _KERNELS.get(qt.dtype)
-    if fn is None:
-        return None
-    return fn(x, qt, out_dtype=out_dtype)

@@ -12,26 +12,16 @@ Two interchangeable implementations under one signature:
     instead of 16 is the difference between ~10 and ~40 tok/s on 13B
     (reference's analogous trick: ggml quantized ``mul_mat``).
 
-The Pallas path is selected automatically on TPU for shapes it supports;
-set ``MINIGPT4_TPU_NO_PALLAS=1`` to force the fallback.
+The Pallas kernel consumes the repacked representation
+(:mod:`minigpt4_tpu.ops.repack` / :mod:`.pallas_quant_matmul`) — weights are
+repacked once at load time on the TPU path (models/params.load_quant_weight),
+so raw ggml-byte QTensors always take the XLA fallback here.
 """
 
 from __future__ import annotations
 
-import os
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-
-from ..formats.dtypes import DataType, traits
-from . import dequant as jdequant
-
-
-def _use_pallas() -> bool:
-    if os.environ.get("MINIGPT4_TPU_NO_PALLAS"):
-        return False
-    return jax.default_backend() == "tpu"
 
 
 def qmatmul_xla(x: jnp.ndarray, qt, out_dtype=None) -> jnp.ndarray:
@@ -47,10 +37,5 @@ def qmatmul_xla(x: jnp.ndarray, qt, out_dtype=None) -> jnp.ndarray:
 
 
 def qmatmul(x: jnp.ndarray, qt, prefer_pallas: bool = True, out_dtype=None) -> jnp.ndarray:
-    if prefer_pallas and _use_pallas():
-        from . import pallas_quant_matmul as pqm
-
-        y = pqm.qmatmul_pallas(x, qt, out_dtype=out_dtype)
-        if y is not None:
-            return y
+    del prefer_pallas  # kept for API stability; QTensors always dequant in XLA
     return qmatmul_xla(x, qt, out_dtype=out_dtype)

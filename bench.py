@@ -72,7 +72,9 @@ def main():
         sys.exit(run_single(sys.argv[2]))
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for model in ("13B", "7B"):
+    # 13B twice: the remote-compile tunnel occasionally drops a connection
+    # mid-compile; the retry rides the persistent compile cache
+    for model in ("13B", "13B", "7B"):
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single", model],
             cwd=here,

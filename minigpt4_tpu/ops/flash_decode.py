@@ -37,14 +37,24 @@ BLK = int(os.environ.get("MINIGPT4_TPU_FLASH_BLK", "128"))  # KV block (C) per D
 NEG_INF = float(np.finfo(np.float32).min)
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, li, s, blk, c, dh, scale):
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
+            scale, stats):
     """One (b, h) pair per program.  k_ref/v_ref are the FULL stacked caches
-    ([L, B, H, C, Dh], HBM); q_ref/o_ref are [1, 1, S, Dh] VMEM blocks."""
+    ([L, B, H, C, Dh], HBM); q_ref/o_ref are [1, 1, S, Dh] VMEM blocks.
+
+    ``stats=True`` (sequence-parallel partials): o_ref gets the UNNORMALIZED
+    accumulator and stats_ref[0] gets [m | l] lane-broadcast side by side —
+    the SP merge rescales and reduces across chips (sp_flash_decode_attention).
+    ``pos0`` may be negative in that mode (this chip's cache slice starts
+    after the last visible position): zero blocks are read and (m=-inf, l=0,
+    acc=0) partials come back."""
     b = pl.program_id(0)
     h = pl.program_id(1)
     pos0 = pos_ref[0, 0]
     live = pos0 + s  # number of visible keys for the last query row
-    nblk = jax.lax.min((live + blk - 1) // blk, jnp.int32(c // blk))
+    nblk = jax.lax.max(
+        jnp.int32(0), jax.lax.min((live + blk - 1) // blk, jnp.int32(c // blk))
+    )
 
     def scoped(kb, vb, ksem, vsem):
         q = q_ref[0, 0].astype(jnp.float32) * scale  # [S, Dh]
@@ -86,7 +96,15 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, li, s, blk, c, dh, scale):
         l0 = jnp.zeros((s, 1), jnp.float32)
         a0 = jnp.zeros((s, dh), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, nblk, body, (m0, l0, a0))
-        o_ref[0, 0] = acc / l
+        if stats:
+            o_ref[0, 0] = acc
+            ml = jnp.concatenate(
+                [jnp.broadcast_to(m, (s, 128)), jnp.broadcast_to(l, (s, 128))],
+                axis=1,
+            )
+            stats_ref[0][0, 0] = ml
+        else:
+            o_ref[0, 0] = acc / l
 
     pl.run_scoped(
         scoped,
@@ -98,24 +116,33 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, li, s, blk, c, dh, scale):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("li", "scale", "interpret")
+    jax.jit, static_argnames=("li", "scale", "interpret", "stats")
 )
-def _run(q, ck, cv, pos0, *, li, scale, interpret):
+def _run(q, ck, cv, pos0, *, li, scale, interpret, stats=False):
     b, h, s, dh = q.shape
     c = ck.shape[-2]
     blk = min(BLK, c)
     grid = (b, h)
+    block = pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0))
+    out_specs = (block, pl.BlockSpec((1, 1, s, 256), lambda bi, hi: (bi, hi, 0, 0))) if stats else block
+    out_shape = (
+        (jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
+         jax.ShapeDtypeStruct((b, h, s, 256), jnp.float32))
+        if stats
+        else jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32)
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel, li=li, s=s, blk=blk, c=c, dh=dh, scale=scale),
+        functools.partial(_kernel, li=li, s=s, blk=blk, c=c, dh=dh, scale=scale,
+                          stats=stats),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda bi, hi: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0)),
+            block,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(jnp.asarray(pos0, jnp.int32).reshape(1, 1), q, ck, cv)
     return out
@@ -128,13 +155,51 @@ def flash_decode_attention(
     li: int,
     pos0: jnp.ndarray,
     scale: float,
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """q [B, H, S, Dh] x stacked cache [L, B, H, C, Dh] -> ctx [B, H, S, Dh]
     (f32), causal from absolute position ``pos0`` (query row i sees keys at
     positions <= pos0 + i).  ``li`` must be a static layer index (the layer
-    loop is unrolled; see models/llama.py)."""
+    loop is unrolled; see models/llama.py).
+
+    ``return_stats``: return (acc, m, l) online-softmax PARTIALS instead of
+    the normalized context — acc [B,H,S,Dh] unnormalized, m/l [B,H,S] — for
+    the sequence-parallel merge."""
     if ck.ndim == 4:  # un-stacked [B, H, C, Dh]: add the L axis
         ck, cv = ck[None], cv[None]
         li = 0
     interpret = jax.default_backend() != "tpu"
-    return _run(q, ck, cv, pos0, li=li, scale=scale, interpret=interpret)
+    if not return_stats:
+        return _run(q, ck, cv, pos0, li=li, scale=scale, interpret=interpret)
+    acc, ml = _run(q, ck, cv, pos0, li=li, scale=scale, interpret=interpret,
+                   stats=True)
+    return acc, ml[..., 0], ml[..., 128]
+
+
+def sp_flash_decode_attention(
+    q: jnp.ndarray,
+    ck_local: jnp.ndarray,
+    cv_local: jnp.ndarray,
+    li: int,
+    pos0: jnp.ndarray,
+    scale: float,
+    sp_axis: str,
+    c_offset: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sequence-parallel decode attention under ``shard_map``: the KV cache's
+    C axis is sharded over ``sp_axis`` and this device holds positions
+    [c_offset, c_offset + C_local).  Each device runs the SAME blockwise
+    kernel on its local slice (this is why the schedule is blockwise — the
+    SP extension is a partial-merge, not a new kernel: SURVEY.md §5) and the
+    online-softmax partials merge with one pmax + two psums:
+
+        ctx = sum_d exp(m_d - m*) acc_d / sum_d exp(m_d - m*) l_d
+    """
+    acc, m, l = flash_decode_attention(
+        q, ck_local, cv_local, li, pos0 - c_offset, scale, return_stats=True
+    )
+    m_star = jax.lax.pmax(m, sp_axis)  # [B, H, S]
+    w = jnp.exp(m - m_star)
+    l_star = jax.lax.psum(l * w, sp_axis)
+    acc_star = jax.lax.psum(acc * w[..., None], sp_axis)
+    return acc_star / l_star[..., None]

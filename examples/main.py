@@ -47,6 +47,12 @@ def parse_args():
     p.add_argument("--mirostat_tau", type=float, default=5.0)
     p.add_argument("--mirostat_eta", type=float, default=1.0)
     p.add_argument("--penalize_nl", type=int, default=1)
+    p.add_argument(
+        "--warmup", action="store_true",
+        help="precompile the common prefill buckets / decode chunks / image "
+        "encoder before the session (multi-minute first compiles on "
+        "remote-compile backends are paid up front, not at first token)",
+    )
     return p.parse_args()
 
 
@@ -58,6 +64,8 @@ def main():
         args.model, args.llm_model, verbosity=args.verbosity,
         seed=args.seed, n_ctx=args.n_ctx, n_batch=args.n_batch,
     )
+    if args.warmup:
+        eng.warmup()
     sp = SamplingParams(
         temp=args.temp, top_k=args.top_k, top_p=args.top_p, tfs_z=args.tfs_z,
         typical_p=args.typical_p, repeat_last_n=args.repeat_last_n,

@@ -84,6 +84,51 @@ class DecodeState:
         self.logits_dev = None
         self.logits_host = None
 
+    def save(self, path) -> None:
+        """Checkpoint the decode state (KV cache + cursor + pending logits +
+        PRNG stream) so a chat resumes across processes.  The reference has
+        no runtime-state persistence at all — its cursor is reset-only
+        (minigpt4.cpp:2499-2502)."""
+        def pack(a):
+            # npz has no bf16 codec: store the bit pattern + dtype name
+            a = np.asarray(a)
+            return a.view(np.uint16) if a.dtype.name == "bfloat16" else a
+
+        np.savez_compressed(
+            path,
+            k=pack(self.cache["k"]),
+            v=pack(self.cache["v"]),
+            kv_dtype=np.bytes_(str(self.cache["k"].dtype)),
+            n_past=np.int64(self.n_past),
+            has_logits=np.bool_(self.logits_dev is not None),
+            logits=(np.asarray(self.logits_dev)
+                    if self.logits_dev is not None else np.zeros(1, np.float32)),
+            rng_key=np.asarray(self.rng_key),
+        )
+
+    def restore(self, path) -> None:
+        """Restore a state saved by :meth:`save` into this state's arrays
+        (dtypes/shapes must match the session geometry)."""
+        z = np.load(path)
+        k, v = self.cache["k"], self.cache["v"]
+        if tuple(z["k"].shape) != tuple(k.shape):
+            raise ValueError(
+                f"checkpoint cache shape {z['k'].shape} != session {k.shape}"
+            )
+
+        def unpack(a, dtype):
+            if z["kv_dtype"].item() == b"bfloat16":
+                import ml_dtypes
+
+                a = a.view(ml_dtypes.bfloat16)
+            return jnp.asarray(a, dtype)
+
+        self.cache = {"k": unpack(z["k"], k.dtype), "v": unpack(z["v"], v.dtype)}
+        self.n_past = int(z["n_past"])
+        self.logits_dev = jnp.asarray(z["logits"]) if bool(z["has_logits"]) else None
+        self.logits_host = None
+        self.rng_key = jnp.asarray(z["rng_key"])
+
 
 class StepFns:
     """Jitted decoder step functions + the bucketed feeding policy for ONE
@@ -490,6 +535,14 @@ class MiniGPT4Engine:
 
     def reset_chat(self) -> None:
         self.reset()
+
+    def save_state(self, path) -> None:
+        """Persist the live chat (KV cache + cursor) — resume with
+        :meth:`restore_state` in a new process; see DecodeState.save."""
+        self._st.save(path)
+
+    def restore_state(self, path) -> None:
+        self._st.restore(path)
 
     @staticmethod
     def contains_eos_token(s: str) -> bool:

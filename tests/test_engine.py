@@ -95,6 +95,32 @@ def test_prefill_chunking_matches_oneshot(tmp_path_factory):
     np.testing.assert_allclose(l1, l2, rtol=5e-3, atol=5e-4)
 
 
+def test_state_checkpoint_resume(tmp_path_factory):
+    """A saved chat resumes in a fresh engine with identical greedy output
+    (the reference's cursor is reset-only, minigpt4.cpp:2499-2502)."""
+    tmp = tmp_path_factory.mktemp("ckpt")
+    model, llm = build_tiny_models(tmp)
+
+    e1 = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=32)
+    e1.system_prompt()
+    e1.begin_chat("tell me about llamas")
+    e1.save_state(tmp / "state.npz")
+    want = [e1.end_chat(SamplingParams(temp=0.0)) for _ in range(5)]
+    e1.close()
+
+    e2 = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=32)
+    e2.restore_state(tmp / "state.npz")
+    got = [e2.end_chat(SamplingParams(temp=0.0)) for _ in range(5)]
+    e2.close()
+    assert got == want
+
+    # geometry mismatch is refused
+    e3 = MiniGPT4Engine(model, llm, n_ctx=64, n_batch=32)
+    with pytest.raises(ValueError, match="cache shape"):
+        e3.restore_state(tmp / "state.npz")
+    e3.close()
+
+
 def test_eos_rules(engine):
     assert engine.contains_eos_token("##")
     assert not engine.contains_eos_token("#")

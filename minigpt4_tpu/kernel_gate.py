@@ -74,7 +74,7 @@ def _check_one(name: str, k: int, n: int, qtype, m: int, stacked: bool) -> float
     return dt
 
 
-def run_gate(fast: bool = False, verbose: bool = True) -> bool:
+def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = None) -> bool:
     import jax
 
     from .formats.dtypes import DataType
@@ -94,8 +94,9 @@ def run_gate(fast: bool = False, verbose: bool = True) -> bool:
     else:
         shapes = {f"13B {nm}": kn for nm, kn in SHAPES_13B.items()}
         shapes.update({f"7B {nm}": kn for nm, kn in SHAPES_7B.items()})
-        qtypes = (DataType.Q4_K, DataType.Q5_K, DataType.Q6_K, DataType.Q4_0,
-                  DataType.Q8_0)
+        if qtypes is None:
+            qtypes = (DataType.Q4_K, DataType.Q5_K, DataType.Q6_K, DataType.Q4_0,
+                      DataType.Q8_0)
         cases = []
         for nm, (k, n) in shapes.items():
             for qt in qtypes:
@@ -121,8 +122,16 @@ def run_gate(fast: bool = False, verbose: bool = True) -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true", help="worst-case shapes only")
+    ap.add_argument("--qtypes", default=None,
+                    help="comma list (e.g. q4_k,q5_k) to split long sweeps")
     args = ap.parse_args()
-    sys.exit(0 if run_gate(fast=args.fast) else 1)
+    qtypes = None
+    if args.qtypes:
+        from .formats.dtypes import DataType
+
+        by_name = {t.name.lower(): t for t in DataType}
+        qtypes = [by_name[q.strip()] for q in args.qtypes.split(",")]
+    sys.exit(0 if run_gate(fast=args.fast, qtypes=qtypes) else 1)
 
 
 if __name__ == "__main__":

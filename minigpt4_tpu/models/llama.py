@@ -89,6 +89,64 @@ def rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jn
     return out.reshape(b, h, s, dh).astype(x.dtype)
 
 
+# XLA-flash prefill attention: above this span the einsum path would
+# materialize [B, H, S, span] f32 scores in HBM (670 MB per layer at
+# S=512, span=2048); the blockwise scan keeps per-step scores block-sized
+# and is differentiable + auto-partitionable (unlike a Pallas kernel)
+PREFILL_FLASH_SPAN = 512
+PREFILL_KV_BLOCK = 512
+
+
+def _blockwise_attention(q, ks, vs, pos0, scale):
+    """Online-softmax attention over KV blocks via lax.scan (pure XLA).
+
+    q [B,H,S,Dh] f32-scaled queries; ks/vs [B,H,C,Dh]; causal from absolute
+    ``pos0``.  Same math as ops/flash_decode.py, expressed as a scan so XLA
+    differentiates and partitions it — used for prefill (S > 8), where the
+    one-shot einsum would materialize [S, C] score planes in HBM.
+    """
+    b, h, s, dh = q.shape
+    c = ks.shape[-2]
+    blk = min(PREFILL_KV_BLOCK, c)
+    nblk = -(-c // blk)
+    pad = nblk * blk - c
+    if pad:
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kb = ks.reshape(b, h, nblk, blk, dh).transpose(2, 0, 1, 3, 4)
+    vb = vs.reshape(b, h, nblk, blk, dh).transpose(2, 0, 1, 3, 4)
+    qf = q.astype(jnp.float32) * scale
+    q_pos = pos0 + jnp.arange(s)
+
+    def body(carry, blk_in):
+        m, l, acc, c0 = carry
+        kblk, vblk = blk_in
+        sc = jnp.einsum(
+            "bhsd,bhcd->bhsc", qf, kblk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        key_pos = c0 + jnp.arange(blk)
+        mask = jnp.where(
+            key_pos[None, :] <= q_pos[:, None], 0.0, NEG_INF
+        )  # padded tail rows are masked too (key_pos >= c > pos0 + s)
+        sc = sc + mask[None, None]
+        m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
+        pp = jnp.exp(sc - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + pp.sum(axis=-1, keepdims=True)
+        pv = jnp.einsum(
+            "bhsc,bhcd->bhsd", pp, vblk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return (m_new, l_new, acc * alpha + pv, c0 + blk), None
+
+    m0 = jnp.full((b, h, s, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, s, 1), jnp.float32)
+    a0 = jnp.zeros((b, h, s, dh), jnp.float32)
+    (m, l, acc, _), _ = jax.lax.scan(body, (m0, l0, a0, jnp.int32(0)), (kb, vb))
+    return acc / l
+
+
 def _row_linear(x: jnp.ndarray, p: dict, li, tp_axis: str | None) -> jnp.ndarray:
     """Row-parallel linear under shard_map: when the weight's K matches the
     local (column-parallel) input width, contract locally and psum; when the
@@ -187,21 +245,28 @@ def _layer(
         ks = ck[li, :, :, :span]  # static slices fuse into the attention dots
         vs = cv[li, :, :, :span]
 
-        # causal mask: query i may see key_pos <= pos0+i
-        key_pos = jnp.arange(span)
-        mask = jnp.where(
-            key_pos[None, :] <= (pos0 + jnp.arange(s))[:, None], 0.0, NEG_INF
-        )  # [S, span]
+        if span > PREFILL_FLASH_SPAN:
+            # long-context prefill: blockwise online softmax (scan) instead
+            # of materializing the [B, H, S, span] score plane in HBM
+            ctx = _blockwise_attention(
+                q, ks, vs, pos0, 1.0 / float(np.sqrt(cfg.head_dim))
+            ).astype(x.dtype)
+        else:
+            # causal mask: query i may see key_pos <= pos0+i
+            key_pos = jnp.arange(span)
+            mask = jnp.where(
+                key_pos[None, :] <= (pos0 + jnp.arange(s))[:, None], 0.0, NEG_INF
+            )  # [S, span]
 
-        scores = jnp.einsum(
-            "bhsd,bhcd->bhsc", q, ks.astype(q.dtype), preferred_element_type=jnp.float32
-        )
-        scores = scores / jnp.sqrt(jnp.float32(cfg.head_dim))
-        scores = scores + mask[None, None]
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        ctx = jnp.einsum(
-            "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+            scores = jnp.einsum(
+                "bhsd,bhcd->bhsc", q, ks.astype(q.dtype), preferred_element_type=jnp.float32
+            )
+            scores = scores / jnp.sqrt(jnp.float32(cfg.head_dim))
+            scores = scores + mask[None, None]
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            ctx = jnp.einsum(
+                "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
     x = x + _row_linear(ctx, layers["wo"], li, tp_axis)
 

@@ -80,3 +80,37 @@ def test_flash_bf16_cache():
         np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32),
         np.asarray(kb, np.float32), np.asarray(vb, np.float32), pos0, scale)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_blockwise_prefill_attention_matches_einsum():
+    """The lax.scan XLA-flash prefill path (span > PREFILL_FLASH_SPAN)
+    matches the one-shot einsum, including non-block-aligned spans."""
+    from minigpt4_tpu.models.llama import _blockwise_attention
+
+    for span, pos0, s in [(1280, 30, 48), (640, 0, 16), (1000, 500, 32)]:
+        b, h, dh = 1, 2, 64
+        q = RNG.normal(0, 1, (b, h, s, dh)).astype(np.float32)
+        ks = RNG.normal(0, 1, (b, h, span, dh)).astype(np.float32)
+        vs = RNG.normal(0, 1, (b, h, span, dh)).astype(np.float32)
+        scale = 1.0 / np.sqrt(dh)
+        got = np.asarray(_blockwise_attention(
+            jnp.asarray(q), jnp.asarray(ks), jnp.asarray(vs), jnp.int32(pos0), scale
+        ))
+        want = _ref_attention(q, ks, vs, pos0, scale)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"span={span}")
+
+
+def test_blockwise_prefill_attention_grad():
+    """The scan path differentiates (the training/sharded prefill requirement
+    a Pallas kernel would not meet)."""
+    from minigpt4_tpu.models.llama import _blockwise_attention
+
+    b, h, s, span, dh = 1, 1, 8, 640, 64
+    q = jnp.asarray(RNG.normal(0, 1, (b, h, s, dh)).astype(np.float32))
+    ks = jnp.asarray(RNG.normal(0, 1, (b, h, span, dh)).astype(np.float32))
+    vs = jnp.asarray(RNG.normal(0, 1, (b, h, span, dh)).astype(np.float32))
+    g = jax.grad(
+        lambda kk: _blockwise_attention(q, kk, vs, jnp.int32(600), 0.125).sum()
+    )(ks)
+    assert np.all(np.isfinite(np.asarray(g)))

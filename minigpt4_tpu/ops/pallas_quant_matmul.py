@@ -112,7 +112,11 @@ def _tile_policy(m: int, k: int, gs: int, code_bits: int, hi_bits: int):
         # unpack temporaries per chunk: q bf16 + w bf16 + sc_c bf16
         # (+ hb i32 + bit bf16 when hi), + the sliced x copy
         temps = tn * cl * (2 + 2 + 2 + ((4 + 2) if hi_bits else 0)) + tm_eff * cl * 2
-        return inputs + out + temps
+        # plus ~tn*800 B of scoped stack PER CHUNK that Mosaic does not reuse
+        # across the unrolled loop (calibrated: 32-chunk q8_0 M=512 overshot
+        # a 14.2 MB estimate to an actual 20.85 MB — ~0.2 MB/chunk at tn=256)
+        per_chunk = (k // cl) * tn * 800
+        return inputs + out + temps + per_chunk
 
     budget = 14_500_000  # headroom under the 16 MB scoped-VMEM limit
     tms = [t for t in (128, 64, 32, 16, 8) if t <= max(m, 8)] or [8]

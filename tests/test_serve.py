@@ -1,0 +1,101 @@
+"""HTTP serving layer (stdlib http.server over SessionPool)."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fixtures import build_tiny_models
+from minigpt4_tpu.serve import start_server
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("srv"))
+    httpd = start_server(model, llm, port=0, session_ctx=256, n_ctx=256, n_batch=32)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+    httpd.pool.close()
+
+
+def _post(base, path, data=b"", headers=None):
+    req = urllib.request.Request(base + path, data=data, method="POST",
+                                 headers=headers or {})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/v1/health", timeout=30) as r:
+        assert json.loads(r.read())["ok"] is True
+
+
+def test_session_image_chat_roundtrip(server):
+    st, body = _post(server, "/v1/sessions")
+    sid = json.loads(body)["session_id"]
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    st, body = _post(server, f"/v1/sessions/{sid}/image", buf.getvalue())
+    assert st == 200 and json.loads(body)["ok"]
+
+    st, body = _post(
+        server, f"/v1/sessions/{sid}/chat",
+        json.dumps({"message": "what is this?", "limit": 6, "temp": 0.0}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    assert st == 200
+    assert isinstance(json.loads(body)["text"], str)
+
+    # streaming variant
+    st, body = _post(
+        server, f"/v1/sessions/{sid}/chat?stream=1",
+        json.dumps({"message": "and?", "limit": 4, "temp": 0.0}).encode(),
+    )
+    assert st == 200  # chunked body decoded by urllib
+    assert isinstance(body.decode(), str)
+
+    req = urllib.request.Request(f"{server}/v1/sessions/{sid}", method="DELETE")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["ok"]
+
+
+def test_concurrent_sessions(server):
+    texts = {}
+
+    def run(name):
+        _, body = _post(server, "/v1/sessions")
+        sid = json.loads(body)["session_id"]
+        _, body = _post(
+            server, f"/v1/sessions/{sid}/chat",
+            json.dumps({"message": "hello", "limit": 5, "temp": 0.0}).encode(),
+        )
+        texts[name] = json.loads(body)["text"]
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(texts) == 3
+    assert len(set(texts.values())) == 1  # same prompt, same greedy text
+
+
+def test_unknown_session_404(server):
+    try:
+        _post(server, "/v1/sessions/9999/chat", b"{}")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+

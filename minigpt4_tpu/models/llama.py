@@ -231,7 +231,13 @@ def _layer(
         cv, v.astype(cv.dtype)[None], (li, 0, 0, pos0, 0)
     )
 
-    if s <= 8 and use_flash:
+    # flash needs a lane-aligned head dim when Mosaic-compiled (the real
+    # models' Dh=128; tiny test geometries fall back to the einsum on TPU
+    # but still exercise the kernel in interpret mode on CPU)
+    flash_ok = use_flash and (
+        cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu"
+    )
+    if s <= 8 and flash_ok:
         # decode path: blockwise flash kernel over the stacked HBM cache —
         # reads only ceil((pos0+s)/BLK) live KV blocks (no attn_len bucket,
         # no per-layer cache slice copy); see ops/flash_decode.py

@@ -269,6 +269,8 @@ def generate_stream(
         tfs_z=sparams.tfs_z, typical_p=sparams.typical_p,
     )
     lock = dispatch_lock if dispatch_lock is not None else contextlib.nullcontext()
+    if st.logits_dev is None:
+        return  # nothing evaluated yet: empty stream, like the per-token path
     chat = ""
     emitted = 0
     while emitted < limit:

@@ -147,11 +147,14 @@ def _blockwise_attention(q, ks, vs, pos0, scale):
     return acc / l
 
 
-def _row_linear(x: jnp.ndarray, p: dict, li, tp_axis: str | None) -> jnp.ndarray:
-    """Row-parallel linear under shard_map: when the weight's K matches the
-    local (column-parallel) input width, contract locally and psum; when the
-    weight could not be K-sharded (K smaller than tp x group size), it is
-    replicated — all-gather the input instead and skip the reduce."""
+def _row_linear(
+    x: jnp.ndarray, p: dict, li, tp_axis: str | None, full_k: int
+) -> jnp.ndarray:
+    """Row-parallel linear under shard_map.  ``full_k`` is the GLOBAL
+    contraction width (n_embd for wo, n_ff for w2) — it disambiguates the
+    four local-shape cases: a K-sharded weight contracts its local input
+    slice and psums; a replicated weight consumes the full-width input with
+    NO reduce (the input is gathered first if the producer was sharded)."""
     if not tp_axis:
         return linear(x, p, li)
     from ..ops.repack import RepackedQuant
@@ -163,10 +166,16 @@ def _row_linear(x: jnp.ndarray, p: dict, li, tp_axis: str | None) -> jnp.ndarray
         kw = w.n_in
     else:
         kw = w.shape[-2]
-    if kw == x.shape[-1]:
+    if kw < full_k:  # weight K-sharded
+        if x.shape[-1] == full_k:
+            # producer fell back to replication: take this device's K slice
+            off = jax.lax.axis_index(tp_axis) * kw
+            x = jax.lax.dynamic_slice_in_dim(x, off, kw, axis=-1)
         return jax.lax.psum(linear(x, p, li), tp_axis)
-    xg = jax.lax.all_gather(x, tp_axis, axis=-1, tiled=True)
-    return linear(xg, p, li)
+    # weight replicated: gather the column-parallel input if needed, no psum
+    if x.shape[-1] < full_k:
+        x = jax.lax.all_gather(x, tp_axis, axis=-1, tiled=True)
+    return linear(x, p, li)
 
 
 def _layer(
@@ -233,9 +242,14 @@ def _layer(
 
     # flash needs a lane-aligned head dim when Mosaic-compiled (the real
     # models' Dh=128; tiny test geometries fall back to the einsum on TPU
-    # but still exercise the kernel in interpret mode on CPU)
-    flash_ok = use_flash and (
-        cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu"
+    # but still exercise the kernel in interpret mode on CPU) and a cache
+    # length divisible by its KV block (the block loop has no tail handling)
+    from ..ops import flash_decode as _fd
+
+    flash_ok = (
+        use_flash
+        and cfg.n_ctx % min(_fd.BLK, cfg.n_ctx) == 0
+        and (cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu")
     )
     if s <= 8 and flash_ok:
         # decode path: blockwise flash kernel over the stacked HBM cache —
@@ -274,7 +288,7 @@ def _layer(
                 "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32
             ).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
-    x = x + _row_linear(ctx, layers["wo"], li, tp_axis)
+    x = x + _row_linear(ctx, layers["wo"], li, tp_axis, cfg.n_embd)
 
     h = rms_norm(x, layers["ffn_norm"][li], RMS_EPS)
     if "w13" in layers:
@@ -285,7 +299,7 @@ def _layer(
         gate_in = linear(h, layers["w1"], li)
         up = linear(h, layers["w3"], li)
     gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(x.dtype)
-    x = x + _row_linear(gate * up, layers["w2"], li, tp_axis)
+    x = x + _row_linear(gate * up, layers["w2"], li, tp_axis, cfg.n_ff)
     return x, ck, cv
 
 

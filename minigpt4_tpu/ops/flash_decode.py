@@ -122,6 +122,11 @@ def _run(q, ck, cv, pos0, *, li, scale, interpret, stats=False):
     b, h, s, dh = q.shape
     c = ck.shape[-2]
     blk = min(BLK, c)
+    if c % blk:
+        raise ValueError(
+            f"cache length {c} must be a multiple of the KV block {blk} — "
+            "callers fall back to the einsum path otherwise (models/llama.py)"
+        )
     grid = (b, h)
     block = pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0))
     out_specs = (block, pl.BlockSpec((1, 1, s, 256), lambda bi, hi: (bi, hi, 0, 0))) if stats else block

@@ -300,16 +300,15 @@ def repack(
     )
 
 
-def tile_permute_x(x: jnp.ndarray, gs: int, k_shards: int = 1) -> jnp.ndarray:
+def tile_permute_x(x: jnp.ndarray, gs: int) -> jnp.ndarray:
     """Apply the storage permutation to activations: x [..., K] -> [..., K]
-    with x_perm[..., b*G + g] = x[..., g*gs + b] within each of ``k_shards``
-    contiguous K slices (jit-safe, runs in XLA)."""
+    with x_perm[..., b*G + g] = x[..., g*gs + b] (jit-safe, runs in XLA).
+    K-sharded weights are consumed shard-locally (see with_k_shards), where
+    each local slice is a plain k_shards=1 layout — so no shard variant."""
     k = x.shape[-1]
-    ks = k // k_shards
-    g = ks // gs
+    g = k // gs
     lead = x.shape[:-1]
-    xp = x.reshape(*lead, k_shards, g, gs).swapaxes(-1, -2)
-    return xp.reshape(*lead, k)
+    return x.reshape(*lead, g, gs).swapaxes(-1, -2).reshape(*lead, k)
 
 
 def with_k_shards(rq: RepackedQuant, k_shards: int) -> RepackedQuant:

@@ -48,10 +48,12 @@ class TwoStagePipeline:
 
     def __init__(self, engine, vision_device=None, llm_device=None):
         devs = jax.devices()
-        if vision_device is None or llm_device is None:
-            if len(devs) < 2:
-                raise ValueError("pipeline parallelism needs >= 2 devices")
-            vision_device, llm_device = devs[0], devs[1]
+        if (vision_device is None or llm_device is None) and len(devs) < 2:
+            raise ValueError("pipeline parallelism needs >= 2 devices")
+        if vision_device is None:
+            vision_device = devs[0] if devs[0] != llm_device else devs[1]
+        if llm_device is None:
+            llm_device = devs[1] if devs[1] != vision_device else devs[0]
         self.engine = engine
         self.vision_device = vision_device
         self.llm_device = llm_device

@@ -35,6 +35,19 @@ from ..ops.repack import RepackedQuant, with_k_shards
 
 _ROW_PARALLEL = ("wo", "w2")
 _COL_PARALLEL = ("wqkv", "wq", "wk", "wv", "w13", "w1", "w3")
+_FUSED_PARTS = {"wqkv": 3, "w13": 2}
+
+
+def _fused_col_ok(w, parts: int, tp: int) -> bool:
+    """A fused projection may be column-sharded ONLY if its rows can be
+    re-interleaved per shard (each part divides tp; even rows per part-shard
+    for the row-pair packed codes) — one guard shared by the spec builder and
+    the interleaver so a shardable spec always gets interleaved rows."""
+    n = w.n_out if isinstance(w, (RepackedQuant, QTensor)) else w.shape[-1]
+    if n % parts:
+        return False
+    per = n // parts
+    return per % tp == 0 and (per // tp) % 2 == 0
 
 
 def _rq_specs(w: RepackedQuant, axes) -> RepackedQuant:
@@ -47,6 +60,7 @@ def _rq_specs(w: RepackedQuant, axes) -> RepackedQuant:
 
 
 def _linear_specs(p: dict, kind: str, stacked: bool, tp: int):
+    """kind: 'col' | 'row' | 'rep' (forced replication)."""
     lead = (None,) if stacked else ()
     w = p["w"]
     out = {}
@@ -80,7 +94,12 @@ def llama_param_specs(params: dict, tp: int) -> dict:
     ls: dict = {}
     for name, val in layers.items():
         if name in _COL_PARALLEL:
-            ls[name] = _linear_specs(val, "col", True, tp)
+            kind = "col"
+            if name in _FUSED_PARTS and not _fused_col_ok(
+                val["w"], _FUSED_PARTS[name], tp
+            ):
+                kind = "rep"
+            ls[name] = _linear_specs(val, kind, True, tp)
         elif name in _ROW_PARALLEL:
             ls[name] = _linear_specs(val, "row", True, tp)
         else:
@@ -134,15 +153,13 @@ def _interleave_fused_rows(p: dict, parts: int, tp: int) -> dict:
 
 def interleave_fused_params(params: dict, tp: int) -> dict:
     """Apply the fused-projection row interleave to wqkv (3 parts) and w13
-    (2 parts) wherever the column shard divides evenly."""
+    (2 parts) wherever the column shard is possible (same guard as the spec
+    builder: _fused_col_ok)."""
     out = dict(params)
     layers = dict(params["layers"])
-    for name, parts in (("wqkv", 3), ("w13", 2)):
-        if name in layers:
-            w = layers[name]["w"]
-            n = w.n_out if isinstance(w, (RepackedQuant, QTensor)) else w.shape[-1]
-            if (n // parts) % tp == 0 and (n // parts // tp) % 2 == 0:
-                layers[name] = _interleave_fused_rows(layers[name], parts, tp)
+    for name, parts in _FUSED_PARTS.items():
+        if name in layers and _fused_col_ok(layers[name]["w"], parts, tp):
+            layers[name] = _interleave_fused_rows(layers[name], parts, tp)
     out["layers"] = layers
     return out
 
@@ -201,6 +218,9 @@ def make_spmd_decode_loop(mesh: Mesh, cfg, specs: dict, n_steps: int, scfg,
     PRNG key is replicated, so every device samples the same tokens."""
 
     def loop(p, c, l0, pos0, key):
+        # distinct randomness per dp shard (identical across tp, which must
+        # sample the same tokens); greedy decoding is key-independent
+        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
         return llama_mod.decode_loop(
             p, c, l0, pos0, n_steps, key, scfg, cfg,
             use_flash=use_flash, tp_axis="tp",

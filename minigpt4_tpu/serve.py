@@ -37,33 +37,34 @@ from . import image as image_mod
 
 
 class _Server:
+    """Thin HTTP adapter; the SessionPool's registry is the single source of
+    truth for session lifetime (no duplicate bookkeeping here)."""
+
     def __init__(self, pool: SessionPool):
         self.pool = pool
-        self.sessions: dict[int, object] = {}
-        self.lock = threading.Lock()
 
     def create(self) -> int:
-        s = self.pool.new_session()
-        with self.lock:
-            self.sessions[s.session_id] = s
-        return s.session_id
+        return self.pool.new_session().session_id
 
     def get(self, sid: int):
-        with self.lock:
-            return self.sessions.get(sid)
+        return self.pool._sessions.get(sid)
 
     def drop(self, sid: int) -> bool:
-        with self.lock:
-            s = self.sessions.pop(sid, None)
+        s = self.pool._sessions.get(sid)
         if s is not None:
             s.close()
         return s is not None
+
+    def count(self) -> int:
+        return len(self.pool._sessions)
 
 
 def make_handler(srv: _Server):
     sess_re = re.compile(r"^/v1/sessions/(\d+)(/(image|chat))?$")
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1 framing
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -81,7 +82,7 @@ def make_handler(srv: _Server):
 
         def do_GET(self):
             if self.path == "/v1/health":
-                self._json(200, {"ok": True, "sessions": len(srv.sessions)})
+                self._json(200, {"ok": True, "sessions": srv.count()})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -128,15 +129,26 @@ def make_handler(srv: _Server):
                     self.send_header("Content-Type", "text/plain; charset=utf-8")
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
-                    for tok in s.generate(limit=limit, params=params):
-                        data = tok.encode()
-                        self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                    try:
+                        for tok in s.generate(limit=limit, params=params):
+                            data = tok.encode()
+                            self.wfile.write(
+                                f"{len(data):x}\r\n".encode() + data + b"\r\n"
+                            )
+                    except Exception:
+                        # headers are out: a mid-stream error can only
+                        # terminate the chunked body, never a second response
+                        pass
                     self.wfile.write(b"0\r\n\r\n")
                     return
                 text = "".join(s.generate(limit=limit, params=params))
                 self._json(200, {"text": text})
             except Exception as e:  # surface engine errors as 500s, keep serving
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                if not self.wfile.closed:
+                    try:
+                        self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                    except Exception:
+                        pass
 
     return Handler
 

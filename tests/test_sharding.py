@@ -190,3 +190,32 @@ def test_sharded_repacked_forward(models):
         got = np.asarray(got)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
     eng.close()
+
+
+def test_row_linear_replicated_no_double_reduce():
+    """When BOTH the column-parallel producer and the row-parallel weight
+    fall back to replication under shard_map, _row_linear must NOT psum
+    (round-2 review: the old width-match condition multiplied the output by
+    tp)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from minigpt4_tpu.models.llama import _row_linear
+
+    k_full, n = 32, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 3, k_full)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 1, (k_full, n)).astype(np.float32))
+    want = np.asarray(x @ w)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    got = jax.jit(jax.shard_map(
+        lambda xx, ww: _row_linear(xx, {"w": ww}, None, "tp", k_full),
+        mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False,
+    ))(x, w)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # and the sharded-weight + replicated-producer case: local K slice + psum
+    got2 = jax.jit(jax.shard_map(
+        lambda xx, ww: _row_linear(xx, {"w": ww}, None, "tp", k_full),
+        mesh=mesh, in_specs=(P(), P("tp", None)), out_specs=P(), check_vma=False,
+    ))(x, w)
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-5, atol=1e-5)

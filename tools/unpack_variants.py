@@ -1,11 +1,21 @@
 """Dev micro-bench: nibble-unpack strategy variants for the dequant matmul.
 
 Times a stripped kernel (codes -> bf16 weights -> dot) at the w2 13B shape
-for several unpack strategies, to find the cheapest lowering on real TPU.
+for several unpack strategies on the real TPU.  Findings that shaped the
+production kernel (ops/pallas_quant_matmul.py):
+
+  * q8 (byte codes, 1 cast + mul) runs near the chip's sustained DMA rate;
+  * every nibble strategy (u4 bitcast, i32 mask/shift row-band, two half
+    dots) costs roughly the SAME WALL TIME as q8 despite half the bytes —
+    the pipeline is bound by per-chunk dependent compute/layout latency,
+    not by unpack ALU choice;
+  * chunk-size/alignment and TN variations move results < 10%.
+
+Env knobs: TN (tile rows), CL (chunk lanes), M (batch rows).
 """
 import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
-import functools
+import os
 import time
 
 import numpy as np
@@ -14,7 +24,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os
 N, K = 5120, 13824
 TN, CL = int(os.environ.get("TN", 256)), int(os.environ.get("CL", 1728))
 M = int(os.environ.get("M", 8))
@@ -38,25 +47,6 @@ def mk_kernel(variant):
                 lo = (c8 & 0xF).astype(jnp.bfloat16)
                 hi = (c8 >> 4).astype(jnp.bfloat16)
                 q = jnp.concatenate([lo, hi], axis=0)  # [TN, CL]
-            elif variant == "bf16arith":
-                c8 = codes_ref[:, l0 : l0 + CL]  # [TN//2, CL] u8
-                f = c8.astype(jnp.int16).astype(jnp.bfloat16)
-                hi = jnp.floor(f * jnp.bfloat16(1.0 / 16.0))
-                lo = f - jnp.bfloat16(16.0) * hi
-                q = jnp.concatenate([lo, hi], axis=0)
-            elif variant == "raw":
-                # lower bound probe: DMA + one cast chain + dot, NO unpack
-                c8 = codes_ref[:, l0 : l0 + CL]  # [TN//2, CL] u8
-                q = c8.astype(jnp.int16).astype(jnp.bfloat16)
-            elif variant == "smalldot":
-                # full DMA, 1/13.5 of the MXU/VPU work: isolates DMA vs MXU
-                c8 = codes_ref[:, l0 : l0 + 128]
-                q = c8.astype(jnp.int16).astype(jnp.bfloat16)  # [TN//2, 128]
-                a = jax.lax.dot_general(
-                    xf[:, l0 : l0 + 128], (q * sc[: TN // 2, : 128 // 32 * 32][:, :4].repeat(32, 1) if False else q).astype(xf.dtype),
-                    (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-                acc += jnp.concatenate([a, a], axis=1)
-                continue
             elif variant == "twodot":
                 # no concat: two half-tile dots into separate acc halves
                 c8 = codes_ref[:, l0 : l0 + CL].astype(jnp.int32)
@@ -64,27 +54,23 @@ def mk_kernel(variant):
                 hi = (c8 >> 4).astype(jnp.bfloat16)
                 sc_c = pltpu.repeat(sc, CL // G, 1)
                 xs = xf[:, l0 : l0 + CL]
-                a = jax.lax.dot_general(xs, (lo * sc_c[:TN // 2]).astype(xf.dtype),
-                                        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-                b = jax.lax.dot_general(xs, (hi * sc_c[TN // 2 :]).astype(xf.dtype),
-                                        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-                acc += jnp.concatenate([a, b], axis=1)
+                a = jax.lax.dot_general(xs, (lo * sc_c[: TN // 2]).astype(xf.dtype),
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                bpart = jax.lax.dot_general(xs, (hi * sc_c[TN // 2 :]).astype(xf.dtype),
+                                            (((1,), (1,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                acc += jnp.concatenate([a, bpart], axis=1)
                 continue
-            if variant == "raw":
-                a = jax.lax.dot_general(
-                    xf[:, l0 : l0 + CL], (q * pltpu.repeat(sc[: TN // 2], CL // G, 1)).astype(xf.dtype),
-                    (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-                acc += jnp.concatenate([a, a], axis=1)  # fake full-tile output
-            else:
-                sc_c = pltpu.repeat(sc, CL // G, 1)
-                acc += jax.lax.dot_general(
-                    xf[:, l0 : l0 + CL], (q * sc_c).astype(xf.dtype),
-                    (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            sc_c = pltpu.repeat(sc, CL // G, 1)
+            acc += jax.lax.dot_general(
+                xf[:, l0 : l0 + CL], (q * sc_c).astype(xf.dtype),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         o_ref[...] = acc
     return kernel
 
 
-def run(variant):
+def run(variant, iters=50, reps=5):
     rows = N if variant == "q8" else N // 2
     cdtype = jnp.int8 if variant == "q8" else jnp.uint8
     rng = np.random.default_rng(0)
@@ -109,22 +95,22 @@ def run(variant):
         def body(i, x):
             y = f(x, codes, sc)
             return x + y[0, 0].astype(x.dtype) * 1e-9
-        return jax.lax.fori_loop(0, 50, body, x)
+        return jax.lax.fori_loop(0, iters, body, x)
 
     cj = jax.jit(chain)
     np.asarray(cj(x, codes, sc))
     t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(reps):
         r = cj(x, codes, sc)
     np.asarray(r)
-    ms = (time.perf_counter() - t0) / 250 * 1e3
+    per_call_ms = (time.perf_counter() - t0) / (reps * iters) * 1e3
     gb = codes.nbytes / 1e9
-    print(f"{variant:10s}: {ms:.3f} ms  ({gb*1e3:.0f} MB codes, ~{gb/(ms/1e3):.0f} GB/s)",
-          flush=True)
+    print(f"{variant:10s}: {per_call_ms:.3f} ms  ({gb*1e3:.0f} MB codes, "
+          f"~{gb/(per_call_ms/1e3):.0f} GB/s)", flush=True)
 
 
 if __name__ == "__main__":
-    for v in sys.argv[1:] or ["q8", "bitcast", "i32pair", "bf16arith", "raw", "twodot"]:
+    for v in sys.argv[1:] or ["q8", "bitcast", "i32pair", "twodot"]:
         try:
             run(v)
         except Exception as e:

@@ -107,6 +107,14 @@ class SessionPool:
         self._lock = threading.Lock()
         self._next_id = 0
         self._sessions: dict[int, ChatSession] = {}
+        # serving metrics (the reference logs phase timers + memory only;
+        # a serving layer needs counters — surfaced via serve.py /v1/health)
+        self.metrics = {
+            "sessions_created": 0,
+            "images_encoded": 0,
+            "tokens_prefilled": 0,
+            "tokens_generated": 0,
+        }
         # the engine's compiled step functions at session_ctx — shared by
         # every session (bucketed prefill + fused decode compile once)
         self.fns = self.engine.step_fns_for(session_ctx)
@@ -118,6 +126,7 @@ class SessionPool:
             self._next_id += 1
             s = ChatSession(self, sid, self.session_ctx, self.seed + sid)
             self._sessions[sid] = s
+            self.metrics["sessions_created"] += 1
             return s
 
     def _release(self, s: ChatSession) -> None:
@@ -126,10 +135,12 @@ class SessionPool:
     # -- shared device ops (dispatch under the lock) --
     def encode_image(self, pixels: np.ndarray) -> np.ndarray:
         with self._lock:
+            self.metrics["images_encoded"] += 1
             return self.engine.encode_image(pixels)
 
     def _add_tokens(self, s: ChatSession, tokens: list[int]) -> None:
         with self._lock:
+            self.metrics["tokens_prefilled"] += len(tokens)
             self.fns.add_tokens(
                 self.engine.llm_params, s.state, tokens, self.engine.n_batch
             )
@@ -176,10 +187,12 @@ class SessionPool:
                     break
                 yield token
             return
-        yield from generate_stream(
+        for token in generate_stream(
             self.fns, self.engine.llm_params, s.state, self.engine.tokenizer,
             limit, params, dispatch_lock=self._lock,
-        )
+        ):
+            self.metrics["tokens_generated"] += 1
+            yield token
 
     def close(self) -> None:
         self.engine.close()

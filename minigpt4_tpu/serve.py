@@ -82,7 +82,8 @@ def make_handler(srv: _Server):
 
         def do_GET(self):
             if self.path == "/v1/health":
-                self._json(200, {"ok": True, "sessions": srv.count()})
+                self._json(200, {"ok": True, "sessions": srv.count(),
+                                 "metrics": dict(srv.pool.metrics)})
             else:
                 self._json(404, {"error": "not found"})
 

@@ -20,6 +20,13 @@ class Host:
         self.engine = MiniGPT4Engine(
             path, llm_model, verbosity=verbosity, seed=seed, n_ctx=n_ctx, n_batch=n_batch
         )
+        # the 18-function reference ABI has no warmup entry point; ABI
+        # clients opt in via the environment instead (precompiles the prefill
+        # buckets / decode chunks / image encoder at load)
+        import os
+
+        if os.environ.get("MINIGPT4_TPU_WARMUP"):
+            self.engine.warmup()
 
     # -- images --
     def image_load_from_file(self, path: str):

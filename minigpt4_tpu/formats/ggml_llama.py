@@ -163,6 +163,11 @@ class LlamaFileReader:
                 )
             shape = tuple(reversed([int(x) for x in ne]))
             nbytes = row_bytes(dtype, int(np.prod(shape)))
+            if self._pos + nbytes > end:
+                raise EOFError(
+                    f"{self.path}: tensor {name} payload runs past EOF "
+                    f"({self._pos}+{nbytes} > {end}) — truncated file"
+                )
             self.tensors[name] = LlamaTensorRecord(name, shape, dtype, self._pos, nbytes)
             self._pos += nbytes
 

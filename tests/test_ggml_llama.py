@@ -61,3 +61,37 @@ def test_unknown_magic(tmp_path):
     p.write_bytes(b"\x00\x01\x02\x03" + b"\x00" * 32)
     with pytest.raises(ValueError, match="magic"):
         LlamaFileReader(p)
+
+
+def test_corrupt_files_fail_cleanly(tmp_path):
+    """Corrupt/truncated model files raise typed errors at parse time — not
+    mmap faults or silent partial loads (failure-detection surface)."""
+    import pytest
+
+    from fixtures import build_tiny_models
+    from minigpt4_tpu.formats import ContainerReader, LlamaFileReader
+
+    model, llm = build_tiny_models(tmp_path)
+
+    data = model.read_bytes()
+    for name, blob, exc in [
+        ("bad magic", b"XXXX" + data[4:], ValueError),
+        ("truncated header", data[:40], EOFError),
+        ("truncated payload", data[: len(data) // 2], EOFError),
+        ("empty", b"", ValueError),
+    ]:
+        p = tmp_path / "corrupt.bin"
+        p.write_bytes(blob)
+        with pytest.raises(exc):
+            with ContainerReader(p) as r:
+                _ = r.models
+
+    ldata = llm.read_bytes()
+    for name, blob, exc in [
+        ("bad magic", b"XXXX" + ldata[4:], ValueError),
+        ("truncated payload", ldata[: len(ldata) // 3], EOFError),
+    ]:
+        p = tmp_path / "corrupt_llm.bin"
+        p.write_bytes(blob)
+        with pytest.raises(exc):
+            LlamaFileReader(p)

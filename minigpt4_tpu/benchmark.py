@@ -344,7 +344,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         done += chunk
     dt_fused = time.perf_counter() - t0
 
-    return {
+    out = {
         "decode_tok_s": n_fused / dt_fused,
         "decode_ms": dt_fused / n_fused * 1e3,
         "decode_stepwise_tok_s": n_decode / dt,
@@ -354,6 +354,41 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         "build_s": build_s,
         "prefill_len": prefill_len,
     }
+
+    # --- batched serving decode: B sessions share every weight read, so
+    # aggregate tok/s scales ~linearly at bandwidth-bound decode.  Uses the
+    # serving session context (512) so B caches fit beside the weights.
+    import dataclasses
+
+    del cache
+    bsz = 8
+    bcfg = dataclasses.replace(cfg, n_ctx=512)
+    bcache = llama_mod.init_cache(bcfg, batch=bsz, dtype=cache_dtype)
+    bfwd = jax.jit(
+        lambda p, c, e, pos0: llama_mod.forward(p, c, e, pos0, bcfg),
+        donate_argnums=(1,),
+    )
+    btokens = jnp.asarray(rng.integers(0, cfg.n_vocab, (bsz, prefill_len), dtype=np.int64))
+    blogits, bcache = bfwd(params, bcache, embed(params, btokens), jnp.int32(0))
+    bdl = jax.jit(
+        lambda p, c, l0, pos0, key: llama_mod.decode_loop(
+            p, c, l0, pos0, chunk, key, DeviceSamplingConfig(temp=0.0), bcfg
+        ),
+        donate_argnums=(1,),
+    )
+    bpos = jnp.full((bsz,), prefill_len, jnp.int32)  # per-batch cursor path
+    btoks, blogits, bcache = bdl(params, bcache, blogits, bpos, key)
+    sync(btoks)  # compile
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_fused:
+        btoks, blogits, bcache = bdl(params, bcache, blogits, bpos + chunk + done, key)
+        sync(btoks)
+        done += chunk
+    dt_b = time.perf_counter() - t0
+    out["decode_batch"] = bsz
+    out["decode_tok_s_batched_aggregate"] = bsz * n_fused / dt_b
+    return out
 
 
 def bench_encode(llama_embed: int = 5120, dtype=jnp.bfloat16, iters: int = 10) -> dict:

@@ -75,13 +75,18 @@ def init_cache(cfg: LlamaConfig, batch: int = 1, dtype=jnp.float32) -> dict:
 
 
 def rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """Rotate consecutive pairs (ggml_rope mode 0). x [B,H,S,Dh]."""
+    """Rotate consecutive pairs (ggml_rope mode 0). x [B,H,S,Dh]; positions
+    [S] or per-batch [B, S] (batched serving decode)."""
     b, h, s, dh = x.shape
     half = dh // 2
     freqs = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)  # [Dh/2]
-    ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]  # [S, Dh/2]
-    cos = jnp.cos(ang)[None, None]
-    sin = jnp.sin(ang)[None, None]
+    ang = positions.astype(jnp.float32)[..., None] * freqs  # [S, half] | [B, S, half]
+    if ang.ndim == 2:
+        cos = jnp.cos(ang)[None, None]
+        sin = jnp.sin(ang)[None, None]
+    else:
+        cos = jnp.cos(ang)[:, None]  # [B, 1, S, half]
+        sin = jnp.sin(ang)[:, None]
     xp = x.reshape(b, h, s, half, 2)
     even = xp[..., 0].astype(jnp.float32)
     odd = xp[..., 1].astype(jnp.float32)
@@ -211,9 +216,10 @@ def _layer(
     traffic scales with the live context, not the full n_ctx allocation.
     """
     b, s, _ = x.shape
+    batched_pos = jnp.ndim(pos0) == 1  # per-batch cursors (batched decode)
 
     h = rms_norm(x, layers["attention_norm"][li], RMS_EPS)
-    positions = pos0 + jnp.arange(s)
+    positions = (pos0[:, None] if batched_pos else pos0) + jnp.arange(s)
 
     def heads(t):
         # head count from the ARRAY width (n_head/tp local heads under tp)
@@ -233,12 +239,24 @@ def _layer(
     k = rope_interleaved(heads(xk), positions, cfg.rope_theta)
     v = heads(xv)
 
-    ck = jax.lax.dynamic_update_slice(
-        ck, k.astype(ck.dtype)[None], (li, 0, 0, pos0, 0)
-    )
-    cv = jax.lax.dynamic_update_slice(
-        cv, v.astype(cv.dtype)[None], (li, 0, 0, pos0, 0)
-    )
+    if batched_pos:
+        # per-batch write offsets: vmap the [H, C, Dh] update over B
+        upd = jax.vmap(
+            lambda cb, kb, pb: jax.lax.dynamic_update_slice(cb, kb, (0, pb, 0))
+        )
+        ck = jax.lax.dynamic_update_slice(
+            ck, upd(ck[li], k.astype(ck.dtype), pos0)[None], (li, 0, 0, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, upd(cv[li], v.astype(cv.dtype), pos0)[None], (li, 0, 0, 0, 0)
+        )
+    else:
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype)[None], (li, 0, 0, pos0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype)[None], (li, 0, 0, pos0, 0)
+        )
 
     # flash needs a lane-aligned head dim when Mosaic-compiled (the real
     # models' Dh=128; tiny test geometries fall back to the einsum on TPU
@@ -275,14 +293,15 @@ def _layer(
             # causal mask: query i may see key_pos <= pos0+i
             key_pos = jnp.arange(span)
             mask = jnp.where(
-                key_pos[None, :] <= (pos0 + jnp.arange(s))[:, None], 0.0, NEG_INF
-            )  # [S, span]
+                key_pos <= positions[..., None], 0.0, NEG_INF
+            )  # [S, span] | [B, S, span]
+            mask = mask[:, None] if batched_pos else mask[None, None]
 
             scores = jnp.einsum(
                 "bhsd,bhcd->bhsc", q, ks.astype(q.dtype), preferred_element_type=jnp.float32
             )
             scores = scores / jnp.sqrt(jnp.float32(cfg.head_dim))
-            scores = scores + mask[None, None]
+            scores = scores + mask
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
             ctx = jnp.einsum(
                 "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32

@@ -50,7 +50,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
     acc=0) partials come back."""
     b = pl.program_id(0)
     h = pl.program_id(1)
-    pos0 = pos_ref[0, 0]
+    pos0 = pos_ref[b, 0]  # per-batch decode cursor (full [B, 1] SMEM block)
     live = pos0 + s  # number of visible keys for the last query row
     nblk = jax.lax.max(
         jnp.int32(0), jax.lax.min((live + blk - 1) // blk, jnp.int32(c // blk))
@@ -129,6 +129,7 @@ def _run(q, ck, cv, pos0, *, li, scale, interpret, stats=False):
         )
     grid = (b, h)
     block = pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0))
+    pos_arr = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32).reshape(-1), (b,))
     out_specs = (block, pl.BlockSpec((1, 1, s, 256), lambda bi, hi: (bi, hi, 0, 0))) if stats else block
     out_shape = (
         (jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
@@ -141,7 +142,10 @@ def _run(q, ck, cv, pos0, *, li, scale, interpret, stats=False):
                           stats=stats),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, hi: (0, 0), memory_space=pltpu.SMEM),
+            # per-batch decode cursors (scalar pos broadcasts to [B, 1]);
+            # whole-array SMEM block: sub-blocks fail the (8, 128) lowering
+            # divisibility check once B > 1
+            pl.BlockSpec((b, 1), lambda bi, hi: (0, 0), memory_space=pltpu.SMEM),
             block,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -149,7 +153,7 @@ def _run(q, ck, cv, pos0, *, li, scale, interpret, stats=False):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(pos0, jnp.int32).reshape(1, 1), q, ck, cv)
+    )(pos_arr.reshape(b, 1), q, ck, cv)
     return out
 
 
@@ -163,9 +167,9 @@ def flash_decode_attention(
     return_stats: bool = False,
 ):
     """q [B, H, S, Dh] x stacked cache [L, B, H, C, Dh] -> ctx [B, H, S, Dh]
-    (f32), causal from absolute position ``pos0`` (query row i sees keys at
-    positions <= pos0 + i).  ``li`` must be a static layer index (the layer
-    loop is unrolled; see models/llama.py).
+    (f32), causal from absolute position ``pos0`` — a scalar, or a [B]
+    vector of per-batch cursors (batched serving decode).  ``li`` must be a
+    static layer index (the layer loop is unrolled; see models/llama.py).
 
     ``return_stats``: return (acc, m, l) online-softmax PARTIALS instead of
     the normalized context — acc [B,H,S,Dh] unnormalized, m/l [B,H,S] — for

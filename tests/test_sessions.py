@@ -102,3 +102,34 @@ def test_session_context_overflow(pool):
         for _ in range(40):
             pool._add_strings(s, "a b c d e f g h")
     s.close()
+
+
+def test_generate_batch_matches_individual(pool):
+    """Batched multi-session decode (stacked caches, per-batch cursors)
+    produces the same greedy text as per-session generation — even with
+    DIFFERENT prompt lengths/cursors per session."""
+    prompts = ["hello", "tell me a much longer story about llamas", "hi"]
+
+    want = []
+    for q in prompts:
+        s = pool.new_session()
+        pool.system_prompt(s)
+        pool.begin_chat(s, q)
+        want.append("".join(s.generate(limit=8, params=SamplingParams(temp=0.0))))
+        s.close()
+
+    batch = []
+    for q in prompts:
+        s = pool.new_session()
+        pool.system_prompt(s)
+        pool.begin_chat(s, q)
+        batch.append(s)
+    got = pool.generate_batch(batch, limit=8, params=SamplingParams(temp=0.0),
+                              decode_chunk=4)
+    assert got == want
+    # session state stays usable after the batch: a follow-up turn works
+    pool.begin_chat(batch[0], "and then?")
+    more = list(batch[0].generate(limit=3, params=SamplingParams(temp=0.0)))
+    assert all(isinstance(t, str) for t in more)
+    for s in batch:
+        s.close()

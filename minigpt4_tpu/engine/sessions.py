@@ -202,6 +202,20 @@ class SessionPool:
         params: SamplingParams | None = None,
         decode_chunk: int = 16,
     ) -> list[str]:
+        """Non-streaming wrapper over :meth:`generate_batch_stream`."""
+        out = [""] * len(sessions)
+        for updates in self.generate_batch_stream(sessions, limit, params, decode_chunk):
+            for i, token in updates:
+                out[i] += token
+        return out
+
+    def generate_batch_stream(
+        self,
+        sessions: list[ChatSession],
+        limit: int = 256,
+        params: SamplingParams | None = None,
+        decode_chunk: int = 16,
+    ):
         """Decode several prepared sessions TOGETHER: their caches stack on
         the batch axis and every fused decode step reads the quantized
         weights ONCE for all of them — at bandwidth-bound decode, aggregate
@@ -213,6 +227,9 @@ class SessionPool:
         runs until every session has hit EOS or ``limit``; finished sessions
         ride along with their overshoot rolled back afterwards.  Device
         sampling only (no mirostat).
+
+        Yields, once per decode chunk, a list of (session_index, token)
+        pairs in the same order per-session generation would emit them.
         """
         from .engine import EOS_SUFFIX, EOS_TOKEN_SUFFIX
         from .device_sampling import DeviceSamplingConfig
@@ -235,53 +252,56 @@ class SessionPool:
             logits = jnp.stack([s.state.logits_dev for s in sessions])
             pos = jnp.asarray([s.n_past for s in sessions], jnp.int32)
 
-        out = [""] * n  # yielded text (generate_stream semantics)
         chat = [""] * n  # full text incl. "##" tokens, for EOS detection
         done = [False] * n
         emitted = [0] * n
         ends = [s.n_past for s in sessions]
         max_pos = max(int(p) for p in np.asarray(pos))
         key = jax.random.PRNGKey(self.seed)
-        while not all(done) and max_pos + decode_chunk <= self.fns.cfg.n_ctx:
-            key, sub = jax.random.split(key)
-            with self._lock:
-                tokens, logits, cache = self.fns.decode_loop(
-                    self.engine.llm_params, cache, logits, pos, sub, scfg,
-                    decode_chunk, self.fns.attn_bucket(max_pos + decode_chunk),
-                )
-                token_ids = np.asarray(tokens)
-            pos = pos + decode_chunk
-            max_pos += decode_chunk
-            for i in range(n):
-                if done[i]:
-                    continue
-                for tid in token_ids[i]:
-                    token = self.engine.tokenizer.id_to_str(int(tid))
-                    chat[i] += token
-                    emitted[i] += 1
-                    ends[i] += 1  # this token WAS evaluated
-                    self.metrics["tokens_generated"] += 1
-                    if token == EOS_TOKEN_SUFFIX:
+        try:
+            while not all(done) and max_pos + decode_chunk <= self.fns.cfg.n_ctx:
+                key, sub = jax.random.split(key)
+                with self._lock:
+                    tokens, logits, cache = self.fns.decode_loop(
+                        self.engine.llm_params, cache, logits, pos, sub, scfg,
+                        decode_chunk, self.fns.attn_bucket(max_pos + decode_chunk),
+                    )
+                    token_ids = np.asarray(tokens)
+                pos = pos + decode_chunk
+                max_pos += decode_chunk
+                updates: list[tuple[int, str]] = []
+                for i in range(n):
+                    if done[i]:
+                        continue
+                    for tid in token_ids[i]:
+                        token = self.engine.tokenizer.id_to_str(int(tid))
+                        chat[i] += token
+                        emitted[i] += 1
+                        ends[i] += 1  # this token WAS evaluated
+                        self.metrics["tokens_generated"] += 1
+                        if token == EOS_TOKEN_SUFFIX:
+                            if emitted[i] >= limit:
+                                done[i] = True
+                                break
+                            continue
+                        if chat[i].endswith(EOS_SUFFIX):
+                            done[i] = True
+                            break
+                        updates.append((i, token))
                         if emitted[i] >= limit:
                             done[i] = True
                             break
-                        continue
-                    if chat[i].endswith(EOS_SUFFIX):
-                        done[i] = True
-                        break
-                    out[i] += token
-                    if emitted[i] >= limit:
-                        done[i] = True
-                        break
-
-        # split the batch back into the sessions, rolling back overshoot
-        with self._lock:
-            for i, s in enumerate(sessions):
-                s.state.cache = {kv: cache[kv][:, i : i + 1] for kv in ("k", "v")}
-                s.state.n_past = ends[i]
-                s.state.logits_dev = logits[i]
-                s.state.logits_host = None
-        return out
+                yield updates
+        finally:
+            # split the batch back into the sessions, rolling back overshoot
+            # — also on early generator close, so session state never points
+            # at the pre-batch caches
+            with self._lock:
+                for i, s in enumerate(sessions):
+                    s.state.cache = {kv: cache[kv][:, i : i + 1] for kv in ("k", "v")}
+                    s.state.n_past = ends[i]
+                    s.state.logits_dev = logits[i]
+                    s.state.logits_host = None
 
     def close(self) -> None:
         self.engine.close()

@@ -25,8 +25,10 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -36,12 +38,71 @@ from .engine.sessions import SessionPool
 from . import image as image_mod
 
 
+class _Batcher:
+    """Dynamic request batching: concurrent /chat generations arriving within
+    ``window_s`` are decoded TOGETHER via SessionPool.generate_batch_stream —
+    every fused decode step reads the weights once for the whole group, so N
+    concurrent clients each see ~single-stream latency instead of 1/N
+    (bandwidth-bound decode).  Requests join at generation boundaries
+    (static batching per group; prompts prefill individually before
+    enqueueing)."""
+
+    _DONE = object()
+
+    def __init__(self, pool: SessionPool, window_s: float, max_batch: int = 8):
+        self.pool = pool
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, session, limit: int, params) -> "queue.Queue":
+        """Session must already have a prepared prompt.  Returns a queue of
+        str tokens terminated by _Batcher._DONE."""
+        out: queue.Queue = queue.Queue()
+        self._q.put((session, limit, params, out))
+        return out
+
+    def _run(self) -> None:
+        while True:
+            first = self._q.get()
+            group = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            sessions = [g[0] for g in group]
+            limit = max(g[1] for g in group)
+            params = group[0][2]  # one sampler config per group
+            outs = [g[3] for g in group]
+            emitted = [0] * len(group)
+            try:
+                for updates in self.pool.generate_batch_stream(
+                    sessions, limit=limit, params=params
+                ):
+                    for i, token in updates:
+                        if emitted[i] < group[i][1]:
+                            outs[i].put(token)
+                            emitted[i] += 1
+            except Exception:
+                pass
+            for out in outs:
+                out.put(self._DONE)
+
+
 class _Server:
     """Thin HTTP adapter; the SessionPool's registry is the single source of
     truth for session lifetime (no duplicate bookkeeping here)."""
 
-    def __init__(self, pool: SessionPool):
+    def __init__(self, pool: SessionPool, batch_window_s: float = 0.0):
         self.pool = pool
+        self.batcher = _Batcher(pool, batch_window_s) if batch_window_s > 0 else None
 
     def create(self) -> int:
         return self.pool.new_session().session_id
@@ -125,13 +186,24 @@ def make_handler(srv: _Server):
                 )
                 limit = int(req.get("limit", 256))
                 s.ask(str(req.get("message", "")))
+
+                def token_iter():
+                    if srv.batcher is not None and params.mirostat == 0:
+                        out = srv.batcher.submit(s, limit, params)
+                        while True:
+                            tok = out.get()
+                            if tok is _Batcher._DONE:
+                                return
+                            yield tok
+                    else:
+                        yield from s.generate(limit=limit, params=params)
                 if "stream=1" in self.path:
                     self.send_response(200)
                     self.send_header("Content-Type", "text/plain; charset=utf-8")
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
                     try:
-                        for tok in s.generate(limit=limit, params=params):
+                        for tok in token_iter():
                             data = tok.encode()
                             self.wfile.write(
                                 f"{len(data):x}\r\n".encode() + data + b"\r\n"
@@ -142,7 +214,7 @@ def make_handler(srv: _Server):
                         pass
                     self.wfile.write(b"0\r\n\r\n")
                     return
-                text = "".join(s.generate(limit=limit, params=params))
+                text = "".join(token_iter())
                 self._json(200, {"text": text})
             except Exception as e:  # surface engine errors as 500s, keep serving
                 if not self.wfile.closed:
@@ -155,9 +227,10 @@ def make_handler(srv: _Server):
 
 
 def start_server(model_path, llm_path, host="127.0.0.1", port=8000,
-                 session_ctx: int = 512, **engine_kwargs) -> ThreadingHTTPServer:
+                 session_ctx: int = 512, batch_window_s: float = 0.0,
+                 **engine_kwargs) -> ThreadingHTTPServer:
     pool = SessionPool(model_path, llm_path, session_ctx=session_ctx, **engine_kwargs)
-    srv = _Server(pool)
+    srv = _Server(pool, batch_window_s=batch_window_s)
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     httpd.pool = pool  # for tests / shutdown
     return httpd
@@ -171,9 +244,15 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--session-ctx", type=int, default=512)
     ap.add_argument("--n-ctx", type=int, default=2048)
+    ap.add_argument(
+        "--batch-window-ms", type=float, default=0.0,
+        help="group concurrent generations arriving within this window into "
+        "ONE batched decode (aggregate throughput scales ~linearly)",
+    )
     args = ap.parse_args()
     httpd = start_server(args.model_path, args.llm_model_path, args.host,
-                         args.port, session_ctx=args.session_ctx, n_ctx=args.n_ctx)
+                         args.port, session_ctx=args.session_ctx, n_ctx=args.n_ctx,
+                         batch_window_s=args.batch_window_ms / 1e3)
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

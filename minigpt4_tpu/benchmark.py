@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from .formats.dtypes import DataType, row_bytes, traits
 from .models import llama as llama_mod
-from .models.params import QTensor
 from .models import eva_vit, qformer, minigpt4 as vision_mod
 
 # f16 1.0 little-endian

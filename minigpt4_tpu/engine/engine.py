@@ -23,7 +23,6 @@ TPU specifics:
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
 
 import jax
@@ -34,7 +33,7 @@ from .. import utils
 from ..formats import ContainerReader, LlamaFileReader
 from ..models import llama as llama_mod
 from ..models import minigpt4 as vision_mod
-from ..tokenizer import TOKEN_EOS, LlamaTokenizer
+from ..tokenizer import LlamaTokenizer
 from .sampling import Sampler, SamplingParams
 
 # Vicuna-v0 conversation constants (minigpt4.cpp:139-141)

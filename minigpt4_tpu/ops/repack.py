@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..formats.dtypes import DataType, traits
+from ..formats.dtypes import DataType
 from ..formats import quants as nq
 
 

@@ -22,8 +22,6 @@ mesh, place the shards, psum where contractions are split.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import numpy as np
 import jax.numpy as jnp

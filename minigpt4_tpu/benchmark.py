@@ -367,7 +367,8 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         lambda p, c, e, pos0: llama_mod.forward(p, c, e, pos0, bcfg),
         donate_argnums=(1,),
     )
-    btokens = jnp.asarray(rng.integers(0, cfg.n_vocab, (bsz, prefill_len), dtype=np.int64))
+    bprefill = min(prefill_len, bcfg.n_ctx // 2)  # sessions use a short ctx
+    btokens = jnp.asarray(rng.integers(0, cfg.n_vocab, (bsz, bprefill), dtype=np.int64))
     blogits, bcache = bfwd(params, bcache, embed(params, btokens), jnp.int32(0))
     bdl = jax.jit(
         lambda p, c, l0, pos0, key: llama_mod.decode_loop(
@@ -375,7 +376,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         ),
         donate_argnums=(1,),
     )
-    bpos = jnp.full((bsz,), prefill_len, jnp.int32)  # per-batch cursor path
+    bpos = jnp.full((bsz,), bprefill, jnp.int32)  # per-batch cursor path
     btoks, blogits, bcache = bdl(params, bcache, blogits, bpos, key)
     sync(btoks)  # compile
     t0 = time.perf_counter()

@@ -168,3 +168,28 @@ def build_tiny_models(tmp_path, quant: DataType | None = None, seed: int = 42):
     model = build_container(tmp_path / "minigpt4-tiny.bin", rng, quant)
     llm = build_llm(tmp_path / "vicuna-tiny.bin", rng, quant)
     return model, llm
+
+
+def ensure_capi_lib():
+    """Build build_capi/libminigpt4.so if missing (build artifacts are not
+    committed).  Returns the library path, or None if it cannot be built."""
+    import subprocess
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    lib = root / "build_capi" / "libminigpt4.so"
+    if lib.exists():
+        return lib
+    try:
+        subprocess.run(
+            ["cmake", "-S", str(root / "minigpt4_tpu" / "c_api"), "-B",
+             str(root / "build_capi"), "-DCMAKE_BUILD_TYPE=Release"],
+            check=True, capture_output=True, timeout=300,
+        )
+        subprocess.run(
+            ["cmake", "--build", str(root / "build_capi"), "-j"],
+            check=True, capture_output=True, timeout=300,
+        )
+    except Exception:
+        return None
+    return lib if lib.exists() else None

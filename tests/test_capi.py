@@ -10,7 +10,9 @@ import pytest
 
 from fixtures import build_tiny_models
 
-LIB = Path(__file__).parent.parent / "build_capi" / "libminigpt4.so"
+from fixtures import ensure_capi_lib
+
+LIB = ensure_capi_lib() or Path(__file__).parent.parent / "build_capi" / "libminigpt4.so"
 
 pytestmark = pytest.mark.skipif(not LIB.exists(), reason="libminigpt4.so not built")
 

@@ -15,7 +15,9 @@ import pytest
 
 from fixtures import build_tiny_models
 
-LIB = Path(__file__).parent.parent / "build_capi" / "libminigpt4.so"
+from fixtures import ensure_capi_lib
+
+LIB = ensure_capi_lib() or Path(__file__).parent.parent / "build_capi" / "libminigpt4.so"
 REF_BINDINGS = Path("/root/reference/minigpt4/minigpt4_library.py")
 
 pytestmark = pytest.mark.skipif(

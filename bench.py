@@ -58,12 +58,20 @@ def run_single(model: str) -> int:
     value = round(dec["decode_tok_s"], 2)
     extras = {k: round(v, 2) for k, v in {**dec, **enc}.items()}
     print(f"[bench] details: {json.dumps(extras)}", file=sys.stderr)
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": value,
         "unit": "tok/s",
         "vs_baseline": round(value / 30.0, 3),
-    }))
+    }
+    # single-stream is the headline (the reference is single-stream); the
+    # batched-serving aggregate rides along for context
+    if "decode_tok_s_batched_aggregate" in dec:
+        line["batched_aggregate_tok_s"] = round(dec["decode_tok_s_batched_aggregate"], 2)
+        line["batch"] = dec.get("decode_batch")
+    if "encode_ms_p50" in enc:
+        line["encode_ms_p50"] = round(enc["encode_ms_p50"], 2)
+    print(json.dumps(line))
     return 0
 
 

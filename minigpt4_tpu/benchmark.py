@@ -379,15 +379,17 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     bpos = jnp.full((bsz,), bprefill, jnp.int32)  # per-batch cursor path
     btoks, blogits, bcache = bdl(params, bcache, blogits, bpos, key)
     sync(btoks)  # compile
+    # decode must stay inside the session context
+    n_b = min(n_fused, (bcfg.n_ctx - bprefill - 2 * chunk) // chunk * chunk)
     t0 = time.perf_counter()
     done = 0
-    while done < n_fused:
+    while done < n_b:
         btoks, blogits, bcache = bdl(params, bcache, blogits, bpos + chunk + done, key)
         sync(btoks)
         done += chunk
     dt_b = time.perf_counter() - t0
     out["decode_batch"] = bsz
-    out["decode_tok_s_batched_aggregate"] = bsz * n_fused / dt_b
+    out["decode_tok_s_batched_aggregate"] = bsz * n_b / dt_b
     return out
 
 

@@ -106,6 +106,8 @@ class SessionPool:
         self.cache_dtype = self.engine.cache["k"].dtype
         self.seed = seed
         self._lock = threading.Lock()
+        self._metrics_lock = threading.Lock()  # counters race across streams
+        self._batch_key = jax.random.PRNGKey(seed ^ 0x5F5E100)
         self._next_id = 0
         self._sessions: dict[int, ChatSession] = {}
         # serving metrics (the reference logs phase timers + memory only;
@@ -120,6 +122,10 @@ class SessionPool:
         # every session (bucketed prefill + fused decode compile once)
         self.fns = self.engine.step_fns_for(session_ctx)
 
+    def _bump(self, name: str, by: int = 1) -> None:
+        with self._metrics_lock:
+            self.metrics[name] += by
+
     # -- session lifecycle --
     def new_session(self) -> ChatSession:
         with self._lock:
@@ -127,7 +133,7 @@ class SessionPool:
             self._next_id += 1
             s = ChatSession(self, sid, self.session_ctx, self.seed + sid)
             self._sessions[sid] = s
-            self.metrics["sessions_created"] += 1
+            self.metrics["sessions_created"] += 1  # under self._lock
             return s
 
     def _release(self, s: ChatSession) -> None:
@@ -136,12 +142,12 @@ class SessionPool:
     # -- shared device ops (dispatch under the lock) --
     def encode_image(self, pixels: np.ndarray) -> np.ndarray:
         with self._lock:
-            self.metrics["images_encoded"] += 1
+            self.metrics["images_encoded"] += 1  # under self._lock
             return self.engine.encode_image(pixels)
 
     def _add_tokens(self, s: ChatSession, tokens: list[int]) -> None:
         with self._lock:
-            self.metrics["tokens_prefilled"] += len(tokens)
+            self.metrics["tokens_prefilled"] += len(tokens)  # under self._lock
             self.fns.add_tokens(
                 self.engine.llm_params, s.state, tokens, self.engine.n_batch
             )
@@ -192,7 +198,7 @@ class SessionPool:
             self.fns, self.engine.llm_params, s.state, self.engine.tokenizer,
             limit, params, dispatch_lock=self._lock,
         ):
-            self.metrics["tokens_generated"] += 1
+            self._bump("tokens_generated")
             yield token
 
     def generate_batch(
@@ -212,7 +218,7 @@ class SessionPool:
     def generate_batch_stream(
         self,
         sessions: list[ChatSession],
-        limit: int = 256,
+        limit: int | list[int] = 256,
         params: SamplingParams | None = None,
         decode_chunk: int = 16,
     ):
@@ -252,23 +258,34 @@ class SessionPool:
             logits = jnp.stack([s.state.logits_dev for s in sessions])
             pos = jnp.asarray([s.n_past for s in sessions], jnp.int32)
 
+        limits = [limit] * n if isinstance(limit, int) else list(limit)
+        n_ctx = self.fns.cfg.n_ctx
         chat = [""] * n  # full text incl. "##" tokens, for EOS detection
-        done = [False] * n
         emitted = [0] * n
         ends = [s.n_past for s in sessions]
-        max_pos = max(int(p) for p in np.asarray(pos))
-        key = jax.random.PRNGKey(self.seed)
+        pos_host = np.asarray(pos).copy()
+        # a session too close to its context end stops individually — it must
+        # not halt or truncate the REST of the group (its writes are clamped
+        # to a safe window; slots past its cursor are unreachable by the mask)
+        done = [ends[i] + decode_chunk > n_ctx for i in range(n)]
+        pos_host = np.minimum(pos_host, n_ctx - decode_chunk)
+        with self._lock:
+            key, self._batch_key = jax.random.split(self._batch_key)
         try:
-            while not all(done) and max_pos + decode_chunk <= self.fns.cfg.n_ctx:
+            while not all(done):
+                max_pos = int(pos_host.max())
                 key, sub = jax.random.split(key)
                 with self._lock:
                     tokens, logits, cache = self.fns.decode_loop(
-                        self.engine.llm_params, cache, logits, pos, sub, scfg,
+                        self.engine.llm_params, cache, logits,
+                        jnp.asarray(pos_host), sub, scfg,
                         decode_chunk, self.fns.attn_bucket(max_pos + decode_chunk),
                     )
                     token_ids = np.asarray(tokens)
-                pos = pos + decode_chunk
-                max_pos += decode_chunk
+                for i in range(n):
+                    if not done[i]:
+                        pos_host[i] = min(pos_host[i] + decode_chunk,
+                                          n_ctx - decode_chunk)
                 updates: list[tuple[int, str]] = []
                 for i in range(n):
                     if done[i]:
@@ -278,9 +295,9 @@ class SessionPool:
                         chat[i] += token
                         emitted[i] += 1
                         ends[i] += 1  # this token WAS evaluated
-                        self.metrics["tokens_generated"] += 1
+                        self._bump("tokens_generated")
                         if token == EOS_TOKEN_SUFFIX:
-                            if emitted[i] >= limit:
+                            if emitted[i] >= limits[i]:
                                 done[i] = True
                                 break
                             continue
@@ -288,9 +305,11 @@ class SessionPool:
                             done[i] = True
                             break
                         updates.append((i, token))
-                        if emitted[i] >= limit:
+                        if emitted[i] >= limits[i]:
                             done[i] = True
                             break
+                    if ends[i] + decode_chunk > n_ctx:
+                        done[i] = True  # out of context: stop this one only
                 yield updates
         finally:
             # split the batch back into the sessions, rolling back overshoot

@@ -121,7 +121,8 @@ def _blockwise_attention(q, ks, vs, pos0, scale):
     kb = ks.reshape(b, h, nblk, blk, dh).transpose(2, 0, 1, 3, 4)
     vb = vs.reshape(b, h, nblk, blk, dh).transpose(2, 0, 1, 3, 4)
     qf = q.astype(jnp.float32) * scale
-    q_pos = pos0 + jnp.arange(s)
+    batched_pos = jnp.ndim(pos0) == 1  # per-batch cursors
+    q_pos = (pos0[:, None] if batched_pos else pos0) + jnp.arange(s)
 
     def body(carry, blk_in):
         m, l, acc, c0 = carry
@@ -132,9 +133,9 @@ def _blockwise_attention(q, ks, vs, pos0, scale):
         )
         key_pos = c0 + jnp.arange(blk)
         mask = jnp.where(
-            key_pos[None, :] <= q_pos[:, None], 0.0, NEG_INF
-        )  # padded tail rows are masked too (key_pos >= c > pos0 + s)
-        sc = sc + mask[None, None]
+            key_pos <= q_pos[..., None], 0.0, NEG_INF
+        )  # [S, blk] | [B, S, blk]; padded tail keys mask out (key_pos > pos)
+        sc = sc + (mask[:, None] if batched_pos else mask[None, None])
         m_new = jnp.maximum(m, sc.max(axis=-1, keepdims=True))
         pp = jnp.exp(sc - m_new)
         alpha = jnp.exp(m - m_new)

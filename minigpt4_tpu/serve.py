@@ -77,23 +77,37 @@ class _Batcher:
                     group.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            sessions = [g[0] for g in group]
-            limit = max(g[1] for g in group)
-            params = group[0][2]  # one sampler config per group
-            outs = [g[3] for g in group]
-            emitted = [0] * len(group)
-            try:
-                for updates in self.pool.generate_batch_stream(
-                    sessions, limit=limit, params=params
-                ):
-                    for i, token in updates:
-                        if emitted[i] < group[i][1]:
-                            outs[i].put(token)
-                            emitted[i] += 1
-            except Exception:
-                pass
-            for out in outs:
-                out.put(self._DONE)
+            # only identical sampler configs may share a batched decode; the
+            # rest re-queue for their own group
+            params = group[0][2]
+            same = [g for g in group if g[2] == params]
+            for g in group:
+                if g[2] != params:
+                    self._q.put(g)
+            self._decode_group(same, params)
+
+    def _decode_group(self, group, params) -> None:
+        sessions = [g[0] for g in group]
+        limits = [g[1] for g in group]
+        outs = [g[3] for g in group]
+        try:
+            for updates in self.pool.generate_batch_stream(
+                sessions, limit=limits, params=params
+            ):
+                for i, token in updates:
+                    outs[i].put(token)
+        except Exception as e:
+            import sys
+
+            print(f"[serve] batched decode failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            err = e
+        else:
+            err = None
+        for out in outs:
+            if err is not None:
+                out.put(err)  # token_iter re-raises -> 500 for non-streamed
+            out.put(self._DONE)
 
 
 class _Server:
@@ -194,6 +208,8 @@ def make_handler(srv: _Server):
                             tok = out.get()
                             if tok is _Batcher._DONE:
                                 return
+                            if isinstance(tok, Exception):
+                                raise tok
                             yield tok
                     else:
                         yield from s.generate(limit=limit, params=params)

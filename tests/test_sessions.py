@@ -133,3 +133,26 @@ def test_generate_batch_matches_individual(pool):
     assert all(isinstance(t, str) for t in more)
     for s in batch:
         s.close()
+
+
+def test_generate_batch_per_session_limits(pool):
+    """Per-session limits in one batch: the low-limit session stops at ITS
+    limit (state not polluted by hidden overshoot), the other continues."""
+    a = pool.new_session()
+    pool.begin_chat(a, "one")
+    b = pool.new_session()
+    pool.begin_chat(b, "two")
+
+    got = pool.generate_batch([a, b], limit=[2, 8],
+                              params=SamplingParams(temp=0.0), decode_chunk=4)
+
+    # references decoded individually
+    wa = pool.new_session(); pool.begin_chat(wa, "one")
+    wb = pool.new_session(); pool.begin_chat(wb, "two")
+    want_a = "".join(wa.generate(limit=2, params=SamplingParams(temp=0.0)))
+    want_b = "".join(wb.generate(limit=8, params=SamplingParams(temp=0.0)))
+    assert got == [want_a, want_b]
+    # cursors match the individually-decoded sessions (no hidden overshoot)
+    assert a.n_past == wa.n_past and b.n_past == wb.n_past
+    for s in (a, b, wa, wb):
+        s.close()

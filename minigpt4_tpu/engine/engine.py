@@ -238,6 +238,18 @@ class StepFns:
         return token_ids
 
 
+def _rollback(st: DecodeState, n: int) -> None:
+    """Rewind ``n`` overshoot evaluations after an EOS/limit stop.  The
+    pending logits belong to the rolled-back continuation, so they are
+    INVALIDATED rather than left to be sampled against the rewound cursor
+    (the next begin_chat/prefill installs fresh logits; sampling before that
+    now fails loudly instead of silently diverging)."""
+    if n > 0:
+        st.n_past -= n
+        st.logits_dev = None
+        st.logits_host = None
+
+
 def generate_stream(
     fns: StepFns,
     params,
@@ -290,16 +302,16 @@ def generate_stream(
             stop = emitted >= limit
             if token == EOS_TOKEN_SUFFIX:
                 if stop:
-                    st.n_past -= len(token_ids) - j - 1
+                    _rollback(st, len(token_ids) - j - 1)
                     return
                 continue
             if chat.endswith(EOS_SUFFIX):
                 # roll back evals past the stopping token
-                st.n_past -= len(token_ids) - j - 1
+                _rollback(st, len(token_ids) - j - 1)
                 return
             yield token
             if stop:
-                st.n_past -= len(token_ids) - j - 1
+                _rollback(st, len(token_ids) - j - 1)
                 return
 
 
@@ -407,6 +419,7 @@ class MiniGPT4Engine:
             d = self.llm_cfg.n_embd
             emb_dtype = self.llm_params["tok_embeddings"].dtype  # real prefill dtype
             cache = llama_mod.init_cache(self.llm_cfg, self.batch, self.cache["k"].dtype)
+            logits = jnp.zeros((self.batch, self.llm_cfg.n_vocab), jnp.float32)
             for b in prefill_buckets:
                 if b > self.llm_cfg.n_ctx:
                     continue
@@ -417,6 +430,12 @@ class MiniGPT4Engine:
                 )
             for n in decode_chunks:
                 if n == 1:
+                    # the strict per-token path (add_tokens/end_chat/C ABI)
+                    tok = jnp.zeros((self.batch, 1), jnp.int32)
+                    _, cache = self._fns.decode_step(
+                        self.llm_params, cache, tok, jnp.int32(0),
+                        self._fns.attn_bucket(1),
+                    )
                     continue
                 _, _, cache = self._fns.decode_loop(
                     self.llm_params, cache, logits, jnp.int32(0),
@@ -467,9 +486,12 @@ class MiniGPT4Engine:
 
     def add_embedding(self, embedding: np.ndarray) -> None:
         """Inject raw embedding rows as pseudo-tokens (llama_eval_embd
-        analogue, minigpt4.cpp:2399-2422)."""
+        analogue, minigpt4.cpp:2399-2422).  Cast to the token-embedding dtype
+        so the image chunk reuses the token-prefill compilation (and doesn't
+        silently upcast the whole chunk to f32 under bf16 compute)."""
         emb = np.asarray(embedding, np.float32).reshape(1, -1, self.llm_cfg.n_embd)
-        self._prefill_embeds(jnp.asarray(emb))
+        dtype = self.llm_params["tok_embeddings"].dtype
+        self._prefill_embeds(jnp.asarray(emb, dtype))
 
     # ------------------------------------------------------------------
     # sampling / decode

@@ -231,7 +231,12 @@ class SessionPool:
         Sessions may sit at different cursors (per-batch positions flow
         through RoPE/cache-writes/attention).  Static batching: decoding
         runs until every session has hit EOS or ``limit``; finished sessions
-        ride along with their overshoot rolled back afterwards.  Device
+        ride along with their overshoot rolled back afterwards.  Sessions
+        without room for a decode chunk are excluded up front (empty
+        stream); if an ACTIVE session exhausts its context mid-stream the
+        whole group stops — a frozen lane would have to keep writing
+        somewhere, and every remaining slot of a full session is live
+        (callers size session_ctx so this is the rare path).  Device
         sampling only (no mirostat).
 
         Yields, once per decode chunk, a list of (session_index, token)
@@ -249,43 +254,44 @@ class SessionPool:
             temp=params.temp, top_k=params.top_k, top_p=params.top_p,
             tfs_z=params.tfs_z, typical_p=params.typical_p,
         )
-        n = len(sessions)
+        limits_all = [limit] * len(sessions) if isinstance(limit, int) else list(limit)
+        n_ctx = self.fns.cfg.n_ctx
+        # only sessions with room for at least one chunk join the batch
+        act = [i for i, s in enumerate(sessions) if s.n_past + decode_chunk <= n_ctx]
+        if not act:
+            return
+        batch = [sessions[i] for i in act]
+        limits = [limits_all[i] for i in act]
+        n = len(batch)
         with self._lock:
             cache = {
-                kv: jnp.concatenate([s.state.cache[kv] for s in sessions], axis=1)
+                kv: jnp.concatenate([s.state.cache[kv] for s in batch], axis=1)
                 for kv in ("k", "v")
             }
-            logits = jnp.stack([s.state.logits_dev for s in sessions])
-            pos = jnp.asarray([s.n_past for s in sessions], jnp.int32)
+            logits = jnp.stack([s.state.logits_dev for s in batch])
+            key, self._batch_key = jax.random.split(self._batch_key)
 
-        limits = [limit] * n if isinstance(limit, int) else list(limit)
-        n_ctx = self.fns.cfg.n_ctx
         chat = [""] * n  # full text incl. "##" tokens, for EOS detection
         emitted = [0] * n
-        ends = [s.n_past for s in sessions]
-        pos_host = np.asarray(pos).copy()
-        # a session too close to its context end stops individually — it must
-        # not halt or truncate the REST of the group (its writes are clamped
-        # to a safe window; slots past its cursor are unreachable by the mask)
-        done = [ends[i] + decode_chunk > n_ctx for i in range(n)]
-        pos_host = np.minimum(pos_host, n_ctx - decode_chunk)
-        with self._lock:
-            key, self._batch_key = jax.random.split(self._batch_key)
+        ends = [s.n_past for s in batch]
+        pos_host = np.asarray([s.n_past for s in batch], np.int64)
+        done = [False] * n
         try:
             while not all(done):
                 max_pos = int(pos_host.max())
+                if max_pos + decode_chunk > n_ctx:
+                    break  # an active lane is out of context: stop the group
                 key, sub = jax.random.split(key)
                 with self._lock:
                     tokens, logits, cache = self.fns.decode_loop(
                         self.engine.llm_params, cache, logits,
-                        jnp.asarray(pos_host), sub, scfg,
+                        jnp.asarray(pos_host, jnp.int32), sub, scfg,
                         decode_chunk, self.fns.attn_bucket(max_pos + decode_chunk),
                     )
                     token_ids = np.asarray(tokens)
-                for i in range(n):
-                    if not done[i]:
-                        pos_host[i] = min(pos_host[i] + decode_chunk,
-                                          n_ctx - decode_chunk)
+                pos_host += decode_chunk  # done lanes keep decoding in their
+                # own overshoot region [ends, pos) — unreachable by the mask
+                # and overwritten by the session's next prefill before reads
                 updates: list[tuple[int, str]] = []
                 for i in range(n):
                     if done[i]:
@@ -304,22 +310,23 @@ class SessionPool:
                         if chat[i].endswith(EOS_SUFFIX):
                             done[i] = True
                             break
-                        updates.append((i, token))
+                        updates.append((act[i], token))  # caller-order index
                         if emitted[i] >= limits[i]:
                             done[i] = True
                             break
-                    if ends[i] + decode_chunk > n_ctx:
-                        done[i] = True  # out of context: stop this one only
                 yield updates
         finally:
             # split the batch back into the sessions, rolling back overshoot
             # — also on early generator close, so session state never points
-            # at the pre-batch caches
+            # at the pre-batch caches.  Rolled-back sessions get their
+            # pending logits invalidated (they belong to the overshoot
+            # continuation); the next prefill installs fresh ones.
             with self._lock:
-                for i, s in enumerate(sessions):
+                for i, s in enumerate(batch):
                     s.state.cache = {kv: cache[kv][:, i : i + 1] for kv in ("k", "v")}
+                    rolled_back = ends[i] != int(pos_host[i])
                     s.state.n_past = ends[i]
-                    s.state.logits_dev = logits[i]
+                    s.state.logits_dev = None if rolled_back else logits[i]
                     s.state.logits_host = None
 
     def close(self) -> None:

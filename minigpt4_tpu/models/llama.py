@@ -481,19 +481,49 @@ def load_params(
             "w2": lin(pfx + "feed_forward.w2.weight"),
             "w3": lin(pfx + "feed_forward.w3.weight"),
         }
-        # fuse qkv and gate/up along the output axis when representations
-        # match: one kernel call instead of three/two (see _layer)
-        qkv = _fuse_linears([lp["wq"], lp["wk"], lp["wv"]])
-        if qkv is not None:
-            lp["wqkv"] = qkv
-            del lp["wq"], lp["wk"], lp["wv"]
-        w13 = _fuse_linears([lp["w1"], lp["w3"]])
-        if w13 is not None:
-            lp["w13"] = w13
-            del lp["w1"], lp["w3"]
         layers.append(lp)
-    params["layers"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+    # fuse qkv and gate/up along the output axis when representations match:
+    # one kernel call instead of three/two (see _layer).  ALL layers must
+    # fuse (same fused aux) or none do — per-layer fusion would give layers
+    # different key sets and break the stacked pytree (K_M-style files mix
+    # quant formats across layers: llama.cpp quantizes some wv/w2 to q6_k)
+    for fused_name, part_names in (("wqkv", ("wq", "wk", "wv")),
+                                   ("w13", ("w1", "w3"))):
+        fused = [_fuse_linears([lp[n] for n in part_names]) for lp in layers]
+        if all(f is not None for f in fused) and all(
+            _same_static(f["w"], fused[0]["w"]) for f in fused
+        ):
+            for lp, f in zip(layers, fused):
+                lp[fused_name] = f
+                for n in part_names:
+                    del lp[n]
+
+    params["layers"] = _stack_layers(layers)
     return params, cfg
+
+
+def _same_static(a, b) -> bool:
+    """Same pytree static structure (stacking compatibility)."""
+    return jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)
+
+
+def _stack_layers(layers: list[dict]) -> dict:
+    """Stack per-layer params into [L, ...] arrays; a name whose per-layer
+    representations differ (mixed quant formats in K_M-style ggml files —
+    different RepackedQuant/QTensor static aux is a different pytree
+    structure) stays as a per-layer LIST, indexed statically by the unrolled
+    layer loop (models/params.linear)."""
+    out: dict = {}
+    for name in layers[0]:
+        vals = [lp[name] for lp in layers]
+        if all(_same_static(v, vals[0]) for v in vals):
+            out[name] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *vals)
+        elif isinstance(vals[0], dict) and "w" in vals[0]:
+            out[name] = {"w": [v["w"] for v in vals]}
+        else:
+            out[name] = vals
+    return out
 
 
 def _fuse_linears(ps: list[dict]):

@@ -89,6 +89,13 @@ def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     from ..ops.repack import RepackedQuant
 
     w = p["w"]
+    if isinstance(w, list):
+        # heterogeneous per-layer representations (mixed-quant K_M files):
+        # statically indexed by the unrolled layer loop
+        if not isinstance(layer, int):
+            raise TypeError("per-layer weight list requires a static layer index")
+        w = w[layer]
+        layer = None
     if isinstance(w, RepackedQuant):
         from ..ops.pallas_quant_matmul import qmatmul_repacked
 

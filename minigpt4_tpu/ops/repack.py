@@ -75,8 +75,9 @@ class RepackedQuant:
 
     @property
     def n_out(self) -> int:
-        n = self.codes.shape[-2]
-        return 2 * n if self.code_bits == 4 else n
+        # scales always carry one row per logical output row; codes may hold
+        # one zero-padded row when n_out is odd (row-pair packing)
+        return self.scales.shape[-2]
 
 
 def _f16(b: np.ndarray) -> np.ndarray:
@@ -276,12 +277,12 @@ def repack(
     q, scales, mins, gs = _decode_codes_scales(np.ascontiguousarray(raw, np.uint8), shape, dtype)
     code_bits, hi_bits = _LAYOUT[dtype]
     if code_bits == 4:
-        if n % 2:
-            raise ValueError(f"row-pair packing needs even n_out, got {n}")
         q = _tile_permute(q.astype(np.uint8), gs)
+        if n % 2:  # odd n_out (e.g. vicuna-v0's 32001 vocab): zero-pad a row
+            q = np.concatenate([q, np.zeros((1, k), q.dtype)], axis=0)
         codes = _pack_nibbles_rowpair(q & 0x0F)
         if hi_bits:
-            hi = _pack_bits_tilemajor((q >> 4).astype(np.uint8), hi_bits)
+            hi = _pack_bits_tilemajor((q[:n] >> 4).astype(np.uint8), hi_bits)
         else:
             hi = None
     else:
@@ -372,9 +373,11 @@ def dequantize_repacked(rq: RepackedQuant, out_dtype=jnp.float32) -> jnp.ndarray
     *original* (ggml) K order; used for testing and as a fallback."""
     k = rq.n_in
     if rq.code_bits == 4:
-        lo = (rq.codes & 0x0F).astype(jnp.int32)  # [..., N/2, K] -> rows 2r
+        lo = (rq.codes & 0x0F).astype(jnp.int32)  # [..., ceil(N/2), K] rows 2r
         hi4 = (rq.codes >> 4).astype(jnp.int32)  # -> rows 2r+1
-        q = jnp.stack([lo, hi4], axis=-2).reshape(*rq.codes.shape[:-2], rq.n_out, k)
+        rows = 2 * rq.codes.shape[-2]
+        q = jnp.stack([lo, hi4], axis=-2).reshape(*rq.codes.shape[:-2], rows, k)
+        q = q[..., : rq.n_out, :]  # drop the odd-N zero-pad row
     else:
         q = rq.codes.astype(jnp.int32)
     s = rq.k_shards

@@ -47,6 +47,9 @@ def _linear_sharding(mesh: Mesh, p: dict, kind: str, stacked: bool) -> dict:
 
     w = p["w"]
     out: dict = {}
+    if isinstance(w, list):
+        # heterogeneous per-layer formats (mixed-quant files): replicate
+        return _rep_tree(mesh, p)
     if isinstance(w, RepackedQuant):
         # TPU-plane weights: column (N) sharding splits every plane's -2
         # axis.  Row (K) sharding needs the per-shard repack + shard_map

@@ -57,11 +57,23 @@ def _rq_specs(w: RepackedQuant, axes) -> RepackedQuant:
     )
 
 
+def _rep_specs_any(x):
+    if isinstance(x, RepackedQuant):
+        return _rq_specs(x, (None,) * x.codes.ndim)
+    if isinstance(x, QTensor):
+        return QTensor(P(*((None,) * x.packed.ndim)), x.dtype, x.n_in)
+    return P()
+
+
 def _linear_specs(p: dict, kind: str, stacked: bool, tp: int):
     """kind: 'col' | 'row' | 'rep' (forced replication)."""
     lead = (None,) if stacked else ()
     w = p["w"]
     out = {}
+    if isinstance(w, list):
+        # heterogeneous per-layer formats (mixed-quant files): replicate
+        return {"w": [_rep_specs_any(x) for x in w],
+                **({"b": P()} if "b" in p else {})}
     if isinstance(w, RepackedQuant):
         if kind == "col" and w.n_out % (2 * tp) == 0:
             out["w"] = _rq_specs(w, (*lead, "tp", None))

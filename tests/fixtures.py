@@ -193,3 +193,45 @@ def ensure_capi_lib():
     except Exception:
         return None
     return lib if lib.exists() else None
+
+
+def build_llm_mixed(path, rng: np.random.Generator):
+    """Tiny ggjt llama with DIFFERENT quant formats per layer for the same
+    tensor name (wv: q8_0 on layer 0, q4_0 on layer 1) — the K_M-style mixed
+    file shape."""
+    hp = LlamaHParams(
+        n_vocab=VOCAB, n_embd=LLM_D, n_mult=LLM_FF, n_head=LLM_HEADS,
+        n_layer=LLM_LAYERS, n_rot=LLM_D // LLM_HEADS, ftype=0,
+    )
+    toks = [b"<unk>", b"<s>", b"</s>"] + [bytes([b]) for b in range(256)]
+    toks += [b" Human", b" Assistant", b"###"]
+    vocab = LlamaVocab(tokens=toks, scores=[0.0] * 259 + [1.0, 1.0, 2.0])
+    w = LlamaFileWriter(path, hp, vocab)
+
+    def n(*shape, scale=0.05):
+        return rng.normal(0, scale, shape).astype(np.float32)
+
+    def add(name, arr, q=None):
+        if q is not None and arr.size % 256 == 0:
+            w.add_tensor(name, arr.shape, q, quants.quantize(arr.reshape(-1), q))
+        else:
+            a = np.ascontiguousarray(arr, np.float32).astype("<f4")
+            w.add_tensor(name, a.shape, DataType.F32, a.view(np.uint8).reshape(-1))
+
+    add("tok_embeddings.weight", n(VOCAB, LLM_D, scale=0.2))
+    add("norm.weight", 1 + n(LLM_D))
+    add("output.weight", n(VOCAB, LLM_D, scale=0.2))
+    wv_quants = [DataType.Q8_0, DataType.Q4_0]
+    for i in range(LLM_LAYERS):
+        p = f"layers.{i}."
+        add(p + "attention_norm.weight", 1 + n(LLM_D))
+        add(p + "attention.wq.weight", n(LLM_D, LLM_D))
+        add(p + "attention.wk.weight", n(LLM_D, LLM_D))
+        add(p + "attention.wv.weight", n(LLM_D, LLM_D), q=wv_quants[i % 2])
+        add(p + "attention.wo.weight", n(LLM_D, LLM_D))
+        add(p + "ffn_norm.weight", 1 + n(LLM_D))
+        add(p + "feed_forward.w1.weight", n(LLM_FF, LLM_D))
+        add(p + "feed_forward.w2.weight", n(LLM_D, LLM_FF), q=wv_quants[(i + 1) % 2])
+        add(p + "feed_forward.w3.weight", n(LLM_FF, LLM_D))
+    w.write()
+    return path

@@ -203,3 +203,33 @@ def test_quantized_weights_load_and_run(tmp_path):
     corr = np.corrcoef(got, want)[0, 1]
     assert corr > 0.98, f"quantized logits decorrelated: {corr}"
     assert np.all(np.isfinite(got))
+
+
+def test_mixed_quant_layers_load_and_run(tmp_path):
+    """K_M-style ggml files mix quant formats across layers (llama.cpp puts
+    q6_k on some wv/w2); heterogeneous names fall back to per-layer lists
+    (statically indexed) while uniform names stack."""
+    import numpy as np
+
+    from fixtures import LLM_D, VOCAB, build_llm_mixed
+    from minigpt4_tpu.formats import LlamaFileReader
+    from minigpt4_tpu.models import llama as llama_mod
+
+    path = build_llm_mixed(tmp_path / "mixed.bin", np.random.default_rng(3))
+
+    outs = {}
+    for mode in ("repack", "qtensor"):
+        with LlamaFileReader(path) as r:
+            params, cfg = llama_mod.load_params(r, n_ctx=64, quant_mode=mode)
+        # wv heterogeneous -> per-layer list; wq uniform f32 -> stacked dense
+        assert isinstance(params["layers"]["wv"]["w"], list)
+        assert not isinstance(params["layers"]["wq"]["w"], list)
+        cache = llama_mod.init_cache(cfg, batch=1)
+        emb = llama_mod.embed_tokens(
+            params, jnp.asarray(np.array([[1, 5, 9]], np.int32))
+        )
+        logits, _ = llama_mod.forward(params, cache, emb, jnp.int32(0), cfg,
+                                      use_flash=False)
+        outs[mode] = np.asarray(logits)
+    corr = np.corrcoef(outs["repack"].ravel(), outs["qtensor"].ravel())[0, 1]
+    assert corr > 0.999

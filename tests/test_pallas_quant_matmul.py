@@ -148,3 +148,23 @@ def test_stacked_repacked_scan_slicing():
     total, _ = jax.lax.scan(body, jnp.float32(0), stacked)
     want = sum(float((np.asarray(x) @ w.T).sum()) for w in ws)
     np.testing.assert_allclose(float(total), want, rtol=2e-2)
+
+
+def test_odd_n_out():
+    """Odd output dims (vicuna-v0's 32001-token vocab head) repack with a
+    zero-padded codes row and compute correctly."""
+    rng = np.random.default_rng(5)
+    for dt in (DataType.Q4_0, DataType.Q5_K, DataType.Q8_0):
+        N, K = 9, 512
+        w = rng.normal(0, 1, (N, K)).astype(np.float32)
+        raw = quants.quantize(w.reshape(-1), dt)
+        wd = quants.dequantize(raw, dt).reshape(N, K)
+        rq = rp.repack(raw, (N, K), dt, plane_dtype=jnp.float32)
+        assert rq.n_out == N
+        np.testing.assert_array_equal(np.asarray(rp.dequantize_repacked(rq)), wd,
+                                      err_msg=traits(dt).name)
+        x = rng.normal(0, 1, (2, K)).astype(np.float32)
+        got = np.asarray(qmatmul_repacked(jnp.asarray(x), rq, out_dtype=jnp.float32))
+        want = x @ wd.T
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert err < BF16_TOL, f"{traits(dt).name}: rel err {err:.2e}"

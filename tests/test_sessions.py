@@ -156,3 +156,28 @@ def test_generate_batch_per_session_limits(pool):
     assert a.n_past == wa.n_past and b.n_past == wb.n_past
     for s in (a, b, wa, wb):
         s.close()
+
+
+def test_generate_batch_context_end_safety(pool):
+    """A session without room for a decode chunk yields an empty stream and
+    its LIVE state is untouched; an active session exhausting its context
+    stops the group with correct state (no cache corruption)."""
+    near = pool.new_session()
+    pool.begin_chat(near, "fill")
+    # artificially move the cursor near the context end
+    near.state.n_past = pool.fns.cfg.n_ctx - 3
+
+    fresh = pool.new_session()
+    pool.begin_chat(fresh, "hello")
+    want = "".join(fresh.generate(limit=6, params=SamplingParams(temp=0.0)))
+    # regenerate the same prompt on another fresh session inside a batch with
+    # the near-full one
+    fresh2 = pool.new_session()
+    pool.begin_chat(fresh2, "hello")
+    got = pool.generate_batch([near, fresh2], limit=6,
+                              params=SamplingParams(temp=0.0), decode_chunk=4)
+    assert got[0] == ""  # no room: excluded, empty output
+    assert near.n_past == pool.fns.cfg.n_ctx - 3  # state untouched
+    assert got[1] == want
+    for s in (near, fresh, fresh2):
+        s.close()

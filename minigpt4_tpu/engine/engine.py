@@ -68,6 +68,10 @@ class DecodeState:
         self.logits_dev = None  # [V] on device
         self.logits_host: np.ndarray | None = None
         self.rng_key = jax.random.PRNGKey(seed)
+        # evaluated token ids, one per cache position (-1 sentinel for
+        # injected embedding rows) — the n-gram history speculative decode
+        # drafts from; invariant: len(tokens) == n_past
+        self.tokens: list[int] = []
 
     @property
     def logits(self) -> np.ndarray | None:
@@ -82,6 +86,7 @@ class DecodeState:
         self.n_past = 0
         self.logits_dev = None
         self.logits_host = None
+        self.tokens = []
 
     def save(self, path) -> None:
         """Checkpoint the decode state (KV cache + cursor + pending logits +
@@ -103,6 +108,7 @@ class DecodeState:
             logits=(np.asarray(self.logits_dev)
                     if self.logits_dev is not None else np.zeros(1, np.float32)),
             rng_key=np.asarray(self.rng_key),
+            tokens=np.asarray(self.tokens, np.int64),
         )
 
     def restore(self, path) -> None:
@@ -127,6 +133,10 @@ class DecodeState:
         self.logits_dev = jnp.asarray(z["logits"]) if bool(z["has_logits"]) else None
         self.logits_host = None
         self.rng_key = jnp.asarray(z["rng_key"])
+        if "tokens" in z.files:
+            self.tokens = [int(t) for t in z["tokens"]]
+        else:  # older checkpoints: sentinel history (no n-gram matches)
+            self.tokens = [-1] * self.n_past
 
 
 class StepFns:
@@ -161,6 +171,13 @@ class StepFns:
             static_argnums=(5, 6, 7),
             donate_argnums=(1,),
         )
+        self.spec_loop = jax.jit(
+            lambda p, c, l0, pos0, hist, n, k, attn_len: llama_mod.speculative_decode_loop(
+                p, c, l0, pos0, hist, n, k, cfg, attn_len=attn_len
+            ),
+            static_argnums=(5, 6, 7),
+            donate_argnums=(1,),
+        )
 
     def attn_bucket(self, needed: int) -> int:
         """Power-of-two attention window covering ``needed`` positions (the
@@ -171,14 +188,22 @@ class StepFns:
             b *= 2
         return min(b, self.cfg.n_ctx)
 
-    def prefill_embeds(self, params, st: DecodeState, embeds, n_batch: int) -> None:
+    def prefill_embeds(
+        self, params, st: DecodeState, embeds, n_batch: int,
+        token_ids: list[int] | None = None,
+    ) -> None:
         """Feed [1, S, D] embeddings in n_batch chunks with power-of-two
-        bucket padding per chunk (each bucket compiles once)."""
+        bucket padding per chunk (each bucket compiles once).
+
+        ``token_ids``: the ids these embeddings came from (recorded into the
+        speculative n-gram history); None = raw injected embeddings, recorded
+        as -1 sentinels."""
         s_total = embeds.shape[1]
         if st.n_past + s_total > self.cfg.n_ctx:
             raise ValueError(
                 f"context overflow: n_past {st.n_past} + {s_total} > {self.cfg.n_ctx}"
             )
+        st.tokens.extend(token_ids if token_ids is not None else [-1] * s_total)
         for off in range(0, s_total, n_batch):
             chunk = embeds[:, off : off + n_batch]
             s = chunk.shape[1]
@@ -217,11 +242,15 @@ class StepFns:
                 self.attn_bucket(st.n_past + 1),
             )
             st.n_past += 1
+            st.tokens.append(int(tokens[0]))
             st.logits_dev = logits[0]
             st.logits_host = None
             return
         arr = jnp.asarray(np.asarray(tokens, np.int32)[None])
-        self.prefill_embeds(params, st, self.embed(params, arr), n_batch)
+        self.prefill_embeds(
+            params, st, self.embed(params, arr), n_batch,
+            token_ids=[int(t) for t in tokens],
+        )
 
     def decode_chunk(self, params, st: DecodeState, n: int, scfg) -> np.ndarray:
         """Fused on-device decode of ``n`` tokens (ONE dispatch, one small
@@ -233,9 +262,36 @@ class StepFns:
         )
         token_ids = np.asarray(tokens[0])
         st.n_past += n
+        st.tokens.extend(int(t) for t in token_ids)
         st.logits_dev = final_logits[0]
         st.logits_host = None
         return token_ids
+
+    def decode_chunk_spec(self, params, st: DecodeState, n_passes: int,
+                          k_spec: int) -> np.ndarray:
+        """Speculative greedy decode: ``n_passes`` on-device verify passes of
+        width ``k_spec`` in ONE dispatch (llama.speculative_decode_loop).
+        Emits a VARIABLE number of tokens (n_passes..n_passes*k_spec) —
+        greedy-identical to the plain path, just more tokens per weight read.
+        Caller must ensure n_past + n_passes*k_spec <= n_ctx."""
+        c = self.cfg.n_ctx
+        hist = np.full((1, c), -1, np.int32)
+        hist[0, : st.n_past] = np.asarray(st.tokens, np.int32)
+        tokens, counts, final_logits, st.cache, _ = self.spec_loop(
+            params, st.cache, st.logits_dev[None], jnp.int32(st.n_past),
+            jnp.asarray(hist), n_passes, k_spec,
+            self.attn_bucket(st.n_past + n_passes * k_spec),
+        )
+        tok_host = np.asarray(tokens[0])  # [n_passes, k]
+        cnt_host = np.asarray(counts[0])  # [n_passes]
+        emitted = np.concatenate(
+            [tok_host[i, : cnt_host[i]] for i in range(n_passes)]
+        )
+        st.n_past += int(cnt_host.sum())
+        st.tokens.extend(int(t) for t in emitted)
+        st.logits_dev = final_logits[0]
+        st.logits_host = None
+        return emitted
 
 
 def _rollback(st: DecodeState, n: int) -> None:
@@ -246,6 +302,7 @@ def _rollback(st: DecodeState, n: int) -> None:
     now fails loudly instead of silently diverging)."""
     if n > 0:
         st.n_past -= n
+        del st.tokens[st.n_past :]
         st.logits_dev = None
         st.logits_host = None
 
@@ -259,6 +316,7 @@ def generate_stream(
     sparams: "SamplingParams",
     decode_chunk: int = 16,
     dispatch_lock=None,
+    speculative_k: int = 0,
 ):
     """Streaming fused-chunk decode with the reference's EOS logic
     (MiniGPT4ChatBot.generate, minigpt4_library.py:609-657) — shared by the
@@ -270,6 +328,13 @@ def generate_stream(
     positions >= n_past are unreachable by the causal mask).
     ``dispatch_lock`` (if given) is held around each device dispatch so
     concurrent sessions interleave at chunk granularity.
+
+    ``speculative_k`` > 1 enables greedy speculative decoding (n-gram
+    prompt-lookup drafting + on-device block verification,
+    llama.speculative_decode_loop) when the sampling mode is greedy: output
+    is token-for-token identical to the plain path, at 1x-kx the speed
+    (bandwidth-bound decode reads the weights once per verify pass of up to
+    k tokens).  Non-greedy sampling ignores the flag.
     """
     import contextlib
 
@@ -282,19 +347,34 @@ def generate_stream(
     lock = dispatch_lock if dispatch_lock is not None else contextlib.nullcontext()
     if st.logits_dev is None:
         return  # nothing evaluated yet: empty stream, like the per-token path
+    use_spec = speculative_k > 1 and scfg.greedy
     chat = ""
     emitted = 0
     while emitted < limit:
         # always decode a FULL chunk (one compile per (chunk, bucket));
         # overshoot past `limit` or EOS is rolled back via the cursor —
         # positions >= n_past are unreachable by the causal mask
-        n = decode_chunk
-        if st.n_past + n > fns.cfg.n_ctx:
-            n = fns.cfg.n_ctx - st.n_past
-            if n <= 0:
-                return
-        with lock:
-            token_ids = fns.decode_chunk(params, st, n, scfg)
+        token_ids = None
+        if use_spec:
+            k = speculative_k
+            passes = max(1, decode_chunk // k)
+            # worst-case advance must stay inside the context
+            while passes > 1 and st.n_past + passes * k > fns.cfg.n_ctx:
+                passes -= 1
+            if st.n_past + passes * k <= fns.cfg.n_ctx:
+                with lock:
+                    token_ids = fns.decode_chunk_spec(params, st, passes, k)
+            # else: no room for even one k-wide pass — plain tail chunk
+        if token_ids is None:
+            n = decode_chunk
+            if st.n_past + n > fns.cfg.n_ctx:
+                n = fns.cfg.n_ctx - st.n_past
+                if n <= 0:
+                    return
+            with lock:
+                token_ids = fns.decode_chunk(params, st, n, scfg)
+        # both paths return sequentially-evaluated tokens: the EOS scan and
+        # tail rollback below are path-independent
         for j, tid in enumerate(token_ids):
             token = tokenizer.id_to_str(int(tid))
             chat += token
@@ -329,10 +409,14 @@ class MiniGPT4Engine:
         batch: int = 1,
         quant_mode: str = "auto",
         matmul_precision: str | None = None,
+        speculative_k: int = 0,
     ):
         utils.set_verbosity(verbosity)
         self.n_batch = n_batch
         self.batch = batch
+        # default k for greedy speculative decoding in generate() (0 = off);
+        # greedy output is identical either way (llama.speculative_decode_loop)
+        self.speculative_k = speculative_k
         if matmul_precision:
             # 'highest' forces true-f32 MXU passes for f32 params — needed for
             # token-for-token greedy parity with the f16 CPU reference; the
@@ -441,6 +525,14 @@ class MiniGPT4Engine:
                     self.llm_params, cache, logits, jnp.int32(0),
                     jax.random.PRNGKey(0), DeviceSamplingConfig(temp=0.0), n,
                     self._fns.attn_bucket(n + 1),
+                )
+            if self.speculative_k > 1:
+                hist = jnp.full((self.batch, self.llm_cfg.n_ctx), -1, jnp.int32)
+                passes = max(1, 16 // self.speculative_k)
+                *_, cache, _ = self._fns.spec_loop(
+                    self.llm_params, cache, logits, jnp.int32(0), hist,
+                    passes, self.speculative_k,
+                    self._fns.attn_bucket(passes * self.speculative_k),
                 )
             vs = self.vision_cfg.vit.image_size
             self._encode(
@@ -580,6 +672,7 @@ class MiniGPT4Engine:
         limit: int = 1024,
         params: SamplingParams | None = None,
         decode_chunk: int = 16,
+        speculative_k: int | None = None,
     ):
         """Streaming generator over decode steps with the reference's EOS
         logic (MiniGPT4ChatBot.generate, minigpt4_library.py:609-657).
@@ -601,6 +694,8 @@ class MiniGPT4Engine:
         yield from generate_stream(
             self._fns, self.llm_params, self._st, self.tokenizer,
             limit, params, decode_chunk,
+            speculative_k=(self.speculative_k if speculative_k is None
+                           else speculative_k),
         )
 
     def _generate_stepwise(self, limit: int, params: SamplingParams):

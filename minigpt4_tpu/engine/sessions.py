@@ -197,6 +197,7 @@ class SessionPool:
         for token in generate_stream(
             self.fns, self.engine.llm_params, s.state, self.engine.tokenizer,
             limit, params, dispatch_lock=self._lock,
+            speculative_k=self.engine.speculative_k,
         ):
             self._bump("tokens_generated")
             yield token
@@ -301,6 +302,7 @@ class SessionPool:
                         chat[i] += token
                         emitted[i] += 1
                         ends[i] += 1  # this token WAS evaluated
+                        batch[i].state.tokens.append(int(tid))
                         self._bump("tokens_generated")
                         if token == EOS_TOKEN_SUFFIX:
                             if emitted[i] >= limits[i]:
@@ -326,6 +328,7 @@ class SessionPool:
                     s.state.cache = {kv: cache[kv][:, i : i + 1] for kv in ("k", "v")}
                     rolled_back = ends[i] != int(pos_host[i])
                     s.state.n_past = ends[i]
+                    del s.state.tokens[ends[i] :]  # overshoot history rollback
                     s.state.logits_dev = None if rolled_back else logits[i]
                     s.state.logits_host = None
 

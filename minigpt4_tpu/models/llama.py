@@ -424,6 +424,112 @@ def decode_loop(
     return tokens.T, final_logits, cache  # [B, n_steps]
 
 
+def _ngram_draft(hist: jnp.ndarray, pos: jnp.ndarray, t0: jnp.ndarray,
+                 k_draft: int, c: int) -> jnp.ndarray:
+    """Prompt-lookup draft: the ``k_draft`` tokens that followed the most
+    recent occurrence of the current bigram/trigram in the token history.
+
+    ``hist`` [C] i32 holds the evaluated token ids (sentinel -1 for injected
+    image-embedding rows, which can never match a real token id); ``pos`` is
+    the number of valid entries (n_past); ``t0`` is the just-sampled, not yet
+    evaluated token.  A trigram match is preferred over a bigram match; among
+    equal lengths the most recent wins.  With no match the slice is arbitrary
+    — verification rejects bad drafts, so a garbage draft costs nothing (the
+    verify pass is the same weight read as a 1-token step).
+    """
+    idx = jnp.arange(c)
+    t_prev = hist[jnp.maximum(pos - 1, 0)]
+    t_prev2 = hist[jnp.maximum(pos - 2, 0)]
+    prev = jnp.roll(hist, 1)  # prev[j] = hist[j-1]
+    prev2 = jnp.roll(hist, 2)
+    m2 = (hist == t0) & (prev == t_prev) & (idx >= 1) & (idx <= pos - 1)
+    m3 = m2 & (prev2 == t_prev2) & (idx >= 2) & (pos >= 2)
+    val = jnp.where(m3, c + idx, jnp.where(m2, idx, -1))
+    j = jnp.max(val)
+    j = jnp.where(j >= c, j - c, j)  # strip the trigram priority offset
+    start = jnp.clip(j + 1, 0, c - k_draft)
+    return jax.lax.dynamic_slice(hist, (start,), (k_draft,)).astype(jnp.int32)
+
+
+def speculative_decode_loop(
+    params: dict,
+    cache: dict,
+    logits0: jnp.ndarray,
+    pos0: jnp.ndarray,
+    hist: jnp.ndarray,
+    n_passes: int,
+    k_spec: int,
+    cfg: LlamaConfig,
+    attn_len: int | None = None,
+    use_flash: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict, jnp.ndarray]:
+    """Greedy speculative decode: ``n_passes`` verify passes, each drafting
+    ``k_spec - 1`` tokens by n-gram lookup (:func:`_ngram_draft`) and
+    verifying the whole block in ONE forward pass of S=k_spec.
+
+    Why this wins: batch-1 decode is bound by streaming every quantized
+    weight per token; an S=k forward reads the weights ONCE for all k
+    positions (k <= 8 even rides the same sublane padding as S=1, i.e. the
+    verify pass costs the same device time as a single-token step).  Every
+    accepted draft token is therefore a free extra token.  Greedy output is
+    token-for-token IDENTICAL to plain greedy decode: position i's token is
+    only accepted when it equals argmax of the model's own logits at i
+    (verified on device), so this preserves the reference's greedy decode
+    contract (minigpt4.cpp:2449-2452) while multiplying tokens/second.
+
+    Sample-then-eval ordering is preserved: ``logits0`` are the pending
+    logits; each pass samples t0 from the carried logits before evaluating
+    it, and the returned logits correspond to the last *evaluated* token.
+
+    Rejected draft positions leave stale cache/history entries above the
+    advanced cursor — unreachable by the causal mask and overwritten by the
+    next pass/prefill (the same invariant as EOS rollback).
+
+    Returns (tokens [B, n_passes, k_spec], counts [B, n_passes],
+    final_logits [B, V], cache, hist).  Lane b's pass p emitted
+    ``tokens[b, p, :counts[b, p]]``; counts sum is the cursor advance.
+    """
+    b = logits0.shape[0]
+    c = hist.shape[-1]
+    pos0 = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32).reshape(-1), (b,))
+
+    def body(carry, _):
+        logits, kc, pos, h = carry
+        t0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B] greedy sample
+        draft = jax.vmap(
+            lambda hh, pp, tt: _ngram_draft(hh, pp, tt, k_spec - 1, c)
+        )(h, pos, t0)  # [B, k-1]
+        toks = jnp.concatenate([t0[:, None], draft], axis=1)  # [B, k]
+        emb = embed_tokens(params, toks)
+        logits_all, kc = forward(
+            params, kc, emb, pos, cfg, all_logits=True, attn_len=attn_len,
+            use_flash=use_flash,
+        )  # [B, k, V]
+        g = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)  # model's continuations
+        ok = (draft == g[:, :-1]).astype(jnp.int32)  # [B, k-1]
+        acc = jnp.cumprod(ok, axis=1).sum(axis=1)  # leading accepted drafts
+        count = 1 + acc  # t0 + accepted
+        new_logits = jnp.take_along_axis(
+            logits_all, acc[:, None, None], axis=1
+        )[:, 0]  # pending logits after the last accepted token
+        h = jax.vmap(
+            lambda hh, tt, pp: jax.lax.dynamic_update_slice(hh, tt, (pp,))
+        )(h, toks, pos)
+        return (new_logits, kc, pos + count, h), (toks, count)
+
+    (final_logits, cache, _, hist), (tokens, counts) = jax.lax.scan(
+        body, (logits0, cache, pos0, hist), None, length=n_passes
+    )
+    # scan stacks on axis 0: -> [B, n_passes, ...]
+    return (
+        tokens.transpose(1, 0, 2),
+        counts.T,
+        final_logits,
+        cache,
+        hist,
+    )
+
+
 def make_step_fns(cfg: LlamaConfig):
     """(prefill_fn, decode_fn) jitted with donated caches (in-place HBM
     update, no copy)."""

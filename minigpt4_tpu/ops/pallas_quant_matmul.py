@@ -108,9 +108,11 @@ def _tile_policy(m: int, k: int, gs: int, code_bits: int, hi_bits: int):
             + tm_eff * g * 4  # xg f32
         )
         out = 2 * tm_eff * tn * 4
+        # hoisted i32 widen of the whole hi plane (shared across chunks)
+        hoist = tn * hi_cols * 4
         # unpack temporaries per chunk: q bf16 + w bf16 + sc_c bf16
-        # (+ hb i32 + bit bf16 when hi), + the sliced x copy
-        temps = tn * cl * (2 + 2 + 2 + ((4 + 2) if hi_bits else 0)) + tm_eff * cl * 2
+        # (+ masked bf16 when hi), + the sliced x copy
+        temps = hoist + tn * cl * (2 + 2 + 2 + (2 if hi_bits else 0)) + tm_eff * cl * 2
         # plus ~tn*800 B of scoped stack PER CHUNK that Mosaic does not reuse
         # across the unrolled loop (calibrated: 32-chunk q8_0 M=512 overshot
         # a 14.2 MB estimate to an actual 20.85 MB — ~0.2 MB/chunk at tn=256)
@@ -154,6 +156,12 @@ def _kernel(x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref, out_ref, *, 
     acc = -jax.lax.dot_general(
         xg, mins, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    # ONE i32 widen of the whole hi-bit plane, shared by all 8/hi_bits field
+    # chunks (the per-chunk widen + shift + and + cast chain made q5_k ~2.4x
+    # slower per element than q4_k; hoisting the widen and replacing the
+    # shift with and + constant-multiply measures +20% on the 13B w2 shape —
+    # the kernel is VPU-unpack-bound at decode, not DMA-bound)
+    hbw = _rd(hi_ref).astype(jnp.int32) if hi_bits else None  # [TN, nb]
     for l0, cle in _chunk_plan(k, code_bits, hi_bits, cl):
         if code_bits == 4:
             c8 = _sl(codes_ref, l0, l0 + cle)  # [TN/2, CL] u8
@@ -161,13 +169,14 @@ def _kernel(x_ref, xg_ref, codes_ref, scales_ref, mins_ref, hi_ref, out_ref, *, 
         else:
             q = _sl(codes_ref, l0, l0 + cle).astype(jnp.bfloat16)  # i8 codes
         if hi_bits:
-            # bit extraction stays i32 (Mosaic only legalizes shifts there);
-            # the merge q + 16*bit is exact in bf16 (both integers <= 63)
+            # field bits without a shift: (hbw & (mask << s)) is bits << s
+            # (<= 3 << 6 = 192, exact in bf16) and the power-of-two multiply
+            # rescales to bits * 16 exactly
             p = l0 // nb
             i0 = l0 - p * nb
-            hb = _sl(hi_ref, i0, i0 + cle).astype(jnp.int32)
-            bit = ((hb >> (p * hi_bits)) & mask).astype(jnp.bfloat16)
-            q = q + bit * jnp.bfloat16(16.0)
+            s_amt = p * hi_bits
+            masked = (hbw[:, i0 : i0 + cle] & (mask << s_amt)).astype(jnp.bfloat16)
+            q = q + masked * jnp.bfloat16(2.0 ** (4 - s_amt))
         reps = cle // g
         sc_c = pltpu.repeat(sc, reps, 1) if reps > 1 else sc  # [TN, CL]
         acc += jax.lax.dot_general(

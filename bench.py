@@ -69,6 +69,12 @@ def run_single(model: str) -> int:
     if "decode_tok_s_batched_aggregate" in dec:
         line["batched_aggregate_tok_s"] = round(dec["decode_tok_s_batched_aggregate"], 2)
         line["batch"] = dec.get("decode_batch")
+    if "decode_tok_s_spec" in dec:
+        # greedy speculative decoding (n-gram drafted, verify-k=8): effective
+        # single-stream rate at the observed acceptance; greedy output is
+        # token-identical to the plain path
+        line["speculative_tok_s"] = round(dec["decode_tok_s_spec"], 2)
+        line["spec_accept_per_pass"] = round(dec["spec_accept_per_pass"], 2)
     if "encode_ms_p50" in enc:
         line["encode_ms_p50"] = round(enc["encode_ms_p50"], 2)
     print(json.dumps(line))

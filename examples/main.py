@@ -48,6 +48,11 @@ def parse_args():
     p.add_argument("--mirostat_eta", type=float, default=1.0)
     p.add_argument("--penalize_nl", type=int, default=1)
     p.add_argument(
+        "--speculative-k", type=int, default=0,
+        help="greedy speculative decoding verify width (0 = off; greedy "
+        "output is token-identical, just faster)",
+    )
+    p.add_argument(
         "--warmup", action="store_true",
         help="precompile the common prefill buckets / decode chunks / image "
         "encoder before the session (multi-minute first compiles on "
@@ -63,6 +68,7 @@ def main():
     eng = MiniGPT4Engine(
         args.model, args.llm_model, verbosity=args.verbosity,
         seed=args.seed, n_ctx=args.n_ctx, n_batch=args.n_batch,
+        speculative_k=args.speculative_k,
     )
     if args.warmup:
         eng.warmup()

@@ -241,16 +241,18 @@ def _layer(
     v = heads(xv)
 
     if batched_pos:
-        # per-batch write offsets: vmap the [H, C, Dh] update over B
-        upd = jax.vmap(
-            lambda cb, kb, pb: jax.lax.dynamic_update_slice(cb, kb, (0, pb, 0))
-        )
-        ck = jax.lax.dynamic_update_slice(
-            ck, upd(ck[li], k.astype(ck.dtype), pos0)[None], (li, 0, 0, 0, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cv, upd(cv[li], v.astype(cv.dtype), pos0)[None], (li, 0, 0, 0, 0)
-        )
+        # per-batch write offsets: B chained single-lane updates (B is
+        # static).  A vmapped dynamic_update_slice here lowers to
+        # slice + update-slice FUSIONS that copy the [H, C, Dh] lane every
+        # layer (profiled at ~5 ms/step on 13B — the whole speculative-pass
+        # overhead and a large slice of the batched-serving step); chained
+        # plain DUS ops stay in-place on the donated cache
+        kb = k.astype(ck.dtype)[None]
+        vb = v.astype(cv.dtype)[None]
+        for bi in range(b):
+            idx = (li, bi, 0, pos0[bi], 0)
+            ck = jax.lax.dynamic_update_slice(ck, kb[:, bi : bi + 1], idx)
+            cv = jax.lax.dynamic_update_slice(cv, vb[:, bi : bi + 1], idx)
     else:
         ck = jax.lax.dynamic_update_slice(
             ck, k.astype(ck.dtype)[None], (li, 0, 0, pos0, 0)

@@ -265,10 +265,17 @@ def main():
         help="group concurrent generations arriving within this window into "
         "ONE batched decode (aggregate throughput scales ~linearly)",
     )
+    ap.add_argument(
+        "--speculative-k", type=int, default=0,
+        help="greedy speculative decoding verify width (0 = off): n-gram "
+        "drafted, block-verified — greedy output is token-identical, "
+        "single-stream throughput rises with the acceptance rate",
+    )
     args = ap.parse_args()
     httpd = start_server(args.model_path, args.llm_model_path, args.host,
                          args.port, session_ctx=args.session_ctx, n_ctx=args.n_ctx,
-                         batch_window_s=args.batch_window_ms / 1e3)
+                         batch_window_s=args.batch_window_ms / 1e3,
+                         speculative_k=args.speculative_k)
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

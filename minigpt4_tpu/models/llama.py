@@ -100,6 +100,9 @@ def rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jn
 # and is differentiable + auto-partitionable (unlike a Pallas kernel)
 PREFILL_FLASH_SPAN = 512
 PREFILL_KV_BLOCK = 512
+# S at or below this uses the Pallas flash-decode kernel (single decode
+# steps and speculative verify blocks); above it is prefill territory
+FLASH_DECODE_MAX_S = 32
 
 
 def _blockwise_attention(q, ks, vs, pos0, scale):
@@ -272,10 +275,13 @@ def _layer(
         and cfg.n_ctx % min(_fd.BLK, cfg.n_ctx) == 0
         and (cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu")
     )
-    if s <= 8 and flash_ok:
+    if s <= FLASH_DECODE_MAX_S and flash_ok:
         # decode path: blockwise flash kernel over the stacked HBM cache —
         # reads only ceil((pos0+s)/BLK) live KV blocks (no attn_len bucket,
-        # no per-layer cache slice copy); see ops/flash_decode.py
+        # no per-layer cache slice copy); see ops/flash_decode.py.  The cap
+        # covers speculative verify blocks too (S = k_spec <= 32): the
+        # einsum/blockwise path would slice + transpose the whole stacked
+        # cache per layer (OOMs 13B at S=16)
         from ..ops.flash_decode import flash_decode_attention
 
         ctx = flash_decode_attention(

@@ -24,7 +24,14 @@ def _ref_attention(q, ks, vs, pos0, scale):
     return np.einsum("bhsc,bhcd->bhsd", np.asarray(probs), vs.astype(np.float32))
 
 
-@pytest.mark.parametrize("pos0,s", [(0, 1), (5, 1), (100, 1), (700, 1), (37, 4)])
+@pytest.mark.parametrize(
+    "pos0,s",
+    [(0, 1), (5, 1), (100, 1), (700, 1), (37, 4),
+     # wide verify blocks (speculative decoding, models/llama.py
+     # FLASH_DECODE_MAX_S): intra-block causal rows, incl. S spanning a
+     # BLK=128 boundary
+     (64, 16), (120, 16), (250, 32), (0, 32)],
+)
 def test_flash_matches_einsum(pos0, s):
     b, h, c, dh = 1, 4, 1024, 128
     q = RNG.normal(0, 1, (b, h, s, dh)).astype(np.float32)

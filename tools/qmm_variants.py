@@ -297,6 +297,17 @@ def main():
         run_variant("i8 two accumulators", k_i8a, (x, codes_i8, sc),
                     [x_spec, ci8_spec, sc_spec], TM, TN, grid, n_elems)
 
+    # --- i8, ONE whole-K dot (no chunk loop at all) ---
+    if want("i8whole"):
+        def k_i8wh(x_ref, c_ref, s_ref, o_ref):
+            s = s_ref[...]
+            q = c_ref[...].astype(jnp.bfloat16)
+            w = q * pltpu.repeat(s, K // G, 1)
+            o_ref[:] = jax.lax.dot_general(x_ref[...], w, (((1,), (1,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+        run_variant("i8 whole-K single dot", k_i8wh, (x, codes_i8, sc),
+                    [x_spec, ci8_spec, sc_spec], TM, TN, grid, n_elems)
+
     # --- q5 hi via i32 and + const-mul (no shift): (hb & 2^p) * 2^(4-p) ---
     if want("q5and"):
         nb = K // 8

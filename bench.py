@@ -69,6 +69,9 @@ def run_single(model: str) -> int:
     if "decode_tok_s_batched_aggregate" in dec:
         line["batched_aggregate_tok_s"] = round(dec["decode_tok_s_batched_aggregate"], 2)
         line["batch"] = dec.get("decode_batch")
+    if "decode_tok_s_batched_spec" in dec:
+        # batched + speculative (the SessionPool greedy serving path)
+        line["batched_spec_tok_s"] = round(dec["decode_tok_s_batched_spec"], 2)
     if "decode_tok_s_spec" in dec:
         # greedy speculative decoding (n-gram drafted, verify-k=8): effective
         # single-stream rate at the observed acceptance; greedy output is

@@ -429,6 +429,38 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     dt_b = time.perf_counter() - t0
     out["decode_batch"] = bsz
     out["decode_tok_s_batched_aggregate"] = bsz * n_b / dt_b
+
+    # --- batched + speculative (SessionPool.generate_batch_stream greedy
+    # path): per-lane n-gram drafts on top of the shared weight read —
+    # acceptance multiplies the batched aggregate.  Same caveat as the
+    # single-stream spec number: synthetic-weight greedy streams draft
+    # optimistically; real chats sit between plain-batched and this.
+    sp_k_b, sp_passes_b = 8, 2
+    bspec = jax.jit(
+        lambda p, c, l0, pos0, hist: llama_mod.speculative_decode_loop(
+            p, c, l0, pos0, hist, sp_passes_b, sp_k_b, bcfg, attn_len=bcfg.n_ctx
+        ),
+        donate_argnums=(1,),
+    )
+    bhist0 = np.full((bsz, bcfg.n_ctx), -1, np.int32)
+    bhist0[:, :bprefill] = np.asarray(btokens, np.int32)
+    bhist = jnp.asarray(bhist0)
+    btoks_sp, bcounts, blogits, bcache, bhist = bspec(
+        params, bcache, blogits, bpos, bhist
+    )
+    sync(btoks_sp)  # compile
+    t0 = time.perf_counter()
+    n_tok_b = 0
+    n_pass_b = 0
+    for _ in range(3):
+        btoks_sp, bcounts, blogits, bcache, bhist = bspec(
+            params, bcache, blogits, bpos, bhist
+        )
+        n_tok_b += int(sync(bcounts).sum())
+        n_pass_b += sp_passes_b * bsz
+    dt_bs = time.perf_counter() - t0
+    out["decode_tok_s_batched_spec"] = n_tok_b / dt_bs
+    out["spec_accept_per_pass_batched"] = n_tok_b / n_pass_b
     return out
 
 

@@ -240,6 +240,13 @@ class SessionPool:
         (callers size session_ctx so this is the rare path).  Device
         sampling only (no mirostat).
 
+        When the pool's engine has ``speculative_k`` > 1 and sampling is
+        greedy, each step runs batched speculative verify passes instead
+        (llama.speculative_decode_loop): every lane drafts from its own
+        token history and advances by its own accepted count, so the
+        weight-read a step costs is shared by the batch AND multiplied by
+        per-lane acceptance — output stays token-identical to plain greedy.
+
         Yields, once per decode chunk, a list of (session_index, token)
         pairs in the same order per-session generation would emit them.
         """
@@ -257,8 +264,15 @@ class SessionPool:
         )
         limits_all = [limit] * len(sessions) if isinstance(limit, int) else list(limit)
         n_ctx = self.fns.cfg.n_ctx
+        k_spec = self.engine.speculative_k
+        use_spec = k_spec > 1 and scfg.greedy
+        if use_spec:
+            n_passes = max(1, decode_chunk // k_spec)
+            step_span = n_passes * k_spec  # worst-case per-lane advance
+        else:
+            step_span = decode_chunk
         # only sessions with room for at least one chunk join the batch
-        act = [i for i, s in enumerate(sessions) if s.n_past + decode_chunk <= n_ctx]
+        act = [i for i, s in enumerate(sessions) if s.n_past + step_span <= n_ctx]
         if not act:
             return
         batch = [sessions[i] for i in act]
@@ -277,27 +291,53 @@ class SessionPool:
         ends = [s.n_past for s in batch]
         pos_host = np.asarray([s.n_past for s in batch], np.int64)
         done = [False] * n
+        if use_spec:
+            # per-lane n-gram draft history (device-carried across steps;
+            # spec_loop appends every evaluated token, incl. overshoot)
+            hist_np = np.full((n, n_ctx), -1, np.int32)
+            for i, s in enumerate(batch):
+                hist_np[i, : s.n_past] = np.asarray(s.state.tokens, np.int32)
+            hist = jnp.asarray(hist_np)
         try:
             while not all(done):
                 max_pos = int(pos_host.max())
-                if max_pos + decode_chunk > n_ctx:
+                if max_pos + step_span > n_ctx:
                     break  # an active lane is out of context: stop the group
-                key, sub = jax.random.split(key)
-                with self._lock:
-                    tokens, logits, cache = self.fns.decode_loop(
-                        self.engine.llm_params, cache, logits,
-                        jnp.asarray(pos_host, jnp.int32), sub, scfg,
-                        decode_chunk, self.fns.attn_bucket(max_pos + decode_chunk),
-                    )
-                    token_ids = np.asarray(tokens)
-                pos_host += decode_chunk  # done lanes keep decoding in their
-                # own overshoot region [ends, pos) — unreachable by the mask
-                # and overwritten by the session's next prefill before reads
+                if use_spec:
+                    with self._lock:
+                        tokens, counts, logits, cache, hist = self.fns.spec_loop(
+                            self.engine.llm_params, cache, logits,
+                            jnp.asarray(pos_host, jnp.int32), hist,
+                            n_passes, k_spec,
+                            self.fns.attn_bucket(max_pos + step_span),
+                        )
+                        tok_host = np.asarray(tokens)  # [n, n_passes, k]
+                        cnt_host = np.asarray(counts)  # [n, n_passes]
+                    lane_tokens = [
+                        np.concatenate(
+                            [tok_host[i, p, : cnt_host[i, p]] for p in range(n_passes)]
+                        )
+                        for i in range(n)
+                    ]
+                    pos_host += cnt_host.sum(axis=1)
+                else:
+                    key, sub = jax.random.split(key)
+                    with self._lock:
+                        tokens, logits, cache = self.fns.decode_loop(
+                            self.engine.llm_params, cache, logits,
+                            jnp.asarray(pos_host, jnp.int32), sub, scfg,
+                            decode_chunk, self.fns.attn_bucket(max_pos + decode_chunk),
+                        )
+                        lane_tokens = list(np.asarray(tokens))
+                    pos_host += decode_chunk  # done lanes keep decoding in
+                # their own overshoot region [ends, pos) — unreachable by the
+                # mask and overwritten by the session's next prefill before
+                # any read
                 updates: list[tuple[int, str]] = []
                 for i in range(n):
                     if done[i]:
                         continue
-                    for tid in token_ids[i]:
+                    for tid in lane_tokens[i]:
                         token = self.engine.tokenizer.id_to_str(int(tid))
                         chat[i] += token
                         emitted[i] += 1

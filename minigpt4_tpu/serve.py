@@ -267,9 +267,10 @@ def main():
     )
     ap.add_argument(
         "--speculative-k", type=int, default=0,
-        help="greedy speculative decoding verify width (0 = off): n-gram "
-        "drafted, block-verified — greedy output is token-identical, "
-        "single-stream throughput rises with the acceptance rate",
+        help="greedy speculative decoding verify width, up to 32 (0 = off): "
+        "n-gram drafted, block-verified — greedy output is token-identical, "
+        "throughput rises with the acceptance rate; applies to single-stream "
+        "AND batched (--batch-window-ms) greedy decode",
     )
     args = ap.parse_args()
     httpd = start_server(args.model_path, args.llm_model_path, args.host,

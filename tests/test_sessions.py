@@ -135,6 +135,50 @@ def test_generate_batch_matches_individual(pool):
         s.close()
 
 
+def test_generate_batch_speculative_matches_plain(pool, tmp_path_factory):
+    """Batched SPECULATIVE decode (per-lane n-gram drafts, variable per-lane
+    cursor advance) emits the same greedy text as the plain batched path,
+    and sessions remain usable afterwards."""
+    prompts = ["hello", "tell me a story about llamas please", "hi"]
+
+    want = []
+    for q in prompts:
+        s = pool.new_session()
+        pool.system_prompt(s)
+        pool.begin_chat(s, q)
+        want.append("".join(s.generate(limit=8, params=SamplingParams(temp=0.0))))
+        s.close()
+
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("specpool"))
+    sp = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32,
+                     speculative_k=4)
+    try:
+        batch = []
+        for q in prompts:
+            s = sp.new_session()
+            sp.system_prompt(s)
+            sp.begin_chat(s, q)
+            batch.append(s)
+        got = sp.generate_batch(batch, limit=8, params=SamplingParams(temp=0.0),
+                                decode_chunk=8)
+        assert got == want
+        # rollback left a coherent cursor/history: a follow-up turn works
+        sp.begin_chat(batch[0], "and?")
+        more = list(batch[0].generate(limit=3, params=SamplingParams(temp=0.0)))
+        assert all(isinstance(t, str) for t in more)
+        # non-greedy sampling falls back to the plain batched path
+        # (rolled-back lanes need a fresh prompt before another batch)
+        for s in batch:
+            sp.begin_chat(s, "more?")
+        got_t = sp.generate_batch(batch, limit=2, params=SamplingParams(temp=0.7),
+                                  decode_chunk=2)
+        assert len(got_t) == len(batch)
+        for s in batch:
+            s.close()
+    finally:
+        sp.close()
+
+
 def test_generate_batch_per_session_limits(pool):
     """Per-session limits in one batch: the low-limit session stops at ITS
     limit (state not polluted by hidden overshoot), the other continues."""

@@ -307,6 +307,13 @@ def _rollback(st: DecodeState, n: int) -> None:
         st.logits_host = None
 
 
+def _spec_passes(decode_chunk: int, k: int) -> int:
+    """Verify passes per speculative dispatch: at least 2 (a dispatch pays
+    one host round-trip and a pass can emit a single token), at least
+    ``decode_chunk`` worth of width."""
+    return max(1, max(decode_chunk, 2 * k) // k)
+
+
 def generate_stream(
     fns: StepFns,
     params,
@@ -357,7 +364,7 @@ def generate_stream(
         token_ids = None
         if use_spec:
             k = speculative_k
-            passes = max(1, decode_chunk // k)
+            passes = _spec_passes(decode_chunk, k)
             # worst-case advance must stay inside the context
             while passes > 1 and st.n_past + passes * k > fns.cfg.n_ctx:
                 passes -= 1
@@ -528,7 +535,7 @@ class MiniGPT4Engine:
                 )
             if self.speculative_k > 1:
                 hist = jnp.full((self.batch, self.llm_cfg.n_ctx), -1, jnp.int32)
-                passes = max(1, 16 // self.speculative_k)
+                passes = _spec_passes(16, self.speculative_k)
                 *_, cache, _ = self._fns.spec_loop(
                     self.llm_params, cache, logits, jnp.int32(0), hist,
                     passes, self.speculative_k,

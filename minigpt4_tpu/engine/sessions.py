@@ -267,7 +267,9 @@ class SessionPool:
         k_spec = self.engine.speculative_k
         use_spec = k_spec > 1 and scfg.greedy
         if use_spec:
-            n_passes = max(1, decode_chunk // k_spec)
+            from .engine import _spec_passes
+
+            n_passes = _spec_passes(decode_chunk, k_spec)
             step_span = n_passes * k_spec  # worst-case per-lane advance
         else:
             step_span = decode_chunk

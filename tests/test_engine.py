@@ -205,6 +205,28 @@ def test_fused_decode_matches_stepwise_greedy(tmp_path_factory):
     assert fused == stepwise
 
 
+def test_wide_speculative_matches_plain_greedy(tmp_path_factory):
+    """Wide verify blocks (k=16 > the old flash-decode S cap of 8) emit the
+    same greedy tokens as the plain path, with >=2 passes per dispatch
+    (_spec_passes)."""
+    tmp = tmp_path_factory.mktemp("widespec")
+    model, llm = build_tiny_models(tmp)
+    greedy = SamplingParams(temp=0.0)
+
+    eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16)
+    eng.system_prompt()
+    eng.begin_chat("hello hello hello")
+    plain = list(eng.generate(limit=12, params=greedy, decode_chunk=1))
+    eng.close()
+
+    eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16, speculative_k=16)
+    eng.system_prompt()
+    eng.begin_chat("hello hello hello")
+    spec = list(eng.generate(limit=12, params=greedy))
+    eng.close()
+    assert spec == plain
+
+
 def test_fused_decode_stochastic_runs(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("fused_s")
     model, llm = build_tiny_models(tmp)

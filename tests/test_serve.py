@@ -101,12 +101,15 @@ def test_unknown_session_404(server):
 
 
 
-def test_batched_serving(tmp_path_factory):
+@pytest.mark.parametrize("spec_k", [0, 4])
+def test_batched_serving(tmp_path_factory, spec_k):
     """--batch-window groups concurrent generations into one batched decode;
-    results match the unbatched server."""
-    model, llm = build_tiny_models(tmp_path_factory.mktemp("bsrv"))
+    results match the unbatched server — with and without speculative
+    decoding (spec_k>0 routes greedy groups through the batched
+    speculative-verify path)."""
+    model, llm = build_tiny_models(tmp_path_factory.mktemp(f"bsrv{spec_k}"))
     httpd = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
-                         n_batch=32, batch_window_s=0.2)
+                         n_batch=32, batch_window_s=0.2, speculative_k=spec_k)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"

@@ -361,9 +361,23 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     # greedy streams are often cyclic, which n-gram lookup exploits — real
     # chats sit between the two reported numbers)
     k_spec = 8
-    pos_sp = p2 + done
+    # drafting must see the model's OWN recent greedy stream (the engine
+    # builds hist from the session's evaluated tokens) — seed the history by
+    # decoding a plain greedy run-in first, then speculate its continuation.
+    # Synthetic-weight greedy streams are usually cyclic, so this measures
+    # the mechanism's upside; spec_pass_ms vs decode_ms is the hardware cost.
+    runin = 48
+    pos_ri = p2 + done
+    pos_sp = pos_ri + runin
     sp_passes = min(16, (cfg.n_ctx - pos_sp - 1) // k_spec)
     if sp_passes >= 1:
+        hist0 = np.full((1, cfg.n_ctx), -1, np.int32)
+        ri_done = 0
+        while ri_done < runin:
+            toks, logits, cache = dl(params, cache, logits,
+                                     jnp.int32(pos_ri + ri_done), key)
+            hist0[0, pos_ri + ri_done : pos_ri + ri_done + chunk] = sync(toks)[0]
+            ri_done += chunk
         spec = jax.jit(
             lambda p, c, l0, pos0, hist, n, k, attn_len: llama_mod.speculative_decode_loop(
                 p, c, l0, pos0, hist, n, k, cfg, attn_len=attn_len
@@ -371,8 +385,6 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
             static_argnums=(5, 6, 7),
             donate_argnums=(1,),
         )
-        hist0 = np.full((1, cfg.n_ctx), -1, np.int32)
-        hist0[0, :pos_sp] = rng.integers(0, cfg.n_vocab, pos_sp)
         toks_sp, counts, logits, cache, hist_d = spec(
             params, cache, logits, jnp.int32(pos_sp), jnp.asarray(hist0),
             sp_passes, k_spec, cfg.n_ctx,
@@ -442,8 +454,20 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         ),
         donate_argnums=(1,),
     )
+    # seed per-lane draft history with each lane's own greedy run-in (the
+    # plain batched loop above already decoded [bpos+chunk, bpos+chunk+n_b);
+    # record a fresh run-in so hist positions line up with the cache)
     bhist0 = np.full((bsz, bcfg.n_ctx), -1, np.int32)
     bhist0[:, :bprefill] = np.asarray(btokens, np.int32)
+    bpos_ri = int(bpos[0]) + chunk + n_b
+    ri_done = 0
+    while ri_done < runin:
+        btoks, blogits, bcache = bdl(params, bcache, blogits,
+                                     jnp.full((bsz,), bpos_ri + ri_done, jnp.int32),
+                                     key)
+        bhist0[:, bpos_ri + ri_done : bpos_ri + ri_done + chunk] = sync(btoks)
+        ri_done += chunk
+    bpos = jnp.full((bsz,), bpos_ri + runin, jnp.int32)
     bhist = jnp.asarray(bhist0)
     btoks_sp, bcounts, blogits, bcache, bhist = bspec(
         params, bcache, blogits, bpos, bhist

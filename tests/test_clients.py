@@ -283,6 +283,45 @@ class TestLibrary:
         assert not bot.is_image_chat
         bot.free()
 
+    def test_webui_callbacks(self, tmp_path, monkeypatch):
+        """The gradio callback set drives a real ChatBot end-to-end (gradio
+        itself is optional; a stub stands in for gr.update — the reference
+        surface is webui.py:27-107)."""
+        import sys
+        import types
+
+        from PIL import Image
+
+        from minigpt4_tpu import webui
+        from minigpt4_tpu.library import MiniGPT4ChatBot
+
+        fake_gr = types.SimpleNamespace(update=lambda **kw: dict(kw))
+        monkeypatch.setitem(sys.modules, "gradio", fake_gr)
+
+        model, llm = build_tiny_models(tmp_path)
+        monkeypatch.setitem(webui._state, "bot", MiniGPT4ChatBot(str(model), str(llm)))
+        monkeypatch.setitem(webui._state, "image_ready", False)
+
+        # chat before upload: polite refusal, no crash
+        _, hist = webui.user("hi", None)
+        out = list(webui.chat(hist, limit=4, temp=0.0))
+        assert out[0][0] == "Please upload an image first."
+
+        img = Image.fromarray(
+            np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        )
+        ret = webui.upload_image(img, hist)
+        assert webui._state["image_ready"] and ret[-1] == []
+
+        _, hist = webui.user("what is this?", [])
+        streamed = list(webui.chat(hist, limit=4, temp=0.0))
+        assert streamed, "expected streamed history updates"
+        assert all(isinstance(h[-1][-1][1], str) for h in streamed)
+
+        cleared = webui.clear_state(hist, None, None)
+        assert cleared[0] == [] and not webui._state["image_ready"]
+        webui._state["bot"].free()
+
     def test_shared_library_surface(self, tmp_path):
         from minigpt4_tpu.library import ImageFormat, load_library
 

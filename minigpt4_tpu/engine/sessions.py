@@ -376,3 +376,304 @@ class SessionPool:
 
     def close(self) -> None:
         self.engine.close()
+
+
+class ContinuousBatcher:
+    """Continuous (in-flight) batching: up to ``max_batch`` generations share
+    one fixed-shape batched decode, and new requests JOIN at chunk
+    boundaries instead of waiting for the running group to drain — no
+    head-of-line blocking, the lever behind modern LLM servers (vLLM-style),
+    reframed for XLA's static shapes:
+
+      * lanes are preallocated slots in one stacked cache
+        ``[L, max_batch, H, C, Dh]`` — every decode dispatch has ONE shape,
+        so admission never recompiles;
+      * a join copies the session's prefilled cache into a free slot
+        (``dynamic_update_slice`` on the batch axis, one device-side copy);
+        a leave slices it back out and rolls back overshoot exactly like
+        :meth:`SessionPool.generate_batch_stream`;
+      * idle slots decode garbage at position 0 — causally invisible to
+        every live lane and overwritten by the next join;
+      * greedy groups run the batched speculative-verify path when the
+        engine has ``speculative_k`` (per-lane n-gram drafts).
+
+    All in-flight requests share one device sampling config (a static
+    compile arg); a request with a different config waits until the worker
+    drains.  Requests enter via :meth:`submit`, which returns a queue of
+    str tokens terminated by ``_DONE`` (same protocol as the serve-layer
+    window batcher).
+
+    The reference has no serving story at all (single global cursor,
+    minigpt4.cpp:2521); SURVEY.md §5's "TPU-native serving" is this file.
+    """
+
+    _DONE = object()
+    _STOP = object()
+
+    def __init__(self, pool: SessionPool, max_batch: int = 8,
+                 decode_chunk: int = 16):
+        import queue as queue_mod
+
+        self.pool = pool
+        self.fns = pool.fns
+        self.B = max_batch
+        self.decode_chunk = decode_chunk
+        cfg = self.fns.cfg
+        L, H, C, Dh = cfg.n_layer, cfg.n_head, cfg.n_ctx, cfg.head_dim
+        V = cfg.n_vocab
+
+        def join(bc, bl, bh, sc, logits_row, hist_row, slot):
+            z = jnp.int32(0)
+            bc = {
+                kv: jax.lax.dynamic_update_slice(
+                    bc[kv], sc[kv].astype(bc[kv].dtype), (z, slot, z, z, z)
+                )
+                for kv in ("k", "v")
+            }
+            bl = jax.lax.dynamic_update_slice(bl, logits_row[None], (slot, z))
+            bh = jax.lax.dynamic_update_slice(bh, hist_row[None], (slot, z))
+            return bc, bl, bh
+
+        self._join = jax.jit(join, donate_argnums=(0, 1, 2))
+        self._extract = jax.jit(
+            lambda bc, slot: {
+                kv: jax.lax.dynamic_slice(
+                    bc[kv], (jnp.int32(0), slot, jnp.int32(0), jnp.int32(0),
+                             jnp.int32(0)), (L, 1, H, C, Dh)
+                )
+                for kv in ("k", "v")
+            }
+        )
+        self._extract_logits = jax.jit(
+            lambda bl, slot: jax.lax.dynamic_slice(bl, (slot, jnp.int32(0)), (1, V))[0]
+        )
+
+        self._cache = llama_mod.init_cache(cfg, batch=self.B, dtype=pool.cache_dtype)
+        self._logits = jnp.zeros((self.B, V), jnp.float32)
+        self._hist = jnp.full((self.B, C), -1, jnp.int32)
+        self._pos = np.zeros(self.B, np.int64)
+        # per-slot host state; None = free
+        self._lanes: list[dict | None] = [None] * self.B
+        self._scfg = None  # the in-flight group's shared sampling config
+        self._deferred: list[tuple] = []  # waiting for a slot / scfg drain
+        self._q: queue_mod.Queue = queue_mod.Queue()
+        self._key = jax.random.PRNGKey(pool.seed ^ 0x00C0FFEE)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # -- public interface (mirrors the serve-layer window batcher) --
+    def submit(self, session: ChatSession, limit: int, params: SamplingParams):
+        """Session must already have a prepared prompt.  Returns a queue of
+        str tokens terminated by ``_DONE`` (exceptions are forwarded)."""
+        import queue as queue_mod
+
+        out: queue_mod.Queue = queue_mod.Queue()
+        self._q.put((session, limit, params, out))
+        return out
+
+    def close(self) -> None:
+        self._q.put(self._STOP)
+        self._thread.join(timeout=60)
+
+    # -- worker internals --
+    def _n_active(self) -> int:
+        return sum(l is not None for l in self._lanes)
+
+    def _scfg_of(self, params: SamplingParams):
+        from .device_sampling import DeviceSamplingConfig
+
+        return DeviceSamplingConfig(
+            temp=params.temp, top_k=params.top_k, top_p=params.top_p,
+            tfs_z=params.tfs_z, typical_p=params.typical_p,
+        )
+
+    def _run(self) -> None:
+        import queue as queue_mod
+
+        while True:
+            # admission: block while idle, drain opportunistically while busy
+            if self._n_active() == 0 and not self._deferred:
+                item = self._q.get()
+            else:
+                try:
+                    item = self._q.get_nowait()
+                except queue_mod.Empty:
+                    item = None
+            stop = False
+            while item is not None:
+                if item is self._STOP:
+                    stop = True
+                    break
+                self._try_admit(item)
+                try:
+                    item = self._q.get_nowait()
+                except queue_mod.Empty:
+                    item = None
+            if stop:
+                break
+            if self._n_active() == 0:
+                # deferred requests become admissible the moment the group
+                # drains (fresh scfg)
+                self._scfg = None
+                deferred, self._deferred = self._deferred, []
+                for it in deferred:
+                    self._try_admit(it)
+                if self._n_active() == 0:
+                    continue
+            try:
+                self._step()
+            except Exception as e:  # pragma: no cover - device failures
+                import sys
+
+                print(f"[continuous] step failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                for i, lane in enumerate(self._lanes):
+                    if lane is not None:
+                        lane["out"].put(e)
+                        lane["out"].put(self._DONE)
+                        self._lanes[i] = None
+                self._scfg = None
+
+    def _try_admit(self, item) -> None:
+        session, limit, params, out = item
+        scfg = self._scfg_of(params)
+        if params.mirostat != 0 or session.state.logits_dev is None:
+            out.put(ValueError(
+                "continuous batching needs a prepared prompt and device "
+                "sampling (no mirostat)"))
+            out.put(self._DONE)
+            return
+        if self._scfg is not None and scfg != self._scfg:
+            self._deferred.append(item)
+            return
+        try:
+            slot = self._lanes.index(None)
+        except ValueError:
+            self._deferred.append(item)
+            return
+        cfg = self.fns.cfg
+        if session.n_past + self._span(scfg) > cfg.n_ctx:
+            out.put(self._DONE)  # no room for a single chunk: empty stream
+            return
+        self._scfg = scfg
+        hist_row = np.full((cfg.n_ctx,), -1, np.int32)
+        hist_row[: session.n_past] = np.asarray(session.state.tokens, np.int32)
+        with self.pool._lock:
+            self._cache, self._logits, self._hist = self._join(
+                self._cache, self._logits, self._hist, session.state.cache,
+                session.state.logits_dev, jnp.asarray(hist_row),
+                jnp.int32(slot),
+            )
+        self._pos[slot] = session.n_past
+        self._lanes[slot] = {
+            "session": session, "limit": limit, "out": out,
+            "chat": "", "emitted": 0, "ends": session.n_past,
+        }
+
+    def _use_spec(self, scfg) -> bool:
+        return self.pool.engine.speculative_k > 1 and scfg.greedy
+
+    def _span(self, scfg) -> int:
+        from .engine import _spec_passes
+
+        k = self.pool.engine.speculative_k
+        if self._use_spec(scfg):
+            return _spec_passes(self.decode_chunk, k) * k
+        return self.decode_chunk
+
+    def _step(self) -> None:
+        from .engine import EOS_SUFFIX, EOS_TOKEN_SUFFIX
+
+        scfg = self._scfg
+        span = self._span(scfg)
+        cfg = self.fns.cfg
+        # lanes without room for another chunk leave BEFORE the dispatch
+        # (per-lane, not group-stop: the others keep decoding)
+        for i, lane in enumerate(self._lanes):
+            if lane is not None and self._pos[i] + span > cfg.n_ctx:
+                self._finalize(i)
+        if self._n_active() == 0:
+            return
+        act = [i for i, l in enumerate(self._lanes) if l is not None]
+        bucket = self.fns.attn_bucket(int(max(self._pos[i] for i in act)) + span)
+        pos_dev = jnp.asarray(self._pos, jnp.int32)
+        if self._use_spec(scfg):
+            from .engine import _spec_passes
+
+            k = self.pool.engine.speculative_k
+            n_passes = _spec_passes(self.decode_chunk, k)
+            with self.pool._lock:
+                tokens, counts, self._logits, self._cache, self._hist = (
+                    self.fns.spec_loop(
+                        self.pool.engine.llm_params, self._cache, self._logits,
+                        pos_dev, self._hist, n_passes, k, bucket,
+                    )
+                )
+                tok_host = np.asarray(tokens)
+                cnt_host = np.asarray(counts)
+            lane_tokens = {
+                i: np.concatenate(
+                    [tok_host[i, p, : cnt_host[i, p]] for p in range(n_passes)]
+                )
+                for i in act
+            }
+            self._pos += cnt_host.sum(axis=1)
+        else:
+            self._key, sub = jax.random.split(self._key)
+            with self.pool._lock:
+                tokens, self._logits, self._cache = self.fns.decode_loop(
+                    self.pool.engine.llm_params, self._cache, self._logits,
+                    pos_dev, sub, scfg, self.decode_chunk, bucket,
+                )
+                tok_host = np.asarray(tokens)
+            lane_tokens = {i: tok_host[i] for i in act}
+            self._pos += self.decode_chunk
+        tokenizer = self.pool.engine.tokenizer
+        for i in act:
+            lane = self._lanes[i]
+            finished = False
+            for tid in lane_tokens[i]:
+                token = tokenizer.id_to_str(int(tid))
+                lane["chat"] += token
+                lane["emitted"] += 1
+                lane["ends"] += 1
+                lane["session"].state.tokens.append(int(tid))
+                self.pool._bump("tokens_generated")
+                if token == EOS_TOKEN_SUFFIX:
+                    if lane["emitted"] >= lane["limit"]:
+                        finished = True
+                        break
+                    continue
+                if lane["chat"].endswith(EOS_SUFFIX):
+                    finished = True
+                    break
+                lane["out"].put(token)
+                if lane["emitted"] >= lane["limit"]:
+                    finished = True
+                    break
+            if finished:
+                self._finalize(i)
+        # idle slots decode garbage but must not run their cursor off to
+        # infinity (int32 positions; update-slice clamping)
+        for i, lane in enumerate(self._lanes):
+            if lane is None:
+                self._pos[i] = 0
+
+    def _finalize(self, slot: int) -> None:
+        """Detach a lane: slice its cache back into the session, roll back
+        overshoot, free the slot."""
+        lane = self._lanes[slot]
+        st = lane["session"].state
+        with self.pool._lock:
+            st.cache = self._extract(self._cache, jnp.int32(slot))
+            rolled_back = lane["ends"] != int(self._pos[slot])
+            st.logits_dev = (
+                None if rolled_back
+                else self._extract_logits(self._logits, jnp.int32(slot))
+            )
+        st.n_past = lane["ends"]
+        del st.tokens[lane["ends"] :]
+        st.logits_host = None
+        lane["out"].put(self._DONE)
+        self._lanes[slot] = None
+        self._pos[slot] = 0

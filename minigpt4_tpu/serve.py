@@ -114,9 +114,17 @@ class _Server:
     """Thin HTTP adapter; the SessionPool's registry is the single source of
     truth for session lifetime (no duplicate bookkeeping here)."""
 
-    def __init__(self, pool: SessionPool, batch_window_s: float = 0.0):
+    def __init__(self, pool: SessionPool, batch_window_s: float = 0.0,
+                 continuous: bool = False, max_batch: int = 8):
         self.pool = pool
-        self.batcher = _Batcher(pool, batch_window_s) if batch_window_s > 0 else None
+        if continuous:
+            from .engine.sessions import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(pool, max_batch=max_batch)
+        elif batch_window_s > 0:
+            self.batcher = _Batcher(pool, batch_window_s)
+        else:
+            self.batcher = None
 
     def create(self) -> int:
         return self.pool.new_session().session_id
@@ -206,7 +214,7 @@ def make_handler(srv: _Server):
                         out = srv.batcher.submit(s, limit, params)
                         while True:
                             tok = out.get()
-                            if tok is _Batcher._DONE:
+                            if tok is srv.batcher._DONE:
                                 return
                             if isinstance(tok, Exception):
                                 raise tok
@@ -244,11 +252,14 @@ def make_handler(srv: _Server):
 
 def start_server(model_path, llm_path, host="127.0.0.1", port=8000,
                  session_ctx: int = 512, batch_window_s: float = 0.0,
+                 continuous: bool = False, max_batch: int = 8,
                  **engine_kwargs) -> ThreadingHTTPServer:
     pool = SessionPool(model_path, llm_path, session_ctx=session_ctx, **engine_kwargs)
-    srv = _Server(pool, batch_window_s=batch_window_s)
+    srv = _Server(pool, batch_window_s=batch_window_s, continuous=continuous,
+                  max_batch=max_batch)
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     httpd.pool = pool  # for tests / shutdown
+    httpd.batcher = srv.batcher
     return httpd
 
 
@@ -266,6 +277,18 @@ def main():
         "ONE batched decode (aggregate throughput scales ~linearly)",
     )
     ap.add_argument(
+        "--continuous", action="store_true",
+        help="continuous (in-flight) batching: requests join a RUNNING "
+        "batched decode at chunk boundaries instead of waiting for the "
+        "group to finish — no head-of-line blocking (takes precedence over "
+        "--batch-window-ms)",
+    )
+    ap.add_argument(
+        "--max-batch", type=int, default=8,
+        help="lane count for --continuous (one stacked cache of this batch "
+        "size is preallocated)",
+    )
+    ap.add_argument(
         "--speculative-k", type=int, default=0,
         help="greedy speculative decoding verify width, up to 32 (0 = off): "
         "n-gram drafted, block-verified — greedy output is token-identical, "
@@ -276,6 +299,7 @@ def main():
     httpd = start_server(args.model_path, args.llm_model_path, args.host,
                          args.port, session_ctx=args.session_ctx, n_ctx=args.n_ctx,
                          batch_window_s=args.batch_window_ms / 1e3,
+                         continuous=args.continuous, max_batch=args.max_batch,
                          speculative_k=args.speculative_k)
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()

@@ -101,6 +101,44 @@ def test_unknown_session_404(server):
 
 
 
+def test_continuous_serving(tmp_path_factory):
+    """--continuous: staggered requests join the running batched decode and
+    match greedy outputs of sequential requests."""
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("csrv"))
+    httpd = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
+                         n_batch=32, continuous=True, max_batch=2,
+                         speculative_k=4)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        texts = {}
+
+        def run(name, msg):
+            _, body = _post(base, "/v1/sessions")
+            sid = json.loads(body)["session_id"]
+            _, body = _post(
+                base, f"/v1/sessions/{sid}/chat",
+                json.dumps({"message": msg, "limit": 6, "temp": 0.0}).encode(),
+            )
+            texts[name] = json.loads(body)["text"]
+
+        ts = [threading.Thread(target=run, args=(i, f"prompt {i}")) for i in range(3)]
+        for x in ts:
+            x.start()
+        for x in ts:
+            x.join()
+        assert len(texts) == 3
+
+        for i in range(3):  # sequential requests reproduce the same text
+            run(f"again{i}", f"prompt {i}")
+            assert texts[f"again{i}"] == texts[i]
+    finally:
+        httpd.batcher.close()
+        httpd.shutdown()
+        httpd.pool.close()
+
+
 @pytest.mark.parametrize("spec_k", [0, 4])
 def test_batched_serving(tmp_path_factory, spec_k):
     """--batch-window groups concurrent generations into one batched decode;

@@ -179,6 +179,105 @@ def test_generate_batch_speculative_matches_plain(pool, tmp_path_factory):
         sp.close()
 
 
+class TestContinuousBatching:
+    def _prep(self, pool, q):
+        s = pool.new_session()
+        pool.system_prompt(s)
+        pool.begin_chat(s, q)
+        return s
+
+    def _drain(self, cb, out, timeout=120):
+        toks = []
+        while True:
+            t = out.get(timeout=timeout)
+            if t is cb._DONE:
+                return toks
+            if isinstance(t, Exception):
+                raise t
+            toks.append(t)
+
+    def test_mid_flight_join_matches_plain(self, pool):
+        """A request that joins a RUNNING batched decode gets the same
+        greedy text as per-session generation, and the earlier request is
+        unaffected."""
+        from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+        greedy = SamplingParams(temp=0.0)
+        qa, qb = "tell me a long story about llamas", "hi"
+        want = []
+        for q in (qa, qb):
+            s = self._prep(pool, q)
+            want.append("".join(s.generate(limit=10, params=greedy)))
+            s.close()
+
+        cb = ContinuousBatcher(pool, max_batch=2, decode_chunk=2)
+        try:
+            sa = self._prep(pool, qa)
+            sb = self._prep(pool, qb)
+            out_a = cb.submit(sa, 10, greedy)
+            first = out_a.get(timeout=120)  # decode is in flight now
+            assert isinstance(first, str)
+            out_b = cb.submit(sb, 10, greedy)  # joins mid-generation
+            got_b = "".join(self._drain(cb, out_b))
+            got_a = first + "".join(self._drain(cb, out_a))
+            assert got_a == want[0]
+            assert got_b == want[1]
+            # detached sessions stay usable (follow-up turn)
+            pool.begin_chat(sa, "and?")
+            more = list(sa.generate(limit=3, params=greedy))
+            assert all(isinstance(t, str) for t in more)
+            sa.close()
+            sb.close()
+        finally:
+            cb.close()
+
+    def test_overcapacity_and_mixed_configs_defer(self, pool):
+        """A third request beyond max_batch=2 and a different sampling
+        config both wait their turn and still complete."""
+        from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+        greedy = SamplingParams(temp=0.0)
+        warm = SamplingParams(temp=0.8, top_k=20)
+        cb = ContinuousBatcher(pool, max_batch=2, decode_chunk=2)
+        try:
+            subs = []
+            for q, p in (("one", greedy), ("two", greedy), ("three", greedy),
+                         ("four", warm)):
+                s = self._prep(pool, q)
+                subs.append((s, cb.submit(s, 6, p)))
+            texts = ["".join(self._drain(cb, out)) for _, out in subs]
+            assert all(isinstance(t, str) for t in texts)
+            for s, _ in subs:
+                s.close()
+        finally:
+            cb.close()
+
+    def test_speculative_continuous_matches_plain(self, pool, tmp_path_factory):
+        """Continuous batching with speculative decoding stays greedy-exact."""
+        from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+        greedy = SamplingParams(temp=0.0)
+        q = "tell me a story about llamas please"
+        s = self._prep(pool, q)
+        want = "".join(s.generate(limit=10, params=greedy))
+        s.close()
+
+        model, llm = build_tiny_models(tmp_path_factory.mktemp("cspec"))
+        sp = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32,
+                         speculative_k=4)
+        cb = ContinuousBatcher(sp, max_batch=2, decode_chunk=4)
+        try:
+            s = sp.new_session()
+            sp.system_prompt(s)
+            sp.begin_chat(s, q)
+            got = "".join(self._drain(cb, cb.submit(s, 10, greedy)))
+            assert got == want
+            s.close()
+        finally:
+            cb.close()
+            sp.close()
+
+
 def test_generate_batch_per_session_limits(pool):
     """Per-session limits in one batch: the low-limit session stops at ITS
     limit (state not polluted by hidden overshoot), the other continues."""

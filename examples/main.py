@@ -53,6 +53,11 @@ def parse_args():
         "output is token-identical, just faster)",
     )
     p.add_argument(
+        "--cache-dtype", choices=["bf16", "f32", "f8"], default="bf16",
+        help="KV-cache storage dtype; f8 (e4m3) halves cache memory at a "
+        "small attention-precision cost",
+    )
+    p.add_argument(
         "--warmup", action="store_true",
         help="precompile the common prefill buckets / decode chunks / image "
         "encoder before the session (multi-minute first compiles on "
@@ -65,10 +70,13 @@ def main():
     args = parse_args()
     t_start = time.perf_counter()
 
+    from minigpt4_tpu.engine.engine import CACHE_DTYPES
+
     eng = MiniGPT4Engine(
         args.model, args.llm_model, verbosity=args.verbosity,
         seed=args.seed, n_ctx=args.n_ctx, n_batch=args.n_batch,
         speculative_k=args.speculative_k,
+        cache_dtype=CACHE_DTYPES[args.cache_dtype],
     )
     if args.warmup:
         eng.warmup()

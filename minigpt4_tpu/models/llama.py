@@ -312,8 +312,13 @@ def _layer(
             scores = scores / jnp.sqrt(jnp.float32(cfg.head_dim))
             scores = scores + mask
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            # PV compute dtype: the cache dtype, EXCEPT byte-wide (fp8)
+            # storage — quantizing the probabilities to fp8 would be an
+            # avoidable precision hit, so compute in bf16 there
+            pv_dt = vs.dtype if jnp.dtype(vs.dtype).itemsize > 1 else jnp.bfloat16
             ctx = jnp.einsum(
-                "bhsc,bhcd->bhsd", probs.astype(vs.dtype), vs, preferred_element_type=jnp.float32
+                "bhsc,bhcd->bhsd", probs.astype(pv_dt), vs.astype(pv_dt),
+                preferred_element_type=jnp.float32,
             ).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
     x = x + _row_linear(ctx, layers["wo"], li, tp_axis, cfg.n_embd)

@@ -289,6 +289,12 @@ def main():
         "size is preallocated)",
     )
     ap.add_argument(
+        "--cache-dtype", choices=["bf16", "f32", "f8"], default="bf16",
+        help="KV-cache storage dtype; f8 (e4m3) halves per-session cache "
+        "memory (13B: ~0.2 GB instead of ~0.4 GB at session-ctx 512) so "
+        "twice the sessions/batch lanes fit beside the weights",
+    )
+    ap.add_argument(
         "--speculative-k", type=int, default=0,
         help="greedy speculative decoding verify width, up to 32 (0 = off): "
         "n-gram drafted, block-verified — greedy output is token-identical, "
@@ -296,11 +302,14 @@ def main():
         "AND batched (--batch-window-ms) greedy decode",
     )
     args = ap.parse_args()
+    from .engine.engine import CACHE_DTYPES
+
     httpd = start_server(args.model_path, args.llm_model_path, args.host,
                          args.port, session_ctx=args.session_ctx, n_ctx=args.n_ctx,
                          batch_window_s=args.batch_window_ms / 1e3,
                          continuous=args.continuous, max_batch=args.max_batch,
-                         speculative_k=args.speculative_k)
+                         speculative_k=args.speculative_k,
+                         cache_dtype=CACHE_DTYPES[args.cache_dtype])
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

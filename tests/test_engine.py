@@ -121,6 +121,33 @@ def test_state_checkpoint_resume(tmp_path_factory):
     e3.close()
 
 
+def test_f8_cache_end_to_end(tmp_path_factory):
+    """fp8 (e4m3) KV-cache storage: generation runs, stays deterministic,
+    and checkpoints round-trip (serving capacity option — halves cache
+    memory per session)."""
+    import jax.numpy as jnp
+
+    tmp = tmp_path_factory.mktemp("f8")
+    model, llm = build_tiny_models(tmp)
+
+    e1 = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=32,
+                        cache_dtype=jnp.float8_e4m3fn)
+    assert e1.cache["k"].dtype == jnp.float8_e4m3fn
+    e1.system_prompt()
+    e1.begin_chat("tell me about llamas")
+    e1.save_state(tmp / "state.npz")
+    want = [e1.end_chat(SamplingParams(temp=0.0)) for _ in range(5)]
+    e1.close()
+
+    e2 = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=32,
+                        cache_dtype=jnp.float8_e4m3fn)
+    e2.restore_state(tmp / "state.npz")
+    got = [e2.end_chat(SamplingParams(temp=0.0)) for _ in range(5)]
+    e2.close()
+    assert got == want
+    assert all(isinstance(t, str) for t in want)
+
+
 def test_eos_rules(engine):
     assert engine.contains_eos_token("##")
     assert not engine.contains_eos_token("#")

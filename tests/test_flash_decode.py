@@ -89,6 +89,25 @@ def test_flash_bf16_cache():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_flash_f8_cache():
+    """fp8 (e4m3) cache storage decodes within fp8 rounding tolerance."""
+    b, h, c, dh = 1, 3, 256, 128
+    pos0, s = 19, 1
+    q = RNG.normal(0, 1, (b, h, s, dh)).astype(np.float32)
+    ks = RNG.normal(0, 1, (b, h, c, dh)).astype(np.float32)
+    vs = RNG.normal(0, 1, (b, h, c, dh)).astype(np.float32)
+    k8 = jnp.asarray(ks).astype(jnp.float8_e4m3fn)
+    v8 = jnp.asarray(vs).astype(jnp.float8_e4m3fn)
+    scale = 1.0 / np.sqrt(dh)
+    got = np.asarray(
+        flash_decode_attention(jnp.asarray(q), k8, v8, 0, jnp.int32(pos0), scale)
+    )
+    want = _ref_attention(
+        q, np.asarray(k8.astype(jnp.float32)), np.asarray(v8.astype(jnp.float32)),
+        pos0, scale)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_blockwise_prefill_attention_matches_einsum():
     """The lax.scan XLA-flash prefill path (span > PREFILL_FLASH_SPAN)
     matches the one-shot einsum, including non-block-aligned spans."""

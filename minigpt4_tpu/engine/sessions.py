@@ -512,14 +512,18 @@ class ContinuousBatcher:
             if stop:
                 break
             if self._n_active() == 0:
-                # deferred requests become admissible the moment the group
-                # drains (fresh scfg)
+                # the group drained: the next admission sets a fresh scfg
                 self._scfg = None
+            if self._deferred:
+                # slot-waiters join the moment a lane frees (mid-flight);
+                # config-waiters join once the group drains (scfg reset
+                # above).  Still-blocked items re-defer — bounded, one try
+                # per item per iteration.
                 deferred, self._deferred = self._deferred, []
                 for it in deferred:
                     self._try_admit(it)
-                if self._n_active() == 0:
-                    continue
+            if self._n_active() == 0:
+                continue
             try:
                 self._step()
             except Exception as e:  # pragma: no cover - device failures

@@ -457,9 +457,13 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     # seed per-lane draft history with each lane's own greedy run-in (the
     # plain batched loop above already decoded [bpos+chunk, bpos+chunk+n_b);
     # record a fresh run-in so hist positions line up with the cache)
+    bpos_ri = int(bpos[0]) + chunk + n_b
+    if bpos_ri + runin + sp_passes_b * sp_k_b > bcfg.n_ctx:
+        # no room left in the session context for run-in + spec passes
+        # (large --n-decode/--prefill): skip the batched-spec section
+        return out
     bhist0 = np.full((bsz, bcfg.n_ctx), -1, np.int32)
     bhist0[:, :bprefill] = np.asarray(btokens, np.int32)
-    bpos_ri = int(bpos[0]) + chunk + n_b
     ri_done = 0
     while ri_done < runin:
         btoks, blogits, bcache = bdl(params, bcache, blogits,

@@ -438,6 +438,14 @@ class MiniGPT4Engine:
         self.batch = batch
         # default k for greedy speculative decoding in generate() (0 = off);
         # greedy output is identical either way (llama.speculative_decode_loop)
+        if speculative_k > llama_mod.FLASH_DECODE_MAX_S:
+            # wider verify blocks would silently fall into the einsum/
+            # blockwise prefill attention path, which materializes per-layer
+            # cache copies (OOMs 13B) — refuse at init, not mid-serving
+            raise ValueError(
+                f"speculative_k={speculative_k} exceeds the flash-decode "
+                f"verify-block limit ({llama_mod.FLASH_DECODE_MAX_S})"
+            )
         self.speculative_k = speculative_k
         if matmul_precision:
             # 'highest' forces true-f32 MXU passes for f32 params — needed for

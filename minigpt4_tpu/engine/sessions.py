@@ -90,6 +90,50 @@ class ChatSession:
         self._pool._release(self)
 
 
+def _consume_lane_tokens(lane: dict, token_ids, tokenizer, bump):
+    """Advance one lane's host bookkeeping over freshly EVALUATED token ids.
+
+    Mutates ``lane`` (keys: session, limit, chat, emitted, ends) and the
+    session's token history; returns ``(deliver, finished)`` — the tokens to
+    surface to the client and whether the lane hit EOS/limit.  One
+    implementation of the reference's EOS rules (minigpt4.cpp:2764-2782)
+    shared by the static-batch and continuous decode paths.
+    """
+    from .engine import EOS_SUFFIX, EOS_TOKEN_SUFFIX
+
+    deliver: list[str] = []
+    for tid in token_ids:
+        token = tokenizer.id_to_str(int(tid))
+        lane["chat"] += token
+        lane["emitted"] += 1
+        lane["ends"] += 1  # this token WAS evaluated
+        lane["session"].state.tokens.append(int(tid))
+        bump()
+        if token == EOS_TOKEN_SUFFIX:
+            if lane["emitted"] >= lane["limit"]:
+                return deliver, True
+            continue
+        if lane["chat"].endswith(EOS_SUFFIX):
+            return deliver, True
+        deliver.append(token)
+        if lane["emitted"] >= lane["limit"]:
+            return deliver, True
+    return deliver, False
+
+
+def _detach_lane_state(st: DecodeState, ends: int, pos_now: int, cache_slice,
+                       logits_row) -> None:
+    """Return a lane's state to its session, rolling back overshoot: cursor
+    and token history truncate to the consumed prefix; rolled-back lanes get
+    their pending logits invalidated (they belong to the overshoot
+    continuation — the next prefill installs fresh ones)."""
+    st.cache = cache_slice
+    st.n_past = ends
+    del st.tokens[ends:]
+    st.logits_dev = logits_row if ends == pos_now else None
+    st.logits_host = None
+
+
 class SessionPool:
     """Shared engine + per-session decode state."""
 
@@ -250,7 +294,6 @@ class SessionPool:
         Yields, once per decode chunk, a list of (session_index, token)
         pairs in the same order per-session generation would emit them.
         """
-        from .engine import EOS_SUFFIX, EOS_TOKEN_SUFFIX
         from .device_sampling import DeviceSamplingConfig
 
         params = params or SamplingParams()
@@ -270,15 +313,13 @@ class SessionPool:
             from .engine import _spec_passes
 
             n_passes = _spec_passes(decode_chunk, k_spec)
-            step_span = n_passes * k_spec  # worst-case per-lane advance
-        else:
-            step_span = decode_chunk
-        # only sessions with room for at least one chunk join the batch
-        act = [i for i, s in enumerate(sessions) if s.n_past + step_span <= n_ctx]
+            spec_span = n_passes * k_spec  # worst-case per-lane advance
+        # only sessions with room for at least one plain chunk join the batch
+        # (near-context-end sessions decode plain chunks even under spec)
+        act = [i for i, s in enumerate(sessions) if s.n_past + decode_chunk <= n_ctx]
         if not act:
             return
         batch = [sessions[i] for i in act]
-        limits = [limits_all[i] for i in act]
         n = len(batch)
         with self._lock:
             cache = {
@@ -288,9 +329,11 @@ class SessionPool:
             logits = jnp.stack([s.state.logits_dev for s in batch])
             key, self._batch_key = jax.random.split(self._batch_key)
 
-        chat = [""] * n  # full text incl. "##" tokens, for EOS detection
-        emitted = [0] * n
-        ends = [s.n_past for s in batch]
+        lanes = [
+            {"session": s, "limit": limits_all[act[i]], "chat": "", "emitted": 0,
+             "ends": s.n_past}
+            for i, s in enumerate(batch)
+        ]
         pos_host = np.asarray([s.n_past for s in batch], np.int64)
         done = [False] * n
         if use_spec:
@@ -300,18 +343,24 @@ class SessionPool:
             for i, s in enumerate(batch):
                 hist_np[i, : s.n_past] = np.asarray(s.state.tokens, np.int32)
             hist = jnp.asarray(hist_np)
+        bump = lambda: self._bump("tokens_generated")
         try:
             while not all(done):
-                max_pos = int(pos_host.max())
-                if max_pos + step_span > n_ctx:
+                # context room is judged over ACTIVE lanes only: under spec a
+                # finished lane keeps advancing at its own (often near-perfect)
+                # acceptance in its overshoot region and must not stop the
+                # group or force it off the speculative path
+                max_pos = int(max(pos_host[i] for i in range(n) if not done[i]))
+                if max_pos + decode_chunk > n_ctx:
                     break  # an active lane is out of context: stop the group
-                if use_spec:
+                spec_step = use_spec and max_pos + spec_span <= n_ctx
+                if spec_step:
                     with self._lock:
                         tokens, counts, logits, cache, hist = self.fns.spec_loop(
                             self.engine.llm_params, cache, logits,
                             jnp.asarray(pos_host, jnp.int32), hist,
                             n_passes, k_spec,
-                            self.fns.attn_bucket(max_pos + step_span),
+                            self.fns.attn_bucket(max_pos + spec_span),
                         )
                         tok_host = np.asarray(tokens)  # [n, n_passes, k]
                         cnt_host = np.asarray(counts)  # [n, n_passes]
@@ -339,25 +388,10 @@ class SessionPool:
                 for i in range(n):
                     if done[i]:
                         continue
-                    for tid in lane_tokens[i]:
-                        token = self.engine.tokenizer.id_to_str(int(tid))
-                        chat[i] += token
-                        emitted[i] += 1
-                        ends[i] += 1  # this token WAS evaluated
-                        batch[i].state.tokens.append(int(tid))
-                        self._bump("tokens_generated")
-                        if token == EOS_TOKEN_SUFFIX:
-                            if emitted[i] >= limits[i]:
-                                done[i] = True
-                                break
-                            continue
-                        if chat[i].endswith(EOS_SUFFIX):
-                            done[i] = True
-                            break
-                        updates.append((act[i], token))  # caller-order index
-                        if emitted[i] >= limits[i]:
-                            done[i] = True
-                            break
+                    deliver, done[i] = _consume_lane_tokens(
+                        lanes[i], lane_tokens[i], self.engine.tokenizer, bump
+                    )
+                    updates.extend((act[i], token) for token in deliver)
                 yield updates
         finally:
             # split the batch back into the sessions, rolling back overshoot
@@ -367,12 +401,11 @@ class SessionPool:
             # continuation); the next prefill installs fresh ones.
             with self._lock:
                 for i, s in enumerate(batch):
-                    s.state.cache = {kv: cache[kv][:, i : i + 1] for kv in ("k", "v")}
-                    rolled_back = ends[i] != int(pos_host[i])
-                    s.state.n_past = ends[i]
-                    del s.state.tokens[ends[i] :]  # overshoot history rollback
-                    s.state.logits_dev = None if rolled_back else logits[i]
-                    s.state.logits_host = None
+                    _detach_lane_state(
+                        s.state, lanes[i]["ends"], int(pos_host[i]),
+                        {kv: cache[kv][:, i : i + 1] for kv in ("k", "v")},
+                        logits[i],
+                    )
 
     def close(self) -> None:
         self.engine.close()
@@ -458,6 +491,7 @@ class ContinuousBatcher:
         self._deferred: list[tuple] = []  # waiting for a slot / scfg drain
         self._q: queue_mod.Queue = queue_mod.Queue()
         self._key = jax.random.PRNGKey(pool.seed ^ 0x00C0FFEE)
+        self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -468,10 +502,18 @@ class ContinuousBatcher:
         import queue as queue_mod
 
         out: queue_mod.Queue = queue_mod.Queue()
+        if self._closed:
+            out.put(RuntimeError("continuous batcher is closed"))
+            out.put(self._DONE)
+            return out
         self._q.put((session, limit, params, out))
         return out
 
     def close(self) -> None:
+        """Stop the worker.  Active lanes are detached (their sessions roll
+        back to the consumed prefix), deferred and still-queued requests get
+        an immediate _DONE — no client blocks forever on a dead queue."""
+        self._closed = True
         self._q.put(self._STOP)
         self._thread.join(timeout=60)
 
@@ -510,6 +552,21 @@ class ContinuousBatcher:
                 except queue_mod.Empty:
                     item = None
             if stop:
+                # orderly shutdown: detach active lanes (sessions roll back
+                # to their consumed prefix), release every waiting client
+                for i, lane in enumerate(self._lanes):
+                    if lane is not None:
+                        self._abort_lane(i, None)
+                for it in self._deferred:
+                    it[3].put(self._DONE)
+                self._deferred = []
+                while True:
+                    try:
+                        it = self._q.get_nowait()
+                    except queue_mod.Empty:
+                        break
+                    if it is not self._STOP:
+                        it[3].put(self._DONE)
                 break
             if self._n_active() == 0:
                 # the group drained: the next admission sets a fresh scfg
@@ -533,46 +590,77 @@ class ContinuousBatcher:
                       file=sys.stderr)
                 for i, lane in enumerate(self._lanes):
                     if lane is not None:
-                        lane["out"].put(e)
-                        lane["out"].put(self._DONE)
-                        self._lanes[i] = None
+                        self._abort_lane(i, e)
                 self._scfg = None
 
-    def _try_admit(self, item) -> None:
-        session, limit, params, out = item
-        scfg = self._scfg_of(params)
-        if params.mirostat != 0 or session.state.logits_dev is None:
-            out.put(ValueError(
-                "continuous batching needs a prepared prompt and device "
-                "sampling (no mirostat)"))
-            out.put(self._DONE)
-            return
-        if self._scfg is not None and scfg != self._scfg:
-            self._deferred.append(item)
-            return
+    def _abort_lane(self, slot: int, err: Exception | None) -> None:
+        """Detach a lane after a failure/shutdown, leaving its SESSION in a
+        coherent state (the len(tokens) == n_past invariant must survive —
+        every later hist-seeding path relies on it).  Best effort: extract
+        the lane's cache like a normal finalize; if the device is wedged,
+        roll the session back to its pre-join state (its own cache was never
+        mutated — joins copy INTO the batch cache)."""
+        lane = self._lanes[slot]
+        st = lane["session"].state
         try:
-            slot = self._lanes.index(None)
-        except ValueError:
-            self._deferred.append(item)
-            return
-        cfg = self.fns.cfg
-        if session.n_past + self._span(scfg) > cfg.n_ctx:
-            out.put(self._DONE)  # no room for a single chunk: empty stream
-            return
-        self._scfg = scfg
-        hist_row = np.full((cfg.n_ctx,), -1, np.int32)
-        hist_row[: session.n_past] = np.asarray(session.state.tokens, np.int32)
-        with self.pool._lock:
-            self._cache, self._logits, self._hist = self._join(
-                self._cache, self._logits, self._hist, session.state.cache,
-                session.state.logits_dev, jnp.asarray(hist_row),
-                jnp.int32(slot),
-            )
-        self._pos[slot] = session.n_past
-        self._lanes[slot] = {
-            "session": session, "limit": limit, "out": out,
-            "chat": "", "emitted": 0, "ends": session.n_past,
-        }
+            with self.pool._lock:
+                cache_slice = self._extract(self._cache, jnp.int32(slot))
+            _detach_lane_state(st, lane["ends"], int(self._pos[slot]),
+                               cache_slice, None)
+        except Exception:
+            st.n_past = lane["start"]
+            del st.tokens[lane["start"]:]
+            st.logits_dev = None
+            st.logits_host = None
+        if err is not None:
+            lane["out"].put(err)
+        lane["out"].put(self._DONE)
+        self._lanes[slot] = None
+        self._pos[slot] = 0
+
+    def _try_admit(self, item) -> None:
+        """Admit, defer, or reject one request.  NEVER raises: any failure is
+        delivered on the request's own queue — an exception escaping here
+        would kill the worker thread and hang every other client."""
+        session, limit, params, out = item
+        try:
+            scfg = self._scfg_of(params)
+            if params.mirostat != 0 or session.state.logits_dev is None:
+                out.put(ValueError(
+                    "continuous batching needs a prepared prompt and device "
+                    "sampling (no mirostat)"))
+                out.put(self._DONE)
+                return
+            if self._scfg is not None and scfg != self._scfg:
+                self._deferred.append(item)
+                return
+            try:
+                slot = self._lanes.index(None)
+            except ValueError:
+                self._deferred.append(item)
+                return
+            cfg = self.fns.cfg
+            if session.n_past + self.decode_chunk > cfg.n_ctx:
+                out.put(self._DONE)  # no room for a single chunk: empty stream
+                return
+            hist_row = np.full((cfg.n_ctx,), -1, np.int32)
+            hist_row[: session.n_past] = np.asarray(session.state.tokens, np.int32)
+            with self.pool._lock:
+                self._cache, self._logits, self._hist = self._join(
+                    self._cache, self._logits, self._hist, session.state.cache,
+                    session.state.logits_dev, jnp.asarray(hist_row),
+                    jnp.int32(slot),
+                )
+            self._scfg = scfg
+            self._pos[slot] = session.n_past
+            self._lanes[slot] = {
+                "session": session, "limit": limit, "out": out,
+                "chat": "", "emitted": 0, "ends": session.n_past,
+                "start": session.n_past,
+            }
+        except Exception as e:
+            out.put(e)
+            out.put(self._DONE)
 
     def _use_spec(self, scfg) -> bool:
         return self.pool.engine.speculative_k > 1 and scfg.greedy
@@ -586,22 +674,27 @@ class ContinuousBatcher:
         return self.decode_chunk
 
     def _step(self) -> None:
-        from .engine import EOS_SUFFIX, EOS_TOKEN_SUFFIX
-
         scfg = self._scfg
-        span = self._span(scfg)
         cfg = self.fns.cfg
-        # lanes without room for another chunk leave BEFORE the dispatch
-        # (per-lane, not group-stop: the others keep decoding)
+        # lanes without room for even a plain chunk leave BEFORE the
+        # dispatch (per-lane, not group-stop: the others keep decoding)
         for i, lane in enumerate(self._lanes):
-            if lane is not None and self._pos[i] + span > cfg.n_ctx:
+            if lane is not None and self._pos[i] + self.decode_chunk > cfg.n_ctx:
                 self._finalize(i)
         if self._n_active() == 0:
             return
         act = [i for i, l in enumerate(self._lanes) if l is not None]
-        bucket = self.fns.attn_bucket(int(max(self._pos[i] for i in act)) + span)
+        max_pos = int(max(self._pos[i] for i in act))
+        # a near-context-end lane demotes the STEP to plain chunks (its tail
+        # still decodes); speculation resumes once that lane leaves
+        spec_span = self._span(scfg)
+        spec_step = (
+            self._use_spec(scfg) and max_pos + spec_span <= cfg.n_ctx
+        )
+        span = spec_span if spec_step else self.decode_chunk
+        bucket = self.fns.attn_bucket(max_pos + span)
         pos_dev = jnp.asarray(self._pos, jnp.int32)
-        if self._use_spec(scfg):
+        if spec_step:
             from .engine import _spec_passes
 
             k = self.pool.engine.speculative_k
@@ -633,28 +726,13 @@ class ContinuousBatcher:
             lane_tokens = {i: tok_host[i] for i in act}
             self._pos += self.decode_chunk
         tokenizer = self.pool.engine.tokenizer
+        bump = lambda: self.pool._bump("tokens_generated")
         for i in act:
-            lane = self._lanes[i]
-            finished = False
-            for tid in lane_tokens[i]:
-                token = tokenizer.id_to_str(int(tid))
-                lane["chat"] += token
-                lane["emitted"] += 1
-                lane["ends"] += 1
-                lane["session"].state.tokens.append(int(tid))
-                self.pool._bump("tokens_generated")
-                if token == EOS_TOKEN_SUFFIX:
-                    if lane["emitted"] >= lane["limit"]:
-                        finished = True
-                        break
-                    continue
-                if lane["chat"].endswith(EOS_SUFFIX):
-                    finished = True
-                    break
-                lane["out"].put(token)
-                if lane["emitted"] >= lane["limit"]:
-                    finished = True
-                    break
+            deliver, finished = _consume_lane_tokens(
+                self._lanes[i], lane_tokens[i], tokenizer, bump
+            )
+            for token in deliver:
+                self._lanes[i]["out"].put(token)
             if finished:
                 self._finalize(i)
         # idle slots decode garbage but must not run their cursor off to
@@ -667,17 +745,13 @@ class ContinuousBatcher:
         """Detach a lane: slice its cache back into the session, roll back
         overshoot, free the slot."""
         lane = self._lanes[slot]
-        st = lane["session"].state
         with self.pool._lock:
-            st.cache = self._extract(self._cache, jnp.int32(slot))
-            rolled_back = lane["ends"] != int(self._pos[slot])
-            st.logits_dev = (
-                None if rolled_back
-                else self._extract_logits(self._logits, jnp.int32(slot))
-            )
-        st.n_past = lane["ends"]
-        del st.tokens[lane["ends"] :]
-        st.logits_host = None
+            cache_slice = self._extract(self._cache, jnp.int32(slot))
+            logits_row = self._extract_logits(self._logits, jnp.int32(slot))
+        _detach_lane_state(
+            lane["session"].state, lane["ends"], int(self._pos[slot]),
+            cache_slice, logits_row,
+        )
         lane["out"].put(self._DONE)
         self._lanes[slot] = None
         self._pos[slot] = 0

@@ -252,6 +252,57 @@ class TestContinuousBatching:
         finally:
             cb.close()
 
+    def test_bad_request_does_not_kill_worker(self, pool):
+        """An unprepared session gets an error on ITS queue; the worker
+        survives and serves the next request (an exception escaping the
+        admission path would hang every client forever)."""
+        from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+        greedy = SamplingParams(temp=0.0)
+        cb = ContinuousBatcher(pool, max_batch=2, decode_chunk=2)
+        try:
+            bad = pool.new_session()  # no prompt prepared
+            out = cb.submit(bad, 4, greedy)
+            err = out.get(timeout=60)
+            assert isinstance(err, ValueError)
+            assert out.get(timeout=60) is cb._DONE
+            bad.close()
+
+            good = self._prep(pool, "hello")
+            toks = self._drain(cb, cb.submit(good, 4, greedy))
+            assert toks and all(isinstance(t, str) for t in toks)
+            good.close()
+        finally:
+            cb.close()
+
+    def test_close_releases_waiting_clients(self, pool):
+        """close() terminates every stream (active or queued) with _DONE and
+        rejects later submits — no client blocks on a dead queue."""
+        from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+        greedy = SamplingParams(temp=0.0)
+        cb = ContinuousBatcher(pool, max_batch=1, decode_chunk=2)
+        s1 = self._prep(pool, "one")
+        s2 = self._prep(pool, "two")
+        out1 = cb.submit(s1, 500, greedy)  # long generation occupies the lane
+        out1.get(timeout=120)  # in flight
+        out2 = cb.submit(s2, 4, greedy)  # waits for the slot
+        cb.close()
+        # both streams terminate (tokens and/or _DONE, no hang)
+        for out in (out1, out2):
+            while True:
+                t = out.get(timeout=60)
+                if t is cb._DONE:
+                    break
+                assert isinstance(t, str)
+        # sessions are coherent after shutdown detach
+        assert len(s1.state.tokens) == s1.n_past
+        assert len(s2.state.tokens) == s2.n_past
+        late = cb.submit(s1, 2, greedy)
+        assert isinstance(late.get(timeout=10), RuntimeError)
+        s1.close()
+        s2.close()
+
     def test_speculative_continuous_matches_plain(self, pool, tmp_path_factory):
         """Continuous batching with speculative decoding stays greedy-exact."""
         from minigpt4_tpu.engine.sessions import ContinuousBatcher

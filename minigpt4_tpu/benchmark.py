@@ -518,14 +518,18 @@ def main():
     ap.add_argument("--qtype", default="q5_k")
     ap.add_argument("--n-decode", type=int, default=64)
     ap.add_argument("--prefill", type=int, default=64)
+    ap.add_argument("--cache-dtype", choices=["bf16", "f32", "f8"], default="bf16")
     ap.add_argument("--skip-encode", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
     args = ap.parse_args()
 
+    cache_dt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+                "f8": jnp.float8_e4m3fn}[args.cache_dtype]
     qtype = {t.name.lower(): t for t in DataType}[args.qtype]
     results = {}
     if not args.skip_decode:
-        results.update(bench_decode(args.model, qtype, args.n_decode, args.prefill))
+        results.update(bench_decode(args.model, qtype, args.n_decode, args.prefill,
+                                    cache_dtype=cache_dt))
     if not args.skip_encode:
         results.update(bench_encode(GEOMETRIES[args.model].n_embd))
     print(json.dumps(results, indent=2))

@@ -252,6 +252,37 @@ class TestContinuousBatching:
         finally:
             cb.close()
 
+    def test_near_context_end_lane_decodes_plain_tail(self, tmp_path_factory):
+        """A session too close to the context end for a speculative span is
+        still served (the step demotes to plain chunks) and stops cleanly at
+        the context boundary instead of being excluded or group-stopped."""
+        from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+        model, llm = build_tiny_models(tmp_path_factory.mktemp("tailpool"))
+        sp = SessionPool(model, llm, session_ctx=64, n_ctx=64, n_batch=16,
+                         speculative_k=8)
+        greedy = SamplingParams(temp=0.0)
+        cb = ContinuousBatcher(sp, max_batch=2, decode_chunk=4)
+        try:
+            s = sp.new_session()
+            # land the cursor close to the 64-token context end: too tight
+            # for a 2-pass k=8 spec span (16), enough for a plain chunk (4)
+            sp.begin_chat(s, "hi")
+            while 64 - s.n_past >= 16:
+                sp._add_strings(s, "a")
+            room = 64 - s.n_past
+            assert 4 <= room < 2 * 8, f"fixture drift: room={room}"
+            toks = self._drain(cb, cb.submit(s, 64, greedy))
+            # decoded a plain tail (or stopped at the boundary) — no hang,
+            # no empty rejection while a plain chunk still fit
+            assert s.n_past <= 64
+            assert len(s.state.tokens) == s.n_past
+            assert all(isinstance(t, str) for t in toks)
+            s.close()
+        finally:
+            cb.close()
+            sp.close()
+
     def test_bad_request_does_not_kill_worker(self, pool):
         """An unprepared session gets an error on ITS queue; the worker
         survives and serves the next request (an exception escaping the

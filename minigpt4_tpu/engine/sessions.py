@@ -151,6 +151,9 @@ class SessionPool:
         self.seed = seed
         self._lock = threading.Lock()
         self._metrics_lock = threading.Lock()  # counters race across streams
+        from collections import deque
+
+        self._rate_events: "deque[tuple[float, int]]" = deque(maxlen=4096)
         self._batch_key = jax.random.PRNGKey(seed ^ 0x5F5E100)
         self._next_id = 0
         self._sessions: dict[int, ChatSession] = {}
@@ -167,8 +170,27 @@ class SessionPool:
         self.fns = self.engine.step_fns_for(session_ctx)
 
     def _bump(self, name: str, by: int = 1) -> None:
+        import time
+
         with self._metrics_lock:
             self.metrics[name] += by
+            if name == "tokens_generated":
+                self._rate_events.append((time.monotonic(), by))
+
+    def generation_rate(self, window_s: float = 30.0) -> float:
+        """Aggregate decode tok/s over the trailing window (a serving gauge
+        the reference has no analogue of — surfaced at /v1/health)."""
+        import time
+
+        now = time.monotonic()
+        with self._metrics_lock:
+            while self._rate_events and self._rate_events[0][0] < now - window_s:
+                self._rate_events.popleft()
+            total = sum(by for _, by in self._rate_events)
+            if not self._rate_events:
+                return 0.0
+            span = max(now - self._rate_events[0][0], 1e-3)
+        return total / span
 
     # -- session lifecycle --
     def new_session(self) -> ChatSession:

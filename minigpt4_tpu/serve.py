@@ -166,7 +166,8 @@ def make_handler(srv: _Server):
         def do_GET(self):
             if self.path == "/v1/health":
                 self._json(200, {"ok": True, "sessions": srv.count(),
-                                 "metrics": dict(srv.pool.metrics)})
+                                 "metrics": dict(srv.pool.metrics),
+                                 "tok_s_30s": round(srv.pool.generation_rate(), 2)})
             else:
                 self._json(404, {"error": "not found"})
 

@@ -35,7 +35,9 @@ def _post(base, path, data=b"", headers=None):
 
 def test_health(server):
     with urllib.request.urlopen(server + "/v1/health", timeout=30) as r:
-        assert json.loads(r.read())["ok"] is True
+        h = json.loads(r.read())
+    assert h["ok"] is True
+    assert "tok_s_30s" in h  # trailing-window throughput gauge
 
 
 def test_session_image_chat_roundtrip(server):

@@ -91,13 +91,16 @@ def start(share: bool = False):
                 temperature = gr.Slider(0.0, 2.0, label="Temperature", value=0.8)
                 top_k = gr.Slider(1, 100, label="Top K", step=1, value=40)
                 top_p = gr.Slider(0.0, 1.0, label="Top P", value=0.9)
+                repeat_penalty = gr.Slider(0.0, 2.0, label="Repeat Penalty", value=1.1)
             with gr.Column(scale=2):
                 chatbot = gr.Chatbot(label="MiniGPT-4")
                 msg = gr.Textbox(placeholder="Upload image first", interactive=False)
                 clear = gr.Button("Restart")
         history = gr.State([])
         msg.submit(user, [msg, history], [msg, history]).then(
-            chat, [history, max_tokens, temperature, top_k, top_p], [chatbot, history]
+            chat,
+            [history, max_tokens, temperature, top_k, top_p, repeat_penalty],
+            [chatbot, history],
         )
         upload_button.click(upload_image, [image, history], [image, msg, upload_button, history])
         clear.click(clear_state, [history, msg, image], [history, image, msg, upload_button])

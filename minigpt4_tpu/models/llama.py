@@ -445,21 +445,27 @@ def _ngram_draft(hist: jnp.ndarray, pos: jnp.ndarray, t0: jnp.ndarray,
     ``hist`` [C] i32 holds the evaluated token ids (sentinel -1 for injected
     image-embedding rows, which can never match a real token id); ``pos`` is
     the number of valid entries (n_past); ``t0`` is the just-sampled, not yet
-    evaluated token.  A trigram match is preferred over a bigram match; among
-    equal lengths the most recent wins.  With no match the slice is arbitrary
-    — verification rejects bad drafts, so a garbage draft costs nothing (the
-    verify pass is the same weight read as a 1-token step).
+    evaluated token.  Longer context matches win (4-gram > trigram > bigram);
+    among equal lengths the most recent wins.  With no match the slice is
+    arbitrary — verification rejects bad drafts, so a garbage draft costs
+    nothing (the verify pass is the same weight read as a 1-token step).
     """
     idx = jnp.arange(c)
     t_prev = hist[jnp.maximum(pos - 1, 0)]
     t_prev2 = hist[jnp.maximum(pos - 2, 0)]
+    t_prev3 = hist[jnp.maximum(pos - 3, 0)]
     prev = jnp.roll(hist, 1)  # prev[j] = hist[j-1]
     prev2 = jnp.roll(hist, 2)
+    prev3 = jnp.roll(hist, 3)
     m2 = (hist == t0) & (prev == t_prev) & (idx >= 1) & (idx <= pos - 1)
     m3 = m2 & (prev2 == t_prev2) & (idx >= 2) & (pos >= 2)
-    val = jnp.where(m3, c + idx, jnp.where(m2, idx, -1))
+    m4 = m3 & (prev3 == t_prev3) & (idx >= 3) & (pos >= 3)
+    val = jnp.where(
+        m4, 2 * c + idx, jnp.where(m3, c + idx, jnp.where(m2, idx, -1))
+    )
     j = jnp.max(val)
-    j = jnp.where(j >= c, j - c, j)  # strip the trigram priority offset
+    # strip the match-length priority offset (keep -1 = no match as-is)
+    j = jnp.where(j >= 2 * c, j - 2 * c, jnp.where(j >= c, j - c, j))
     start = jnp.clip(j + 1, 0, c - k_draft)
     return jax.lax.dynamic_slice(hist, (start,), (k_draft,)).astype(jnp.int32)
 

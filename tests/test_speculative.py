@@ -70,6 +70,18 @@ class TestNgramDraft:
         d = np.asarray(_ngram_draft(jnp.asarray(hist), jnp.int32(len(seq)), jnp.int32(9), 2, c))
         np.testing.assert_array_equal(d, [2, 3])
 
+    def test_4gram_preferred_over_trigram(self):
+        c = 40
+        hist = np.full(c, -1, np.int32)
+        # an EARLIER 4-gram (2, 5, 7, 9) match must beat a LATER trigram
+        # (5, 7, 9) match
+        seq = [2, 5, 7, 9, 11, 12, 4, 5, 7, 9, 20, 21, 0, 2, 5, 7]  # t0 = 9
+        hist[: len(seq)] = seq
+        pos = len(seq)
+        d = np.asarray(_ngram_draft(jnp.asarray(hist), jnp.int32(pos), jnp.int32(9), 2, c))
+        # 4-gram ends at idx 3 -> continuation [11, 12]
+        np.testing.assert_array_equal(d, [11, 12])
+
     def test_no_match_returns_something(self):
         c = 16
         hist = np.full(c, -1, np.int32)

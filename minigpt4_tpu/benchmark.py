@@ -133,6 +133,17 @@ def _synth_planes(key, *, lead, n_out, n_in, gs, code_bits, hi_bits):
     return codes, scales, mins, hi
 
 
+@partial(jax.jit, static_argnames=("lead", "n_out", "n_in"))
+def _synth_i8_codes(key, *, lead, n_out, n_in):
+    """Random i8 codes [lead, N, K] generated on device (same byte-plane
+    trick as _synth_planes; bit pattern is irrelevant for perf)."""
+    rows, cols = int(np.prod(lead)) * n_out, n_in
+    w = jax.random.bits(key, (rows, cols // 4), jnp.uint32)
+    planes = [((w >> (8 * i)) & 0xFF).astype(jnp.uint8) for i in range(4)]
+    u8 = jnp.concatenate(planes, axis=-1)
+    return jax.lax.bitcast_convert_type(u8, jnp.int8).reshape(*lead, n_out, n_in)
+
+
 def synth_llama_params(
     cfg: llama_mod.LlamaConfig, qtype: DataType, rng: np.random.Generator, dtype=jnp.bfloat16,
     quant_mode: str = "auto",
@@ -146,7 +157,27 @@ def synth_llama_params(
         or (quant_mode == "auto" and _jax.default_backend() == "tpu" and qtype in rp.REPACKABLE)
     )
 
-    if on_repack_path:
+    if quant_mode == "w8a8":
+        # EXPERIMENTAL direct-MXU i8 path: device-generated codes + constant
+        # scales, stacked [L, ...] (ops/i8_matmul.py)
+        from .ops.i8_matmul import I8SBQuant
+
+        def i8stack(n_out, n_in, lead=(L,)):
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+            codes = _synth_i8_codes(key, lead=lead, n_out=n_out, n_in=n_in)
+            scales = jnp.full((*lead, n_out, n_in // 256), 2e-4, jnp.float32)
+            return {"w": I8SBQuant(codes, scales, n_in)}
+
+        layers = {
+            "attention_norm": jnp.ones((L, d), dtype),
+            "wqkv": i8stack(3 * d, d),
+            "wo": i8stack(d, d),
+            "ffn_norm": jnp.ones((L, d), dtype),
+            "w13": i8stack(2 * ff, d),
+            "w2": i8stack(d, ff),
+        }
+        out_p = i8stack(v, d, lead=())
+    elif on_repack_path:
         # stacked planes generated directly on device — no per-layer
         # build-then-stack (that transiently doubles HBM: the round-1 OOM)
         def qstack(n_out, n_in):
@@ -270,11 +301,12 @@ def vit_g_config(llama_embed: int) -> vision_mod.VisionConfig:
 
 
 def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
-                 dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16) -> dict:
+                 dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
+                 quant_mode: str = "auto") -> dict:
     cfg = GEOMETRIES[model]
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    params = synth_llama_params(cfg, qtype, rng, dtype)
+    params = synth_llama_params(cfg, qtype, rng, dtype, quant_mode=quant_mode)
     params = jax.device_put(params)
     jax.block_until_ready(jax.tree_util.tree_leaves(params["layers"]))
     build_s = time.perf_counter() - t0
@@ -519,6 +551,10 @@ def main():
     ap.add_argument("--n-decode", type=int, default=64)
     ap.add_argument("--prefill", type=int, default=64)
     ap.add_argument("--cache-dtype", choices=["bf16", "f32", "f8"], default="bf16")
+    ap.add_argument("--quant-mode", choices=["auto", "repack", "qtensor", "w8a8"],
+                    default="auto",
+                    help="w8a8 = EXPERIMENTAL direct-MXU i8 path (see "
+                    "ops/i8_matmul.py for the speed/quality trade)")
     ap.add_argument("--skip-encode", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
     args = ap.parse_args()
@@ -529,7 +565,8 @@ def main():
     results = {}
     if not args.skip_decode:
         results.update(bench_decode(args.model, qtype, args.n_decode, args.prefill,
-                                    cache_dtype=cache_dt))
+                                    cache_dtype=cache_dt,
+                                    quant_mode=args.quant_mode))
     if not args.skip_encode:
         results.update(bench_encode(GEOMETRIES[args.model].n_embd))
     print(json.dumps(results, indent=2))

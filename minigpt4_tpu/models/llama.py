@@ -681,6 +681,19 @@ def _fuse_linears(ps: list[dict]):
         if any((w.dtype, w.n_in) != (w0.dtype, w0.n_in) for w in ws):
             return None
         return {"w": QTensor(jnp.concatenate([w.packed for w in ws], axis=-2), w0.dtype, w0.n_in)}
+    from ..ops.i8_matmul import I8SBQuant
+
+    if all(isinstance(w, I8SBQuant) for w in ws):
+        w0 = ws[0]
+        if any(w.n_in != w0.n_in for w in ws):
+            return None
+        return {
+            "w": I8SBQuant(
+                jnp.concatenate([w.codes for w in ws], axis=-2),
+                jnp.concatenate([w.scales for w in ws], axis=-2),
+                w0.n_in,
+            )
+        }
     if all(isinstance(w, jnp.ndarray) for w in ws):
         if any(w.dtype != ws[0].dtype or w.shape[:-1] != ws[0].shape[:-1] for w in ws):
             return None

@@ -86,6 +86,7 @@ def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     — an XLA slice there would materialize a full per-layer weight copy
     before every kernel call.
     """
+    from ..ops.i8_matmul import I8SBQuant
     from ..ops.repack import RepackedQuant
 
     w = p["w"]
@@ -104,6 +105,12 @@ def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
         if w.codes.ndim == 2 and layer is not None:
             layer = None  # already per-layer (e.g. vision blocks via scan xs)
         y = qmatmul_repacked(x, w, layer=layer)
+    elif isinstance(w, I8SBQuant):
+        from ..ops.i8_matmul import qmatmul_i8sb
+
+        if w.codes.ndim == 2 and layer is not None:
+            layer = None
+        y = qmatmul_i8sb(x, w, layer=layer)
     elif isinstance(w, QTensor):
         if layer is not None and w.packed.ndim == 3:
             w = QTensor(w.packed[layer], w.dtype, w.n_in)
@@ -124,10 +131,19 @@ def load_quant_weight(raw: np.ndarray, shape: tuple[int, int], dtype: DataType, 
     """Choose the device representation for a quantized weight.
 
     mode: 'auto' (repack for the Pallas kernel on TPU, raw QTensor
-    elsewhere), 'repack', or 'qtensor'.
+    elsewhere), 'repack', 'qtensor', or 'w8a8' (EXPERIMENTAL: re-quantize to
+    symmetric i8 + 256-superblock scales for the direct-MXU i8 kernel —
+    ops/i8_matmul.py documents the speed/quality trade; weights whose K is
+    not a multiple of 256 fall back to the auto path).
     """
     from ..ops import repack as rp
 
+    if mode == "w8a8":
+        from ..ops import i8_matmul as i8
+
+        if shape[1] % i8.SB == 0:
+            return i8.from_ggml(np.asarray(raw), shape, dtype)
+        mode = "auto"
     if mode == "auto":
         import jax as _jax
 

@@ -55,6 +55,20 @@ def run_single(model: str) -> int:
         enc = {}
         metric = "decode tok/s (cpu smoke)"
 
+    w8 = {}
+    if on_tpu and model == "13B":
+        # EXPERIMENTAL W8A8 rider (direct-MXU i8, fp8 cache): measured after
+        # the headline so a failure here never costs the q5_k number; the
+        # q5_k arrays freed when bench_decode returned
+        try:
+            import jax.numpy as jnp
+
+            w8 = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64,
+                              cache_dtype=jnp.float8_e4m3fn, quant_mode="w8a8",
+                              quick=True)
+        except Exception as e:
+            print(f"[bench] w8a8 rider failed: {e}", file=sys.stderr)
+
     value = round(dec["decode_tok_s"], 2)
     extras = {k: round(v, 2) for k, v in {**dec, **enc}.items()}
     print(f"[bench] details: {json.dumps(extras)}", file=sys.stderr)
@@ -80,6 +94,11 @@ def run_single(model: str) -> int:
         line["spec_accept_per_pass"] = round(dec["spec_accept_per_pass"], 2)
     if "encode_ms_p50" in enc:
         line["encode_ms_p50"] = round(enc["encode_ms_p50"], 2)
+    if "decode_tok_s" in w8:
+        # experimental direct-MXU i8 mode (quant_mode="w8a8", fp8 cache):
+        # same geometry, re-quantized weights — quality unvalidated vs real
+        # checkpoints, see ops/i8_matmul.py
+        line["w8a8_tok_s"] = round(w8["decode_tok_s"], 2)
     print(json.dumps(line))
     return 0
 

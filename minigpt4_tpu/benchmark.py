@@ -302,7 +302,7 @@ def vit_g_config(llama_embed: int) -> vision_mod.VisionConfig:
 
 def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
                  dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
-                 quant_mode: str = "auto") -> dict:
+                 quant_mode: str = "auto", quick: bool = False) -> dict:
     cfg = GEOMETRIES[model]
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
@@ -385,6 +385,8 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         "build_s": build_s,
         "prefill_len": prefill_len,
     }
+    if quick:  # fused decode only (the w8a8 rider measurement)
+        return out
 
     # --- speculative decode (greedy, n-gram drafted, verify-k=8): the pass
     # itself costs the same weight read as a 1-token step, so the honest

@@ -74,6 +74,41 @@ def _check_one(name: str, k: int, n: int, qtype, m: int, stacked: bool) -> float
     return dt
 
 
+def _check_i8(name: str, k: int, n: int, m: int, stacked: bool) -> float:
+    """Compile + run + verify the EXPERIMENTAL direct-MXU i8 kernel
+    (ops/i8_matmul.py) against its dequantized-dense reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.i8_matmul import I8SBQuant, qmatmul_i8sb, requantize_i8sb
+
+    rng = np.random.default_rng(0)
+    codes, scales = requantize_i8sb(rng.normal(0, 0.02, (n, k)).astype(np.float32))
+    w = I8SBQuant(jnp.asarray(codes), jnp.asarray(scales), k)
+    layer = None
+    if stacked:
+        w = jax.tree_util.tree_map(lambda a: a[None], w)
+        layer = 0
+    x = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32), jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    y = np.asarray(qmatmul_i8sb(x, w, out_dtype=jnp.float32, layer=layer))
+    dt = time.perf_counter() - t0
+
+    flat = jax.tree_util.tree_map(lambda a: a[0], w) if stacked else w
+    wd = np.asarray(flat.dequantize())
+    xf = np.asarray(x, np.float32)
+    sx = np.abs(xf).max(axis=-1, keepdims=True) / 127.0
+    sx = np.where(sx == 0, 1.0, sx)
+    x_deq = np.clip(np.rint(xf / sx), -127, 127) * sx  # the a8-rounded input
+    ref = x_deq @ wd.T
+    scale = max(1.0, float(np.abs(ref).max()))
+    err = float(np.abs(y - ref).max()) / scale
+    if err > 1e-3:  # i8 dot is exact; only f32 accumulation order differs
+        raise AssertionError(f"{name}: rel err {err:.2e} vs dense reference")
+    return dt
+
+
 def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = None) -> bool:
     import jax
 
@@ -111,6 +146,20 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
         tag = f"{nm} {qt.name.lower()} M={m} {'stacked' if st else 'flat'}"
         try:
             dt = _check_one(tag, k, n, qt, m, st)
+            if verbose:
+                print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
+        except Exception as e:
+            ok = False
+            print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
+    # the experimental i8 kernel: worst-case K + the stacked decode shape
+    i8_cases = [("13B w2 i8", 13824, 5120, 1, True)]
+    if not fast:
+        i8_cases += [("13B w1 i8", 5120, 13824, 512, True),
+                     ("13B attn i8", 5120, 5120, 1, False)]
+    for nm, k, n, m, st in i8_cases:
+        tag = f"{nm} M={m} {'stacked' if st else 'flat'}"
+        try:
+            dt = _check_i8(tag, k, n, m, st)
             if verbose:
                 print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
         except Exception as e:

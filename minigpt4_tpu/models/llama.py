@@ -166,10 +166,11 @@ def _row_linear(
     NO reduce (the input is gathered first if the producer was sharded)."""
     if not tp_axis:
         return linear(x, p, li)
+    from ..ops.i8_matmul import I8SBQuant
     from ..ops.repack import RepackedQuant
 
     w = p["w"]
-    if isinstance(w, RepackedQuant):
+    if isinstance(w, (RepackedQuant, I8SBQuant)):
         kw = w.codes.shape[-1]
     elif isinstance(w, QTensor):
         kw = w.n_in

@@ -29,6 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import llama as llama_mod
 from ..models.params import QTensor
+from ..ops.i8_matmul import I8SBQuant
+from ..ops.i8_matmul import SB as I8_SB
 from ..ops.repack import RepackedQuant, with_k_shards
 
 _ROW_PARALLEL = ("wo", "w2")
@@ -41,7 +43,8 @@ def _fused_col_ok(w, parts: int, tp: int) -> bool:
     re-interleaved per shard (each part divides tp; even rows per part-shard
     for the row-pair packed codes) — one guard shared by the spec builder and
     the interleaver so a shardable spec always gets interleaved rows."""
-    n = w.n_out if isinstance(w, (RepackedQuant, QTensor)) else w.shape[-1]
+    n = (w.n_out if isinstance(w, (RepackedQuant, QTensor, I8SBQuant))
+         else w.shape[-1])
     if n % parts:
         return False
     per = n // parts
@@ -57,9 +60,18 @@ def _rq_specs(w: RepackedQuant, axes) -> RepackedQuant:
     )
 
 
+def _i8_specs(w: I8SBQuant, axes) -> I8SBQuant:
+    """An I8SBQuant 'of PartitionSpecs' (codes and scales shard together:
+    contiguous K means the same axes apply to both planes)."""
+    s = P(*axes)
+    return I8SBQuant(s, s, w.n_in)
+
+
 def _rep_specs_any(x):
     if isinstance(x, RepackedQuant):
         return _rq_specs(x, (None,) * x.codes.ndim)
+    if isinstance(x, I8SBQuant):
+        return _i8_specs(x, (None,) * x.codes.ndim)
     if isinstance(x, QTensor):
         return QTensor(P(*((None,) * x.packed.ndim)), x.dtype, x.n_in)
     return P()
@@ -81,6 +93,16 @@ def _linear_specs(p: dict, kind: str, stacked: bool, tp: int):
             out["w"] = _rq_specs(w, (*lead, None, "tp"))
         else:
             out["w"] = _rq_specs(w, (*lead, None, None))
+    elif isinstance(w, I8SBQuant):
+        # contiguous K, no tile permute: plain row/column slicing is
+        # self-consistent (each K/tp slice keeps whole 256-superblocks)
+        k = w.codes.shape[-1]
+        if kind == "col" and w.n_out % tp == 0:
+            out["w"] = _i8_specs(w, (*lead, "tp", None))
+        elif kind == "row" and k % (tp * I8_SB) == 0:
+            out["w"] = _i8_specs(w, (*lead, None, "tp"))
+        else:
+            out["w"] = _i8_specs(w, (*lead, None, None))
     elif isinstance(w, QTensor):
         if kind == "col" and w.n_out % tp == 0:
             out["w"] = QTensor(P(*lead, "tp", None), w.dtype, w.n_in)
@@ -135,7 +157,8 @@ def _interleave_fused_rows(p: dict, parts: int, tp: int) -> dict:
     local-shape correct.  Uniformly sharding the naive concat would hand
     device 0 nothing but q rows."""
     w = p["w"]
-    n = w.n_out if isinstance(w, (RepackedQuant, QTensor)) else w.shape[-1]
+    n = (w.n_out if isinstance(w, (RepackedQuant, QTensor, I8SBQuant))
+         else w.shape[-1])
     part = n // parts
     sl = part // tp  # rows of one part on one shard
     # perm[target_row] = source_row
@@ -154,6 +177,12 @@ def _interleave_fused_rows(p: dict, parts: int, tp: int) -> dict:
             jnp.asarray(np.asarray(w.mins)[..., perm, :]),
             jnp.asarray(np.asarray(w.hi)[..., perm, :]) if w.hi is not None else None,
             w.dtype, w.n_in, w.group_size, w.code_bits, w.hi_bits, w.k_shards,
+        )}
+    if isinstance(w, I8SBQuant):
+        return {**p, "w": I8SBQuant(
+            jnp.asarray(np.asarray(w.codes)[..., perm, :]),
+            jnp.asarray(np.asarray(w.scales)[..., perm, :]),
+            w.n_in,
         )}
     if isinstance(w, QTensor):
         return {**p, "w": QTensor(jnp.asarray(np.asarray(w.packed)[..., perm, :]),

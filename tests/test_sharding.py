@@ -166,6 +166,57 @@ def test_spmd_shard_map_quantized_tp(models):
     eng.close()
 
 
+def test_spmd_shard_map_i8_tp():
+    """Tensor parallelism for the experimental W8A8 weights: contiguous-K
+    I8SBQuant shards by plain slicing (column-parallel wqkv/w13/output,
+    K-sharded row-parallel w2) — parity vs single device."""
+    from minigpt4_tpu.formats.dtypes import DataType
+    from minigpt4_tpu.models.llama import LlamaConfig
+    from minigpt4_tpu.ops.i8_matmul import I8SBQuant
+    from minigpt4_tpu.benchmark import synth_llama_params
+    from minigpt4_tpu.parallel import make_mesh
+    from minigpt4_tpu.parallel.spmd import (
+        cache_specs, make_spmd_forward, place_llama_params,
+    )
+    from jax.sharding import NamedSharding
+
+    cfg = LlamaConfig(n_vocab=512, n_embd=256, n_head=4, n_layer=2, n_rot=64,
+                      n_ff=512, n_ctx=64)
+    rng = np.random.default_rng(5)
+    params = synth_llama_params(cfg, DataType.Q5_K, rng, quant_mode="w8a8")
+    tokens = jnp.asarray(np.array([[1, 7, 9, 4]], np.int32))
+    embeds = llama_mod.embed_tokens(params, tokens)
+    cache = llama_mod.init_cache(cfg, batch=1)
+    want, _ = llama_mod.forward(params, cache, embeds, jnp.int32(0), cfg,
+                                use_flash=False)
+    want = np.asarray(want)
+
+    mesh = make_mesh(dp=1, tp=2)
+    with mesh:
+        placed, specs = place_llama_params(mesh, params)
+        # w2 (K=512 = tp x 256) K-shards; wo (K=256) legitimately replicates
+        assert isinstance(placed["layers"]["w2"]["w"], I8SBQuant)
+        assert "tp" in str(specs["layers"]["w2"]["w"].codes)
+        assert "tp" not in str(specs["layers"]["wo"]["w"].codes)
+        assert "tp" in str(specs["layers"]["wqkv"]["w"].codes)
+        cache2 = jax.device_put(
+            llama_mod.init_cache(cfg, batch=1),
+            jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), cache_specs(),
+                is_leaf=lambda x: not isinstance(x, dict),
+            ),
+        )
+        fwd = make_spmd_forward(mesh, cfg, specs, use_flash=False)
+        got, _ = fwd(placed, cache2, embeds, jnp.int32(0))
+        # K-sharded lanes quantize their LOCAL activation slice (per-shard
+        # absmax grids), so outputs differ from single-device by ~1 a8 LSB
+        # amplified through layers — a wiring bug (wrong slice/scale pairing)
+        # would produce garbage, not percent-level drift
+        np.testing.assert_allclose(np.asarray(got), want, rtol=5e-2, atol=2e-2)
+        corr = np.corrcoef(np.asarray(got).ravel(), want.ravel())[0, 1]
+        assert corr > 0.999, corr
+
+
 def test_sharded_repacked_forward(models):
     """tp-sharded execution with repacked quantized weights (Pallas interpret
     on CPU) matches single-device."""

@@ -458,7 +458,11 @@ def _ngram_draft(hist: jnp.ndarray, pos: jnp.ndarray, t0: jnp.ndarray,
     prev = jnp.roll(hist, 1)  # prev[j] = hist[j-1]
     prev2 = jnp.roll(hist, 2)
     prev3 = jnp.roll(hist, 3)
-    m2 = (hist == t0) & (prev == t_prev) & (idx >= 1) & (idx <= pos - 1)
+    # idx <= pos-2: a match must have at least ONE written continuation
+    # token — the most recent bigram of a period-1 (repeated-token) stream
+    # sits AT the cursor, whose continuation is unwritten (-1) and every
+    # draft would reject
+    m2 = (hist == t0) & (prev == t_prev) & (idx >= 1) & (idx <= pos - 2)
     m3 = m2 & (prev2 == t_prev2) & (idx >= 2) & (pos >= 2)
     m4 = m3 & (prev3 == t_prev3) & (idx >= 3) & (pos >= 3)
     val = jnp.where(
@@ -468,7 +472,17 @@ def _ngram_draft(hist: jnp.ndarray, pos: jnp.ndarray, t0: jnp.ndarray,
     # strip the match-length priority offset (keep -1 = no match as-is)
     j = jnp.where(j >= 2 * c, j - 2 * c, jnp.where(j >= c, j - c, j))
     start = jnp.clip(j + 1, 0, c - k_draft)
-    return jax.lax.dynamic_slice(hist, (start,), (k_draft,)).astype(jnp.int32)
+    draft = jax.lax.dynamic_slice(hist, (start,), (k_draft,)).astype(jnp.int32)
+    # forward-fill any unwritten tail (-1 sentinels past the cursor) with the
+    # last seen token: short-period streams then draft their repetition
+    # instead of un-acceptable sentinels.  Harmless otherwise — verification
+    # rejects wrong drafts at zero extra cost.
+    def ffill(last, t):
+        t = jnp.where(t < 0, last, t)
+        return t, t
+
+    _, draft = jax.lax.scan(ffill, t0, draft)
+    return draft
 
 
 def speculative_decode_loop(

@@ -82,6 +82,16 @@ class TestNgramDraft:
         # 4-gram ends at idx 3 -> continuation [11, 12]
         np.testing.assert_array_equal(d, [11, 12])
 
+    def test_repeated_token_stream_drafts_fully(self):
+        """A period-1 stream (the model looping one token) must draft its
+        repetition: the cursor-adjacent match is skipped (unwritten
+        continuation) and the -1 tail forward-fills."""
+        c = 32
+        hist = np.full(c, -1, np.int32)
+        hist[:5] = [5, 5, 5, 5, 5]
+        d = np.asarray(_ngram_draft(jnp.asarray(hist), jnp.int32(5), jnp.int32(5), 4, c))
+        np.testing.assert_array_equal(d, [5, 5, 5, 5])
+
     def test_no_match_returns_something(self):
         c = 16
         hist = np.full(c, -1, np.int32)

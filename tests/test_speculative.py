@@ -131,6 +131,39 @@ class TestSpeculativeLoop:
         assert len(emitted) >= n_tokens  # >= 1 token per pass
         np.testing.assert_array_equal(emitted[:n_tokens], want)
 
+    def test_greedy_exactness_w8a8_weights(self):
+        """Speculative == plain greedy under the experimental W8A8 weights:
+        per-row activation quantization must be position-independent (a row
+        in an S=k verify block quantizes on the same grid as the same row
+        in an S=1 step)."""
+        from minigpt4_tpu.benchmark import synth_llama_params
+        from minigpt4_tpu.formats.dtypes import DataType
+
+        cfg = LlamaConfig(n_vocab=512, n_embd=256, n_head=4, n_layer=2,
+                          n_rot=64, n_ff=512, n_ctx=128)
+        rng = np.random.default_rng(3)
+        params = synth_llama_params(cfg, DataType.Q5_K, rng, quant_mode="w8a8")
+        prompt = [3, 11, 4, 11, 4, 11, 4, 9]
+        logits, cache = _prefill(params, cfg, prompt)
+        n_passes = 6
+        toks_plain, _, _ = llama_mod.decode_loop(
+            params, cache, logits, jnp.int32(len(prompt)), n_passes,
+            jax.random.PRNGKey(0), DeviceSamplingConfig(temp=0.0), cfg,
+        )
+        want = np.asarray(toks_plain[0])
+
+        logits2, cache2 = _prefill(params, cfg, prompt)
+        hist = np.full((1, cfg.n_ctx), -1, np.int32)
+        hist[0, : len(prompt)] = prompt
+        tokens, counts, _, _, _ = llama_mod.speculative_decode_loop(
+            params, cache2, logits2, jnp.int32(len(prompt)), jnp.asarray(hist),
+            n_passes, 4, cfg,
+        )
+        tok_host = np.asarray(tokens[0])
+        cnt_host = np.asarray(counts[0])
+        emitted = np.concatenate([tok_host[i, : cnt_host[i]] for i in range(n_passes)])
+        np.testing.assert_array_equal(emitted[: n_passes], want[: n_passes])
+
     def test_deterministic_acceptance_on_cyclic_model(self):
         """A 0-layer model whose head maps token t -> t+1 (mod V): after one
         full cycle in the prompt, every n-gram lookup hits and every draft

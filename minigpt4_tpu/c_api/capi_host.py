@@ -17,14 +17,30 @@ from ..engine import MiniGPT4Engine, SamplingParams
 class Host:
     def __init__(self, path: str, llm_model: str, verbosity: int, seed: int,
                  n_ctx: int, n_batch: int):
-        self.engine = MiniGPT4Engine(
-            path, llm_model, verbosity=verbosity, seed=seed, n_ctx=n_ctx, n_batch=n_batch
-        )
-        # the 18-function reference ABI has no warmup entry point; ABI
-        # clients opt in via the environment instead (precompiles the prefill
-        # buckets / decode chunks / image encoder at load)
+        # the 18-function reference ABI has fixed signatures; engine options
+        # beyond it are environment opt-ins:
+        #   MINIGPT4_TPU_WARMUP=1         precompile buckets/chunks/encoder
+        #   MINIGPT4_TPU_CACHE_DTYPE      bf16 | f32 | f8
+        #   MINIGPT4_TPU_QUANT_MODE       auto | repack | qtensor | w8a8
+        #   MINIGPT4_TPU_SPECULATIVE_K    greedy speculative verify width
         import os
 
+        from ..engine.engine import CACHE_DTYPES
+
+        kw = {}
+        cd = os.environ.get("MINIGPT4_TPU_CACHE_DTYPE")
+        if cd:
+            kw["cache_dtype"] = CACHE_DTYPES[cd]
+        qm = os.environ.get("MINIGPT4_TPU_QUANT_MODE")
+        if qm:
+            kw["quant_mode"] = qm
+        sk = os.environ.get("MINIGPT4_TPU_SPECULATIVE_K")
+        if sk:
+            kw["speculative_k"] = int(sk)
+        self.engine = MiniGPT4Engine(
+            path, llm_model, verbosity=verbosity, seed=seed, n_ctx=n_ctx,
+            n_batch=n_batch, **kw,
+        )
         if os.environ.get("MINIGPT4_TPU_WARMUP"):
             self.engine.warmup()
 

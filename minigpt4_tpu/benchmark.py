@@ -160,12 +160,13 @@ def synth_llama_params(
     if quant_mode == "w8a8":
         # EXPERIMENTAL direct-MXU i8 path: device-generated codes + constant
         # scales, stacked [L, ...] (ops/i8_matmul.py)
+        from .ops.i8_matmul import SB as I8_SB
         from .ops.i8_matmul import I8SBQuant
 
         def i8stack(n_out, n_in, lead=(L,)):
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
             codes = _synth_i8_codes(key, lead=lead, n_out=n_out, n_in=n_in)
-            scales = jnp.full((*lead, n_out, n_in // 256), 2e-4, jnp.float32)
+            scales = jnp.full((*lead, n_out, n_in // I8_SB), 2e-4, jnp.float32)
             return {"w": I8SBQuant(codes, scales, n_in)}
 
         layers = {

@@ -30,13 +30,28 @@ class Host:
         kw = {}
         cd = os.environ.get("MINIGPT4_TPU_CACHE_DTYPE")
         if cd:
+            if cd not in CACHE_DTYPES:
+                raise ValueError(
+                    f"MINIGPT4_TPU_CACHE_DTYPE={cd!r}: expected "
+                    f"{' | '.join(CACHE_DTYPES)}"
+                )
             kw["cache_dtype"] = CACHE_DTYPES[cd]
         qm = os.environ.get("MINIGPT4_TPU_QUANT_MODE")
         if qm:
+            if qm not in ("auto", "repack", "qtensor", "w8a8"):
+                raise ValueError(
+                    f"MINIGPT4_TPU_QUANT_MODE={qm!r}: expected "
+                    "auto | repack | qtensor | w8a8"
+                )
             kw["quant_mode"] = qm
         sk = os.environ.get("MINIGPT4_TPU_SPECULATIVE_K")
         if sk:
-            kw["speculative_k"] = int(sk)
+            try:
+                kw["speculative_k"] = int(sk)
+            except ValueError:
+                raise ValueError(
+                    f"MINIGPT4_TPU_SPECULATIVE_K={sk!r}: expected an integer"
+                ) from None
         self.engine = MiniGPT4Engine(
             path, llm_model, verbosity=verbosity, seed=seed, n_ctx=n_ctx,
             n_batch=n_batch, **kw,

@@ -80,7 +80,9 @@ def _check_i8(name: str, k: int, n: int, m: int, stacked: bool) -> float:
     import jax
     import jax.numpy as jnp
 
-    from .ops.i8_matmul import I8SBQuant, qmatmul_i8sb, requantize_i8sb
+    from .ops.i8_matmul import (
+        I8SBQuant, qmatmul_i8sb, quantize_activations, requantize_i8sb,
+    )
 
     rng = np.random.default_rng(0)
     codes, scales = requantize_i8sb(rng.normal(0, 0.02, (n, k)).astype(np.float32))
@@ -97,10 +99,10 @@ def _check_i8(name: str, k: int, n: int, m: int, stacked: bool) -> float:
 
     flat = jax.tree_util.tree_map(lambda a: a[0], w) if stacked else w
     wd = np.asarray(flat.dequantize())
-    xf = np.asarray(x, np.float32)
-    sx = np.abs(xf).max(axis=-1, keepdims=True) / 127.0
-    sx = np.where(sx == 0, 1.0, sx)
-    x_deq = np.clip(np.rint(xf / sx), -127, 127) * sx  # the a8-rounded input
+    # the kernel's OWN activation quantizer is the reference input (one
+    # source of truth for the rounding/zero-guard semantics)
+    x_i8, sx = quantize_activations(jnp.asarray(x).reshape(-1, k))
+    x_deq = np.asarray(x_i8, np.float32) * np.asarray(sx)
     ref = x_deq @ wd.T
     scale = max(1.0, float(np.abs(ref).max()))
     err = float(np.abs(y - ref).max()) / scale
@@ -151,9 +153,12 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
         except Exception as e:
             ok = False
             print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
-    # the experimental i8 kernel: worst-case K + the stacked decode shape
-    i8_cases = [("13B w2 i8", 13824, 5120, 1, True)]
-    if not fast:
+    # the experimental i8 kernel: worst-case K + the stacked decode shape.
+    # Skipped when a --qtypes split filter is active (these cases are
+    # qtype-independent; re-running them per split process would repeat the
+    # compiles the flag exists to spread out)
+    i8_cases = [] if qtypes is not None else [("13B w2 i8", 13824, 5120, 1, True)]
+    if not fast and qtypes is None:
         i8_cases += [("13B w1 i8", 5120, 13824, 512, True),
                      ("13B attn i8", 5120, 5120, 1, False)]
     for nm, k, n, m, st in i8_cases:

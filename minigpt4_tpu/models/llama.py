@@ -181,6 +181,25 @@ def _row_linear(
             # producer fell back to replication: take this device's K slice
             off = jax.lax.axis_index(tp_axis) * kw
             x = jax.lax.dynamic_slice_in_dim(x, off, kw, axis=-1)
+        if isinstance(w, I8SBQuant):
+            # per-shard absmax grids would diverge from the single-device
+            # activation quantization; the GLOBAL row absmax keeps sharded
+            # output == single-device output (one tiny pmax over tp)
+            from ..ops.i8_matmul import qmatmul_i8sb
+
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+            sx = jax.lax.pmax(amax, tp_axis) / 127.0
+            sx = jnp.where(sx == 0, 1.0, sx)
+            # partials stay f32 across the reduction — rounding each
+            # device's partial to a bf16 activation dtype before the psum
+            # costs ~1 ulp of the PARTIAL per device
+            y = qmatmul_i8sb(
+                x, w, out_dtype=jnp.float32,
+                layer=li if w.codes.ndim == 3 else None, x_scale=sx,
+            )
+            y = jax.lax.psum(y, tp_axis).astype(x.dtype)
+            b = p.get("b")
+            return y if b is None else y + b.astype(y.dtype)
         return jax.lax.psum(linear(x, p, li), tp_axis)
     # weight replicated: gather the column-parallel input if needed, no psum
     if x.shape[-1] < full_k:

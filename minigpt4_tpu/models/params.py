@@ -138,6 +138,11 @@ def load_quant_weight(raw: np.ndarray, shape: tuple[int, int], dtype: DataType, 
     """
     from ..ops import repack as rp
 
+    if mode not in ("auto", "repack", "qtensor", "w8a8"):
+        raise ValueError(
+            f"unknown quant_mode {mode!r}: expected auto | repack | qtensor "
+            "| w8a8 (a typo here would silently load the slowest path)"
+        )
     if mode == "w8a8":
         from ..ops import i8_matmul as i8
 

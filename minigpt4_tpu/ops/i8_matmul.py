@@ -181,38 +181,45 @@ def _run(x_i8, codes, scales, *, meta, interpret=False, static_layer=None):
     return out[:m, :n_out]
 
 
-def quantize_activations(x2: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """[M, K] floats -> (i8 codes, [M, 1] f32 row scales), absmax symmetric."""
+def quantize_activations(
+    x2: jnp.ndarray, sx: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[M, K] floats -> (i8 codes, [M, 1] f32 row scales), absmax symmetric.
+
+    ``sx``: externally computed row scales (the K-sharded TP path passes the
+    GLOBAL row absmax so every shard quantizes on the same grid and sharded
+    output equals single-device output)."""
     xf = x2.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    sx = jnp.where(sx == 0, 1.0, sx)
+    if sx is None:
+        sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        sx = jnp.where(sx == 0, 1.0, sx)
     x_i8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     return x_i8, sx
 
 
 def qmatmul_i8sb(
-    x: jnp.ndarray, w: I8SBQuant, out_dtype=None, layer=None
+    x: jnp.ndarray, w: I8SBQuant, out_dtype=None, layer=None, x_scale=None
 ) -> jnp.ndarray:
     """x [..., K] @ w.T -> [..., N]: per-row i8 activation quant, chunked i8
     MXU contraction, scales applied per chunk (weights) and per row
     (activations).  ``layer`` must be a static int for stacked [L, ...]
-    weights (the llama layer loop is unrolled)."""
+    weights (the llama layer loop is unrolled).  ``x_scale`` [..., 1]
+    overrides the row quantization scales (K-sharded TP passes the global
+    absmax)."""
     k = w.codes.shape[-1]
     stacked = w.codes.ndim == 3
     if stacked and not isinstance(layer, int):
         raise ValueError("stacked I8SBQuant requires a static layer index")
+    if k % SB:
+        # every shipped constructor guarantees K % SB == 0 (from_ggml and
+        # requantize_i8sb raise/throw, load_quant_weight routes such weights
+        # to the auto path, spmd row shards keep whole superblocks)
+        raise ValueError(f"I8SBQuant K={k} is not a multiple of {SB}")
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
-    if k % SB:  # safety net; load_quant_weight routes such weights elsewhere
-        w_dense = w.dequantize(jnp.float32)
-        if stacked:
-            w_dense = w_dense[layer]
-        y = jax.lax.dot_general(
-            x2.astype(jnp.float32), w_dense, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return y.reshape(*lead, w.n_out).astype(out_dtype or x.dtype)
-    x_i8, sx = quantize_activations(x2)
+    x_i8, sx = quantize_activations(
+        x2, None if x_scale is None else x_scale.reshape(-1, 1)
+    )
     interpret = jax.default_backend() != "tpu"
     y = _run(
         x_i8, w.codes, w.scales, meta=(k, w.n_out), interpret=interpret,

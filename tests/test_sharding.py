@@ -183,7 +183,11 @@ def test_spmd_shard_map_i8_tp():
     cfg = LlamaConfig(n_vocab=512, n_embd=256, n_head=4, n_layer=2, n_rot=64,
                       n_ff=512, n_ctx=64)
     rng = np.random.default_rng(5)
-    params = synth_llama_params(cfg, DataType.Q5_K, rng, quant_mode="w8a8")
+    # f32 activation stream: sharded W8A8 is then EXACT vs single device
+    # (global-absmax activation grids + f32 psum partials).  A bf16 stream
+    # adds ~1-ulp compilation-reassociation noise common to all TP paths.
+    params = synth_llama_params(cfg, DataType.Q5_K, rng, dtype=jnp.float32,
+                                quant_mode="w8a8")
     tokens = jnp.asarray(np.array([[1, 7, 9, 4]], np.int32))
     embeds = llama_mod.embed_tokens(params, tokens)
     cache = llama_mod.init_cache(cfg, batch=1)
@@ -208,13 +212,10 @@ def test_spmd_shard_map_i8_tp():
         )
         fwd = make_spmd_forward(mesh, cfg, specs, use_flash=False)
         got, _ = fwd(placed, cache2, embeds, jnp.int32(0))
-        # K-sharded lanes quantize their LOCAL activation slice (per-shard
-        # absmax grids), so outputs differ from single-device by ~1 a8 LSB
-        # amplified through layers — a wiring bug (wrong slice/scale pairing)
-        # would produce garbage, not percent-level drift
-        np.testing.assert_allclose(np.asarray(got), want, rtol=5e-2, atol=2e-2)
-        corr = np.corrcoef(np.asarray(got).ravel(), want.ravel())[0, 1]
-        assert corr > 0.999, corr
+        # K-sharded lanes quantize on the GLOBAL row absmax (pmax over tp in
+        # _row_linear) and psum f32 partials, so sharded output matches
+        # single-device to float association noise
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
 
 
 def test_sharded_repacked_forward(models):

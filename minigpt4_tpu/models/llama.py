@@ -218,9 +218,15 @@ def _layer(
     attn_len: int | None = None,
     use_flash: bool = True,
     tp_axis: str | None = None,
+    act_stats: dict | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer. x [B,S,D]; ck/cv [L,B,H,C,Dh] (the FULL cache —
     updated in place at layer ``li``).
+
+    ``act_stats``: when given (a dict of lists), per-channel absolute maxima
+    of each quantizable matmul's INPUT are appended per site ("attn", "wo",
+    "ffn", "w2") — the calibration capture smooth-quant scales are computed
+    from (quality.py).  Traced arrays; jit-safe.
 
     ``tp_axis``: Megatron tensor parallelism under ``shard_map`` (see
     parallel/spmd.py) — this function then runs on PER-DEVICE shards:
@@ -242,7 +248,12 @@ def _layer(
     b, s, _ = x.shape
     batched_pos = jnp.ndim(pos0) == 1  # per-batch cursors (batched decode)
 
+    def _amax(t):
+        return jnp.max(jnp.abs(t.astype(jnp.float32)), axis=tuple(range(t.ndim - 1)))
+
     h = rms_norm(x, layers["attention_norm"][li], RMS_EPS)
+    if act_stats is not None:
+        act_stats.setdefault("attn", []).append(_amax(h))
     positions = (pos0[:, None] if batched_pos else pos0) + jnp.arange(s)
 
     def heads(t):
@@ -341,9 +352,13 @@ def _layer(
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    if act_stats is not None:
+        act_stats.setdefault("wo", []).append(_amax(ctx))
     x = x + _row_linear(ctx, layers["wo"], li, tp_axis, cfg.n_embd)
 
     h = rms_norm(x, layers["ffn_norm"][li], RMS_EPS)
+    if act_stats is not None:
+        act_stats.setdefault("ffn", []).append(_amax(h))
     if "w13" in layers:
         gu = linear(h, layers["w13"], li)
         ff = gu.shape[-1] // 2
@@ -352,7 +367,10 @@ def _layer(
         gate_in = linear(h, layers["w1"], li)
         up = linear(h, layers["w3"], li)
     gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(x.dtype)
-    x = x + _row_linear(gate * up, layers["w2"], li, tp_axis, cfg.n_ff)
+    gu_prod = gate * up
+    if act_stats is not None:
+        act_stats.setdefault("w2", []).append(_amax(gu_prod))
+    x = x + _row_linear(gu_prod, layers["w2"], li, tp_axis, cfg.n_ff)
     return x, ck, cv
 
 
@@ -367,6 +385,7 @@ def forward(
     attn_len: int | None = None,
     use_flash: bool = True,
     tp_axis: str | None = None,
+    act_stats: dict | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """embeds [B, S, D] -> (logits [B, V] at ``last_idx``, updated cache).
 
@@ -384,7 +403,8 @@ def forward(
     ck, cv = cache["k"], cache["v"]
     for li in range(cfg.n_layer):
         x, ck, cv = _layer(
-            x, params["layers"], li, ck, cv, pos0, cfg, attn_len, use_flash, tp_axis
+            x, params["layers"], li, ck, cv, pos0, cfg, attn_len, use_flash,
+            tp_axis, act_stats,
         )
     new_cache = {"k": ck, "v": cv}
 
@@ -396,6 +416,11 @@ def forward(
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
         return logits.astype(jnp.float32)
 
+    if act_stats is not None:
+        hn = rms_norm(x, params["norm"], RMS_EPS)
+        act_stats.setdefault("head", []).append(
+            jnp.max(jnp.abs(hn.astype(jnp.float32)), axis=(0, 1))
+        )
     if all_logits:
         return head(rms_norm(x, params["norm"], RMS_EPS)), new_cache
     if last_idx is None:
@@ -597,7 +622,8 @@ def make_step_fns(cfg: LlamaConfig):
 
 
 def load_params(
-    reader, dtype=jnp.float32, n_ctx: int = 2048, quant_mode: str = "auto"
+    reader, dtype=jnp.float32, n_ctx: int = 2048, quant_mode: str = "auto",
+    smooth: dict | None = None,
 ) -> tuple[dict, LlamaConfig]:
     """Build decoder params from a LlamaFileReader.
 
@@ -608,37 +634,89 @@ def load_params(
 
     The token embedding is dequantized to a dense row-gatherable array;
     projection weights stay packed (QTensor) when quantized.
+
+    ``smooth`` (w8a8 mode only): smooth-quant migration scales from
+    quality.compute_smooth_scales — keys "attn" [L, D], "ffn" [L, D],
+    "w2" [L, F], "head" [D].  Each site folds 1/s into the producing op
+    (the preceding RMSNorm weight; w3's output rows for the w2 site) and s
+    into the consuming weight's columns before i8 requantization — exact in
+    f32, it only moves the activation-quantization grid off the outlier
+    channels (ops/i8_matmul.py documents why that matters).
     """
     cfg = LlamaConfig.from_hparams(reader.hparams, n_ctx=n_ctx)
 
     from .params import load_quant_weight
+    from ..ops.i8_matmul import SB as _I8_SB
 
-    def lin(name: str) -> dict:
+    sm = dict(smooth) if smooth else {}
+    if sm and quant_mode != "w8a8":
+        raise ValueError("smooth scales require quant_mode='w8a8'")
+
+    def lin(name: str, col_scale=None, row_scale=None) -> dict:
         rec = reader.tensors[name]
         if is_quantized(rec.dtype):
-            return {"w": load_quant_weight(reader.raw(name), rec.shape, rec.dtype, quant_mode)}
-        w = reader.tensor_f32(name)
+            return {"w": load_quant_weight(
+                reader.raw(name), rec.shape, rec.dtype, quant_mode,
+                col_scale=col_scale, row_scale=row_scale,
+            )}
+        w = np.asarray(reader.tensor_f32(name), np.float32)
+        if col_scale is not None:
+            w = w * np.asarray(col_scale, np.float32)[None, :]
+        if row_scale is not None:
+            w = w * np.asarray(row_scale, np.float32)[:, None]
         return {"w": jnp.asarray(np.ascontiguousarray(w.T), dtype)}
 
+    def absorbs(*names: str) -> bool:
+        # a site's scale can only be folded where every consumer lands in a
+        # representation that re-quantizes from floats (i8) or stays dense —
+        # packed q-format fallbacks (K % 256) must keep exact file bytes
+        for nm in names:
+            rec = reader.tensors[nm]
+            if is_quantized(rec.dtype) and rec.shape[1] % _I8_SB:
+                return False
+        return True
+
+    def site(key: str, li, *names: str):
+        if key not in sm or not absorbs(*names):
+            return None
+        v = np.asarray(sm[key], np.float32)
+        return v[li] if li is not None else v
+
+    s_head = site("head", None, "output.weight")
+    norm_w = np.asarray(reader.tensor_f32("norm.weight"), np.float32)
+    if s_head is not None:
+        norm_w = norm_w / s_head
     params: dict = {
         "tok_embeddings": jnp.asarray(reader.tensor_f32("tok_embeddings.weight"), dtype),
-        "norm": jnp.asarray(reader.tensor_f32("norm.weight"), dtype),
-        "output": lin("output.weight"),
+        "norm": jnp.asarray(norm_w, dtype),
+        "output": lin("output.weight", col_scale=s_head),
     }
 
     layers = []
     for i in range(cfg.n_layer):
         pfx = f"layers.{i}."
+        qkv_names = tuple(pfx + f"attention.w{x}.weight" for x in "qkv")
+        s_attn = site("attn", i, *qkv_names)
+        s_ffn = site("ffn", i, pfx + "feed_forward.w1.weight",
+                     pfx + "feed_forward.w3.weight")
+        s_w2 = site("w2", i, pfx + "feed_forward.w2.weight",
+                    pfx + "feed_forward.w3.weight")
+
+        def norm_t(name, div):
+            w = np.asarray(reader.tensor_f32(name), np.float32)
+            return jnp.asarray(w / div if div is not None else w, dtype)
+
         lp = {
-            "attention_norm": jnp.asarray(reader.tensor_f32(pfx + "attention_norm.weight"), dtype),
-            "wq": lin(pfx + "attention.wq.weight"),
-            "wk": lin(pfx + "attention.wk.weight"),
-            "wv": lin(pfx + "attention.wv.weight"),
+            "attention_norm": norm_t(pfx + "attention_norm.weight", s_attn),
+            "wq": lin(qkv_names[0], col_scale=s_attn),
+            "wk": lin(qkv_names[1], col_scale=s_attn),
+            "wv": lin(qkv_names[2], col_scale=s_attn),
             "wo": lin(pfx + "attention.wo.weight"),
-            "ffn_norm": jnp.asarray(reader.tensor_f32(pfx + "ffn_norm.weight"), dtype),
-            "w1": lin(pfx + "feed_forward.w1.weight"),
-            "w2": lin(pfx + "feed_forward.w2.weight"),
-            "w3": lin(pfx + "feed_forward.w3.weight"),
+            "ffn_norm": norm_t(pfx + "ffn_norm.weight", s_ffn),
+            "w1": lin(pfx + "feed_forward.w1.weight", col_scale=s_ffn),
+            "w2": lin(pfx + "feed_forward.w2.weight", col_scale=s_w2),
+            "w3": lin(pfx + "feed_forward.w3.weight", col_scale=s_ffn,
+                      row_scale=None if s_w2 is None else 1.0 / s_w2),
         }
         layers.append(lp)
 

@@ -127,14 +127,20 @@ def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     return y
 
 
-def load_quant_weight(raw: np.ndarray, shape: tuple[int, int], dtype: DataType, mode: str = "auto"):
+def load_quant_weight(raw: np.ndarray, shape: tuple[int, int], dtype: DataType, mode: str = "auto",
+                      col_scale=None, row_scale=None):
     """Choose the device representation for a quantized weight.
 
     mode: 'auto' (repack for the Pallas kernel on TPU, raw QTensor
-    elsewhere), 'repack', 'qtensor', or 'w8a8' (EXPERIMENTAL: re-quantize to
+    elsewhere), 'repack', 'qtensor', or 'w8a8' (re-quantize to
     symmetric i8 + 256-superblock scales for the direct-MXU i8 kernel —
     ops/i8_matmul.py documents the speed/quality trade; weights whose K is
     not a multiple of 256 fall back to the auto path).
+
+    ``col_scale``/``row_scale``: smooth-quant migration factors, honored by
+    the w8a8 representation only (callers pass them only in that mode —
+    folding them into packed q-formats would silently change the "exact
+    q5_k" paths).
     """
     from ..ops import repack as rp
 
@@ -143,11 +149,21 @@ def load_quant_weight(raw: np.ndarray, shape: tuple[int, int], dtype: DataType, 
             f"unknown quant_mode {mode!r}: expected auto | repack | qtensor "
             "| w8a8 (a typo here would silently load the slowest path)"
         )
+    if (col_scale is not None or row_scale is not None) and mode != "w8a8":
+        raise ValueError("smooth scales are only valid with quant_mode='w8a8'")
     if mode == "w8a8":
         from ..ops import i8_matmul as i8
 
         if shape[1] % i8.SB == 0:
-            return i8.from_ggml(np.asarray(raw), shape, dtype)
+            return i8.from_ggml(np.asarray(raw), shape, dtype,
+                                col_scale=col_scale, row_scale=row_scale)
+        if col_scale is not None or row_scale is not None:
+            # the packed-format fallback keeps exact file bytes; silently
+            # dropping the fold would desync producer/consumer scaling
+            raise ValueError(
+                f"cannot fold smooth scales into K={shape[1]} (not a "
+                f"multiple of {i8.SB}); caller must skip this site"
+            )
         mode = "auto"
     if mode == "auto":
         import jax as _jax

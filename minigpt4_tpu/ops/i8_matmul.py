@@ -87,11 +87,17 @@ def requantize_i8sb(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def from_ggml(
-    raw: np.ndarray, shape: tuple[int, int], dtype: DataType, row_block: int = 1024
+    raw: np.ndarray, shape: tuple[int, int], dtype: DataType, row_block: int = 1024,
+    col_scale: np.ndarray | None = None, row_scale: np.ndarray | None = None,
 ) -> I8SBQuant:
     """Packed ggml bytes -> I8SBQuant, streaming ``row_block`` rows at a time
     (a 13B full-f32 intermediate would be ~50 GB; row blocks keep the host
-    transient at ~K * row_block floats)."""
+    transient at ~K * row_block floats).
+
+    ``col_scale`` [K] / ``row_scale`` [N]: smooth-quant migration factors
+    folded into the weight before requantization — ``w'[n, k] =
+    w[n, k] * col_scale[k] * row_scale[n]`` (quality.py computes them; the
+    matching reciprocal lives in the producing norm / w3 rows)."""
     from ..formats.quants import dequantize_rows
     from ..formats.dtypes import row_bytes
 
@@ -102,10 +108,19 @@ def from_ggml(
     raw = np.asarray(raw, np.uint8).reshape(n_out, rb)
     codes = np.empty((n_out, n_in), np.int8)
     scales = np.empty((n_out, n_in // SB), np.float32)
+    cs = None if col_scale is None else np.asarray(col_scale, np.float32).reshape(1, n_in)
+    rs = None if row_scale is None else np.asarray(row_scale, np.float32).reshape(n_out, 1)
     for r0 in range(0, n_out, row_block):
         r1 = min(r0 + row_block, n_out)
-        vals = dequantize_rows(raw[r0:r1].reshape(-1), dtype, (r1 - r0, n_in))
-        codes[r0:r1], scales[r0:r1] = requantize_i8sb(np.asarray(vals, np.float32))
+        vals = np.asarray(
+            dequantize_rows(raw[r0:r1].reshape(-1), dtype, (r1 - r0, n_in)),
+            np.float32,
+        )
+        if cs is not None:
+            vals = vals * cs
+        if rs is not None:
+            vals = vals * rs[r0:r1]
+        codes[r0:r1], scales[r0:r1] = requantize_i8sb(vals)
     return I8SBQuant(jnp.asarray(codes), jnp.asarray(scales), n_in)
 
 

@@ -84,14 +84,23 @@ def run_single(model: str) -> int:
         line["batched_aggregate_tok_s"] = round(dec["decode_tok_s_batched_aggregate"], 2)
         line["batch"] = dec.get("decode_batch")
     if "decode_tok_s_batched_spec" in dec:
-        # batched + speculative (the SessionPool greedy serving path)
-        line["batched_spec_tok_s"] = round(dec["decode_tok_s_batched_spec"], 2)
+        # batched + speculative (the SessionPool greedy serving path) —
+        # cyclic-stream UPPER BOUND, same caveat as the single-stream number
+        line["batched_spec_tok_s_upper_bound"] = round(
+            dec["decode_tok_s_batched_spec"], 2)
     if "decode_tok_s_spec" in dec:
-        # greedy speculative decoding (n-gram drafted, verify-k=8): effective
-        # single-stream rate at the observed acceptance; greedy output is
-        # token-identical to the plain path
-        line["speculative_tok_s"] = round(dec["decode_tok_s_spec"], 2)
-        line["spec_accept_per_pass"] = round(dec["spec_accept_per_pass"], 2)
+        # greedy speculative decoding (n-gram drafted, verify-k=8).  The
+        # measured-stream number is an UPPER BOUND (synthetic-weight greedy
+        # streams are cyclic, which n-gram lookup saturates); _realistic is
+        # the same pass cost at teacher-forced acceptance on non-repetitive
+        # prose (benchmark.spec_acceptance_on_stream) — real chats fall
+        # between the two.  Greedy output is token-identical either way.
+        line["speculative_tok_s_upper_bound"] = round(dec["decode_tok_s_spec"], 2)
+        line["spec_accept_per_pass_upper_bound"] = round(dec["spec_accept_per_pass"], 2)
+        if "decode_tok_s_spec_realistic" in dec:
+            line["speculative_tok_s_realistic"] = round(
+                dec["decode_tok_s_spec_realistic"], 2)
+            line["spec_accept_realistic"] = round(dec["spec_accept_realistic"], 2)
     if "encode_ms_p50" in enc:
         line["encode_ms_p50"] = round(enc["encode_ms_p50"], 2)
     if "decode_tok_s" in w8:

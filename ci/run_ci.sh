@@ -1,0 +1,66 @@
+#!/usr/bin/env bash
+# CI gate for minigpt4_tpu — the committed, runnable equivalent of the
+# reference's compile-and-package workflow (/root/reference/.github/
+# workflows/run.yml:9-19,85-94), plus the test depth the reference lacks
+# (SURVEY.md §4).  One command proves a fresh clone builds and passes:
+#
+#   ci/run_ci.sh            # tests + c_api build (+UBSan config) + package
+#   ci/run_ci.sh --fast     # tests + c_api build only
+#   ci/run_ci.sh --tpu      # additionally run the TPU kernel gate
+#
+# Exit code 0 = green.  Artifacts land in dist/.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+FAST=0
+TPU=0
+for a in "$@"; do
+  case "$a" in
+    --fast) FAST=1 ;;
+    --tpu) TPU=1 ;;
+    *) echo "unknown arg: $a" >&2; exit 2 ;;
+  esac
+done
+
+echo "== [1/5] CPU test suite =="
+python -m pytest tests/ -q -x
+
+echo "== [2/5] C ABI build =="
+cmake -S minigpt4_tpu/c_api -B build_capi >/dev/null
+cmake --build build_capi -j >/dev/null
+test -f build_capi/libminigpt4.so
+
+if [ "$FAST" -eq 0 ]; then
+  echo "== [3/5] C ABI sanitizer config (UBSan) =="
+  cmake -S minigpt4_tpu/c_api -B build_capi_ubsan \
+        -DMINIGPT4_SANITIZE_UNDEFINED=ON >/dev/null
+  cmake --build build_capi_ubsan -j >/dev/null
+  test -f build_capi_ubsan/libminigpt4.so
+else
+  echo "== [3/5] sanitizer config skipped (--fast) =="
+fi
+
+if [ "$TPU" -eq 1 ]; then
+  echo "== [4/5] TPU kernel gate =="
+  python -m minigpt4_tpu.kernel_gate --fast
+else
+  echo "== [4/5] TPU kernel gate skipped (no --tpu) =="
+fi
+
+if [ "$FAST" -eq 0 ]; then
+  echo "== [5/5] release packaging =="
+  rm -rf dist/minigpt4_tpu_release && mkdir -p dist/minigpt4_tpu_release
+  cp build_capi/libminigpt4.so minigpt4_tpu/c_api/minigpt4.h \
+     dist/minigpt4_tpu_release/
+  # the python surface the reference ships in its release zips
+  # (run.yml:85-94: shared lib + header + python client files)
+  mkdir -p dist/minigpt4_tpu_release/minigpt4_tpu
+  tar -cf - --exclude='__pycache__' minigpt4_tpu | tar -xf - -C dist/minigpt4_tpu_release/
+  cp examples/main.py examples/main.c dist/minigpt4_tpu_release/ 2>/dev/null || true
+  (cd dist && zip -qr minigpt4_tpu_release.zip minigpt4_tpu_release)
+  ls -la dist/minigpt4_tpu_release.zip
+else
+  echo "== [5/5] packaging skipped (--fast) =="
+fi
+
+echo "CI GREEN"

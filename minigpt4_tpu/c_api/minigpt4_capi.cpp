@@ -31,8 +31,11 @@ namespace {
 enum ErrorCode : int {
     kNone = 0,
     kLoadModelFileHeader = 1,
+    kLoadModelFileVersion = 2,
+    kLoadModelDataType = 3,
     kLoadLanguageModel = 4,
     kOpenImage = 5,
+    kImageSize = 6,
     kFailedToAddString = 8,
     kProjInvalidSize = 9,
     kFailedToAddEmbedding = 10,
@@ -40,6 +43,7 @@ enum ErrorCode : int {
     kEos = 12,
     kImageNot224 = 13,
     kImageNotF32 = 14,
+    kImageChannelsExpectedRGB = 15,
     kImageFormatExpectedU8 = 16,
     kPathDoesNotExist = 17,
 };
@@ -81,6 +85,30 @@ void print_py_error() {
     if (PyErr_Occurred()) PyErr_Print();
 }
 
+// Map the pending Python exception to a reference error code: typed errors
+// (utils.MiniGPT4TypedError) carry the exact enum value in .minigpt4_code
+// (the reference returns distinct MiniGPT4Error values per failure,
+// minigpt4.cpp:97-119); anything else keeps the entry point's fallback.
+// Consumes and prints the pending exception.
+int py_error_code(int fallback) {
+    if (!PyErr_Occurred()) return fallback;
+    PyObject *type = nullptr, *value = nullptr, *tb = nullptr;
+    PyErr_Fetch(&type, &value, &tb);
+    PyErr_NormalizeException(&type, &value, &tb);
+    int rc = fallback;
+    if (value) {
+        if (PyObject* code = PyObject_GetAttrString(value, "minigpt4_code")) {
+            if (PyLong_Check(code)) rc = static_cast<int>(PyLong_AsLong(code));
+            Py_DECREF(code);
+        } else {
+            PyErr_Clear();  // no attribute: keep the fallback
+        }
+    }
+    PyErr_Restore(type, value, tb);
+    PyErr_Print();
+    return rc;
+}
+
 // The engine context: a CPython object (capi_host.Host instance).
 struct MiniGPT4ContextImpl {
     PyObject* host;  // owned
@@ -99,21 +127,19 @@ PyObject* import_host_class() {
 }
 
 // Call a 0..n-arg method returning a new reference (nullptr on error).
-PyObject* call_method(PyObject* obj, const char* name, PyObject* args /* stolen? no: borrowed tuple */) {
+PyObject* call_method(PyObject* obj, const char* name, PyObject* args /* borrowed tuple */) {
+    // on failure the Python exception is left PENDING so the caller can map
+    // it to a reference error code via py_error_code(fallback)
     PyObject* meth = PyObject_GetAttrString(obj, name);
-    if (!meth) {
-        print_py_error();
-        return nullptr;
-    }
+    if (!meth) return nullptr;
     PyObject* res = PyObject_CallObject(meth, args);
     Py_DECREF(meth);
-    if (!res) print_py_error();
     return res;
 }
 
 int call_int_method(PyObject* obj, const char* name, PyObject* args, int error_code) {
     PyObject* res = call_method(obj, name, args);
-    if (!res) return error_code;
+    if (!res) return py_error_code(error_code);
     int rc = kNone;
     if (res == Py_None) {
         rc = kNone;
@@ -156,7 +182,7 @@ int minigpt4_image_load_from_file(struct MiniGPT4Context* ctx, const char* path,
     PyObject* args = Py_BuildValue("(s)", path);
     PyObject* res = call_method(impl->host, "image_load_from_file", args);
     Py_XDECREF(args);
-    if (!res) return kOpenImage;
+    if (!res) return py_error_code(kOpenImage);
     // res = (bytes, width, height, channels)
     PyObject* data;
     int w, h, c;
@@ -179,6 +205,7 @@ int minigpt4_image_load_from_file(struct MiniGPT4Context* ctx, const char* path,
 int minigpt4_preprocess_image(struct MiniGPT4Context* ctx, const struct MiniGPT4Image* image,
                               struct MiniGPT4Image* preprocessed_image, int flags) {
     (void)flags;
+    if (image->channels != 3) return kImageChannelsExpectedRGB;
     if (image->format != MINIGPT4_IMAGE_FORMAT_U8) return kImageFormatExpectedU8;
     Gil gil;
     auto* impl = reinterpret_cast<MiniGPT4ContextImpl*>(ctx);
@@ -189,7 +216,7 @@ int minigpt4_preprocess_image(struct MiniGPT4Context* ctx, const struct MiniGPT4
     Py_DECREF(bytes);
     PyObject* res = call_method(impl->host, "preprocess_image", args);
     Py_XDECREF(args);
-    if (!res) return kImageNot224;
+    if (!res) return py_error_code(kImageSize);
     PyObject* data;
     int size;
     if (!PyArg_ParseTuple(res, "Oi", &data, &size)) {
@@ -221,7 +248,7 @@ int minigpt4_encode_image(struct MiniGPT4Context* ctx, struct MiniGPT4Image* ima
     Py_DECREF(bytes);
     PyObject* res = call_method(impl->host, "encode_image", args);
     Py_XDECREF(args);
-    if (!res) return kImageNot224;
+    if (!res) return py_error_code(kImageNot224);
     // res = bytes of float32
     Py_ssize_t nb = PyBytes_Size(res);
     auto* buf = static_cast<float*>(std::malloc(static_cast<size_t>(nb)));
@@ -259,7 +286,7 @@ static int end_chat_common(struct MiniGPT4Context* ctx, const char** token, floa
                                    static_cast<float>(penalize_nl));
     PyObject* res = call_method(impl->host, "end_chat", args);
     Py_XDECREF(args);
-    if (!res) return kFailedToAddString;
+    if (!res) return py_error_code(kFailedToAddString);
     // token string lifetime: the host keeps the last token alive; copy into a
     // per-context buffer (the reference returns llama.cpp-owned storage with
     // the same next-call invalidation semantics)
@@ -333,6 +360,7 @@ int minigpt4_free(struct MiniGPT4Context* ctx) {
     Gil gil;
     auto* impl = reinterpret_cast<MiniGPT4ContextImpl*>(ctx);
     PyObject* res = call_method(impl->host, "close", nullptr);
+    if (!res) print_py_error();
     Py_XDECREF(res);
     Py_DECREF(impl->host);
     delete impl;

@@ -600,7 +600,10 @@ class MiniGPT4Engine:
             pixels = pixels[None]
         expect = self.vision_cfg.vit.image_size
         if pixels.shape[1:] != (3, expect, expect):
-            raise ValueError(f"expected [B, 3, {expect}, {expect}], got {pixels.shape}")
+            raise utils.MiniGPT4TypedError(
+                utils.MiniGPT4Error.IMAGE_NOT_224_224_3,
+                f"expected [B, 3, {expect}, {expect}], got {pixels.shape}",
+            )
         with utils.phase_timer("Encoding image"):
             emb = self._encode(self.vision_params, jnp.asarray(pixels))
             emb = np.asarray(emb)
@@ -673,9 +676,10 @@ class MiniGPT4Engine:
         emb = np.asarray(embedding, np.float32).reshape(-1)
         expect = n_img * self.llm_cfg.n_embd
         if emb.size != expect:
-            raise ValueError(
-                f"image embedding size {emb.size} != {expect} "
-                "(LLamaProjectionEmbeddingInvalidSize)"
+            # reference code for this exact failure (minigpt4.cpp:2682-2689)
+            raise utils.MiniGPT4TypedError(
+                utils.MiniGPT4Error.LLAMA_PROJECTION_EMBEDDING_INVALID_SIZE,
+                f"image embedding size {emb.size} != {expect}",
             )
         self.add_strings("Human: <Img>")
         self.add_embedding(emb[:expect])

@@ -119,10 +119,20 @@ class ContainerReader:
 
     def _parse(self) -> None:
         if self._read(4) != MAGIC:
-            raise ValueError(f"{self.path}: bad magic (expected 'ggml')")
+            from ..utils import MiniGPT4Error, MiniGPT4TypedError
+
+            raise MiniGPT4TypedError(
+                MiniGPT4Error.LOAD_MODEL_FILE_HEADER,
+                f"{self.path}: bad magic (expected 'ggml')",
+            )
         self.version = self._read_i32()
         if self.version != FILE_VERSION_V0:
-            raise ValueError(f"{self.path}: unsupported file version {self.version}")
+            from ..utils import MiniGPT4Error, MiniGPT4TypedError
+
+            raise MiniGPT4TypedError(
+                MiniGPT4Error.LOAD_MODEL_FILE_VERSION,
+                f"{self.path}: unsupported file version {self.version}",
+            )
         self.ftype = self._read_i32()
         self.config = json.loads(self._read_string())
         for _ in range(len(SUBMODEL_NAMES)):

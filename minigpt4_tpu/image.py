@@ -76,7 +76,12 @@ def preprocess(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
     (the C ABI's preprocessed-image contract, minigpt4.cpp:2624-2637)."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] != 3:
-        raise ValueError(f"expected [H, W, 3] RGB, got {img.shape}")
+        from .utils import MiniGPT4Error, MiniGPT4TypedError
+
+        raise MiniGPT4TypedError(
+            MiniGPT4Error.IMAGE_CHANNELS_EXPECTED_RGB,
+            f"expected [H, W, 3] RGB, got {img.shape}",
+        )
     x = img.astype(np.float32)
     if img.dtype == np.uint8:
         x = x / 255.0

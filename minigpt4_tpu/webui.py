@@ -16,8 +16,11 @@ import argparse
 
 from .library import MiniGPT4ChatBot
 
+# banner blocks mirror the reference's three-part header (webui.py:13-16)
 title = """<h1 align="center">minigpt4_tpu Demo</h1>"""
 description = """<h3>MiniGPT-4 on TPU (JAX/XLA/Pallas). Upload an image and start chatting!</h3>"""
+article = """<div style='display:flex; gap: 0.25rem; '><a href='https://github.com/Vision-CAIR/MiniGPT-4'><img src='https://img.shields.io/badge/Github-Code-blue'></a></div>
+"""
 
 _state = {"bot": None, "image_ready": False}
 
@@ -83,15 +86,18 @@ def start(share: bool = False):
     with gr.Blocks() as demo:
         gr.Markdown(title)
         gr.Markdown(description)
+        gr.Markdown(article)
         with gr.Row():
             with gr.Column(scale=1):
                 image = gr.Image(type="pil")
                 upload_button = gr.Button(value="Upload & Start Chat", variant="primary")
+                # knob ranges/defaults/order match the reference
+                # (webui.py:75-79): temp capped at 1.0, top_p default 0.95
                 max_tokens = gr.Slider(1, 1024, label="Max Tokens", step=1, value=128)
-                temperature = gr.Slider(0.0, 2.0, label="Temperature", value=0.8)
-                top_k = gr.Slider(1, 100, label="Top K", step=1, value=40)
-                top_p = gr.Slider(0.0, 1.0, label="Top P", value=0.9)
-                repeat_penalty = gr.Slider(0.0, 2.0, label="Repeat Penalty", value=1.1)
+                temperature = gr.Slider(0.0, 1.0, label="Temperature", step=0.05, value=0.8)
+                top_p = gr.Slider(0.0, 1.0, label="Top P", step=0.05, value=0.95)
+                top_k = gr.Slider(0, 100, label="Top K", step=1, value=40)
+                repeat_penalty = gr.Slider(0.0, 2.0, label="Repetition Penalty", step=0.1, value=1.1)
             with gr.Column(scale=2):
                 chatbot = gr.Chatbot(label="MiniGPT-4")
                 msg = gr.Textbox(placeholder="Upload image first", interactive=False)

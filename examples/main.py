@@ -53,7 +53,7 @@ def parse_args():
         "output is token-identical, just faster)",
     )
     p.add_argument(
-        "--cache-dtype", choices=["bf16", "f32", "f8"], default="bf16",
+        "--cache-dtype", choices=["auto", "bf16", "f32", "f8"], default="auto",
         help="KV-cache storage dtype; f8 (e4m3) halves cache memory at a "
         "small attention-precision cost",
     )
@@ -76,7 +76,7 @@ def main():
         args.model, args.llm_model, verbosity=args.verbosity,
         seed=args.seed, n_ctx=args.n_ctx, n_batch=args.n_batch,
         speculative_k=args.speculative_k,
-        cache_dtype=CACHE_DTYPES[args.cache_dtype],
+        cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
     )
     if args.warmup:
         eng.warmup()

@@ -47,6 +47,54 @@ CACHE_DTYPES = {
     "f8": jnp.float8_e4m3fn,
 }
 
+# "auto" quant-mode resolution for the DECODER on TPU: the direct-MXU i8
+# path (ops/i8_matmul.py) is the default serving representation once the
+# quality harness (quality.py) recorded it default-eligible — it clears the
+# 30 tok/s BASELINE target the fused q5_k kernel's VPU-staging plateau
+# cannot (PERFORMANCE.md).  Exact-q5_k numerics remain one flag away
+# (quant_mode="repack"), and MINIGPT4_TPU_AUTO_W8A8=0 restores the old
+# resolution globally.  See docs/QUALITY.md for the recorded decision.
+import os as _os
+
+AUTO_W8A8 = _os.environ.get("MINIGPT4_TPU_AUTO_W8A8", "1") != "0"
+
+
+def resolve_llm_quant_mode(reader, quant_mode: str, backend: str) -> str:
+    """Resolve "auto" for the decoder: w8a8 on TPU when every major
+    quantized weight can re-quantize to i8 superblocks (K % 256 == 0 —
+    true for all real LLaMA geometries), else unchanged."""
+    if quant_mode != "auto" or backend != "tpu" or not AUTO_W8A8:
+        return quant_mode
+    from ..formats.dtypes import is_quantized
+
+    qrecs = [r for r in reader.tensors.values() if is_quantized(r.dtype)]
+    if not qrecs:
+        return quant_mode
+    if any(len(r.shape) == 2 and r.shape[1] % 256 for r in qrecs):
+        return quant_mode  # tiny/test geometries: keep the exact path
+    return "w8a8"
+
+
+def pick_cache_dtype(reader, llm_mode: str, n_ctx: int, batch: int,
+                     backend: str):
+    """Default KV-cache dtype: bf16, EXCEPT when the i8 weight residency
+    plus a bf16 cache would not fit a 16 GB chip — then fp8 (e4m3), whose
+    in-kernel integer unpack costs ~the bf16 path (ops/flash_decode.py)."""
+    if backend != "tpu" or llm_mode != "w8a8":
+        return jnp.bfloat16
+    from ..formats.dtypes import is_quantized
+
+    hp = reader.hparams
+    i8_bytes = sum(r.n_elems for r in reader.tensors.values()
+                   if is_quantized(r.dtype))
+    dh = hp.n_embd // hp.n_head
+    bf16_cache = hp.n_layer * batch * hp.n_head * n_ctx * dh * 2 * 2
+    # ~2.5 GB headroom: vision params, dense embeddings, XLA transients
+    if i8_bytes + bf16_cache + 2_500_000_000 > 15_500_000_000:
+        return jnp.float8_e4m3fn
+    return jnp.bfloat16
+
+
 SYSTEM_PROMPT = (
     "Give the following image: <Img>ImageContent</Img>. "
     "You will be able to see the image once I provide it to you. "
@@ -479,10 +527,24 @@ class MiniGPT4Engine:
             smooth_scales = {k: z[k] for k in z.files}
         with utils.phase_timer("LLM model init"):
             self._llm_file = LlamaFileReader(llm_path)
+            backend = jax.default_backend()
+            llm_mode = resolve_llm_quant_mode(self._llm_file, quant_mode, backend)
+            if llm_mode != quant_mode:
+                utils.log_info(f"quant_mode auto -> {llm_mode} (decoder)")
+            if cache_dtype is None:
+                cache_dtype = pick_cache_dtype(
+                    self._llm_file, llm_mode, n_ctx, batch, backend
+                )
+            if smooth_scales and llm_mode != "w8a8":
+                # scales only exist to steer i8 activation quantization;
+                # the exact packed paths must keep exact file bytes
+                utils.log_info("smooth_scales ignored (decoder not on w8a8)")
+                smooth_scales = None
             lparams, self.llm_cfg = llama_mod.load_params(
-                self._llm_file, compute_dtype, n_ctx=n_ctx, quant_mode=quant_mode,
+                self._llm_file, compute_dtype, n_ctx=n_ctx, quant_mode=llm_mode,
                 smooth=smooth_scales,
             )
+            self.quant_mode = llm_mode
             self.llm_params = jax.device_put(lparams)
             self.tokenizer = LlamaTokenizer(
                 self._llm_file.vocab.tokens, self._llm_file.vocab.scores

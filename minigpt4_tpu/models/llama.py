@@ -301,9 +301,10 @@ def _layer(
     # length divisible by its KV block (the block loop has no tail handling)
     from ..ops import flash_decode as _fd
 
+    flash_blk = _fd.pick_blk(attn_len or cfg.n_ctx, cfg.n_ctx)
     flash_ok = (
         use_flash
-        and cfg.n_ctx % min(_fd.BLK, cfg.n_ctx) == 0
+        and cfg.n_ctx % flash_blk == 0
         and (cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu")
     )
     if s <= FLASH_DECODE_MAX_S and flash_ok:
@@ -316,7 +317,8 @@ def _layer(
         from ..ops.flash_decode import flash_decode_attention
 
         ctx = flash_decode_attention(
-            q, ck, cv, li, pos0, 1.0 / float(np.sqrt(cfg.head_dim))
+            q, ck, cv, li, pos0, 1.0 / float(np.sqrt(cfg.head_dim)),
+            blk=flash_blk,
         ).astype(x.dtype)
     else:
         span = attn_len if attn_len is not None else cfg.n_ctx

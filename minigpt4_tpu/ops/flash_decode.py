@@ -30,10 +30,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-BLK = int(os.environ.get("MINIGPT4_TPU_FLASH_BLK", "128"))  # KV block (C) per DMA
-# 128 keeps block-granularity waste low at small decode positions (reading a
-# 512-block for pos<128 wastes 4x the DMA); larger contexts read the same
-# total bytes either way
+BLK = int(os.environ.get("MINIGPT4_TPU_FLASH_BLK", "0"))  # 0 = auto per window
+# Auto policy (pick_blk): the block size scales with the attention window —
+# small blocks keep block-granularity waste low at small decode positions
+# (reading a 512-block for pos<128 wastes 4x the DMA), large blocks lift
+# the DMA's effective bandwidth at long positions (128-row blocks are 32 KB
+# contiguous transfers and measured ~310 GB/s vs ~550 on the weight
+# stream).  Set MINIGPT4_TPU_FLASH_BLK to force one size for all windows.
+
+
+def pick_blk(attn_window: int, c: int) -> int:
+    """KV block size for a decode whose visible window is ``attn_window``
+    positions (the engine's power-of-two attn bucket; static per compiled
+    specialization).  Must divide the cache length ``c``."""
+    if BLK:
+        return min(BLK, c)
+    b = 128
+    # final b <= window/4 bounds worst-case over-read at ~25% while
+    # quadrupling the per-DMA transfer at long positions
+    while b * 8 <= min(attn_window, c) and b < 512 and c % (b * 2) == 0:
+        b *= 2
+    return min(b, c)
 NEG_INF = float(np.finfo(np.float32).min)
 # fp8 (e4m3) cache blocks: the native f8->f32 convert measured ~2x the
 # bf16-cache block cost; the integer exponent-rebias unpack (bitcast u8,
@@ -160,12 +177,12 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("li", "scale", "interpret", "stats")
+    jax.jit, static_argnames=("li", "scale", "interpret", "stats", "blk")
 )
-def _run(q, ck, cv, pos0, *, li, scale, interpret, stats=False):
+def _run(q, ck, cv, pos0, *, li, scale, interpret, stats=False, blk=None):
     b, h, s, dh = q.shape
     c = ck.shape[-2]
-    blk = min(BLK, c)
+    blk = blk if blk else pick_blk(c, c)
     if c % blk:
         raise ValueError(
             f"cache length {c} must be a multiple of the KV block {blk} — "
@@ -209,6 +226,7 @@ def flash_decode_attention(
     pos0: jnp.ndarray,
     scale: float,
     return_stats: bool = False,
+    blk: int | None = None,
 ):
     """q [B, H, S, Dh] x stacked cache [L, B, H, C, Dh] -> ctx [B, H, S, Dh]
     (f32), causal from absolute position ``pos0`` — a scalar, or a [B]
@@ -223,9 +241,10 @@ def flash_decode_attention(
         li = 0
     interpret = jax.default_backend() != "tpu"
     if not return_stats:
-        return _run(q, ck, cv, pos0, li=li, scale=scale, interpret=interpret)
+        return _run(q, ck, cv, pos0, li=li, scale=scale, interpret=interpret,
+                    blk=blk)
     acc, ml = _run(q, ck, cv, pos0, li=li, scale=scale, interpret=interpret,
-                   stats=True)
+                   stats=True, blk=blk)
     return acc, ml[..., 0], ml[..., 128]
 
 

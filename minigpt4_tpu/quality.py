@@ -394,10 +394,13 @@ def main(argv=None) -> dict:
         work.mkdir(parents=True, exist_ok=True)
         geom = GEOMETRIES[args.geometry]
         f32_p, q_p = work / "synth_f32.bin", work / "synth_q5k.bin"
-        write_synth_llama(
-            f32_p, q_p, geom, seed=args.seed,
-            outlier_frac=args.outlier_frac, outlier_amp=args.outlier_amp,
-        )
+        if not (f32_p.exists() and q_p.exists()):
+            # deterministic in (geometry, seed, outlier params): an existing
+            # pair in an explicit --workdir is reused (medium writes ~4.7 GB)
+            write_synth_llama(
+                f32_p, q_p, geom, seed=args.seed,
+                outlier_frac=args.outlier_frac, outlier_amp=args.outlier_amp,
+            )
         print(f"[quality] synthetic pair at {work} (outlier amp "
               f"{args.outlier_amp}, frac {args.outlier_frac})")
 

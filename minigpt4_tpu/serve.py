@@ -290,7 +290,7 @@ def main():
         "size is preallocated)",
     )
     ap.add_argument(
-        "--cache-dtype", choices=["bf16", "f32", "f8"], default="bf16",
+        "--cache-dtype", choices=["auto", "bf16", "f32", "f8"], default="auto",
         help="KV-cache storage dtype; f8 (e4m3) halves per-session cache "
         "memory (13B: ~0.2 GB instead of ~0.4 GB at session-ctx 512) so "
         "twice the sessions/batch lanes fit beside the weights",
@@ -310,7 +310,7 @@ def main():
                          batch_window_s=args.batch_window_ms / 1e3,
                          continuous=args.continuous, max_batch=args.max_batch,
                          speculative_k=args.speculative_k,
-                         cache_dtype=CACHE_DTYPES[args.cache_dtype])
+                         cache_dtype=CACHE_DTYPES.get(args.cache_dtype))
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

@@ -1,0 +1,102 @@
+"""Engine "auto" quant-mode resolution + default cache-dtype policy
+(engine.resolve_llm_quant_mode / pick_cache_dtype).
+
+The decoder's default TPU representation is direct-MXU i8 (w8a8) once the
+quality harness recorded it default-eligible; these tests pin the
+resolution rules without needing a TPU (backend passed explicitly).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fixtures import build_tiny_models
+from minigpt4_tpu.engine.engine import pick_cache_dtype, resolve_llm_quant_mode
+from minigpt4_tpu.formats.dtypes import DataType
+from minigpt4_tpu.formats.ggml_llama import LlamaFileReader
+
+
+class FakeRec:
+    def __init__(self, shape, dtype):
+        self.shape = shape
+        self.dtype = dtype
+        self.n_elems = int(np.prod(shape))
+
+
+class FakeReader:
+    def __init__(self, recs, hparams=None):
+        self.tensors = {str(i): r for i, r in enumerate(recs)}
+        self.hparams = hparams
+
+
+def _13b_like():
+    # all major weights K % 256 == 0
+    return FakeReader([
+        FakeRec((5120, 5120), DataType.Q5_K),
+        FakeRec((13824, 5120), DataType.Q5_K),
+        FakeRec((5120, 13824), DataType.Q5_K),
+        FakeRec((32000, 5120), DataType.Q6_K),
+    ])
+
+
+def test_auto_resolves_w8a8_on_tpu():
+    assert resolve_llm_quant_mode(_13b_like(), "auto", "tpu") == "w8a8"
+
+
+def test_auto_unchanged_off_tpu_and_for_explicit_modes():
+    r = _13b_like()
+    assert resolve_llm_quant_mode(r, "auto", "cpu") == "auto"
+    assert resolve_llm_quant_mode(r, "repack", "tpu") == "repack"
+    assert resolve_llm_quant_mode(r, "qtensor", "tpu") == "qtensor"
+
+
+def test_auto_keeps_exact_path_for_odd_geometries():
+    r = FakeReader([FakeRec((64, 96), DataType.Q5_0)])  # K % 256 != 0
+    assert resolve_llm_quant_mode(r, "auto", "tpu") == "auto"
+
+
+def test_auto_unchanged_for_dense_files():
+    r = FakeReader([FakeRec((64, 64), DataType.F16)])
+    assert resolve_llm_quant_mode(r, "auto", "tpu") == "auto"
+
+
+def test_env_kill_switch(monkeypatch):
+    import minigpt4_tpu.engine.engine as E
+
+    monkeypatch.setattr(E, "AUTO_W8A8", False)
+    assert resolve_llm_quant_mode(_13b_like(), "auto", "tpu") == "auto"
+
+
+class HP:
+    n_embd, n_head, n_layer = 5120, 40, 40
+
+
+def test_cache_dtype_f8_only_when_13b_w8a8_would_not_fit():
+    big = _13b_like()
+    big.hparams = HP
+    # ~13 GB of i8 codes + 3.4 GB bf16 cache -> f8
+    big.tensors["big"] = FakeRec((13_000_000_000 // 5120, 5120), DataType.Q5_K)
+    assert pick_cache_dtype(big, "w8a8", 2048, 1, "tpu") == jnp.float8_e4m3fn
+    # small residency: bf16 stays
+    small = _13b_like()
+    small.hparams = HP
+    assert pick_cache_dtype(small, "w8a8", 2048, 1, "tpu") == jnp.bfloat16
+    # non-w8a8 / non-tpu: bf16
+    assert pick_cache_dtype(big, "repack", 2048, 1, "tpu") == jnp.bfloat16
+    assert pick_cache_dtype(big, "w8a8", 2048, 1, "cpu") == jnp.bfloat16
+
+
+def test_cpu_engine_behavior_unchanged(tmp_path):
+    """On CPU the resolution is a no-op: the tiny fixture engine loads and
+    decodes exactly as before."""
+    from minigpt4_tpu.engine.engine import MiniGPT4Engine
+    from minigpt4_tpu.engine.sampling import SamplingParams
+
+    model, llm = build_tiny_models(tmp_path)
+    eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=16)
+    assert eng.quant_mode in ("auto", "qtensor")
+    assert eng.cache["k"].dtype == jnp.bfloat16
+    eng.system_prompt()
+    toks = [eng.end_chat(SamplingParams(temp=0.0)) for _ in range(3)]
+    assert all(isinstance(t, str) for t in toks)
+    eng.close()

@@ -84,6 +84,7 @@ def write_synth_llama(
     seed: int = 0,
     outlier_frac: float = 0.01,
     outlier_amp: float = 30.0,
+    residual_init: bool = False,
 ) -> np.ndarray:
     """Write the SAME synthetic weights as an f32 ggml file and a quantized
     one, with persistent channel outliers injected into the residual stream
@@ -92,6 +93,12 @@ def write_synth_llama(
     per-token absmax activation quantization).  Returns the outlier dims."""
     rng = np.random.default_rng(seed)
     d, ff, v = geom.n_embd, geom.n_ff, geom.n_vocab
+    # residual_init: GPT-2-style 1/sqrt(2L) scaling on the residual-writing
+    # projections (wo, w2).  Deep PLAIN-init random nets are chaotic — every
+    # quantization's error grows exponentially with depth, which swamps
+    # absolute KL at 16+ layers; trained nets sit in the residual-scaled
+    # regime, so this init is the more deployment-representative condition.
+    res_scale = 1.0 / np.sqrt(2 * geom.n_layer) if residual_init else 1.0
     n_out = max(1, int(round(d * outlier_frac)))
     out_dims = rng.choice(d, n_out, replace=False)
 
@@ -128,12 +135,12 @@ def write_synth_llama(
         add(p + "attention.wq.weight", n(d, d), q=True)
         add(p + "attention.wk.weight", n(d, d), q=True)
         add(p + "attention.wv.weight", n(d, d), q=True)
-        wo = n(d, d)
+        wo = n(d, d) * res_scale
         wo[out_dims, :] *= outlier_amp  # output rows feed the residual
         add(p + "attention.wo.weight", wo, q=True)
         add(p + "ffn_norm.weight", 1 + n(d))
         add(p + "feed_forward.w1.weight", n(ff, d), q=True)
-        w2 = n(d, ff)
+        w2 = n(d, ff) * res_scale
         w2[out_dims, :] *= outlier_amp
         add(p + "feed_forward.w2.weight", w2, q=True)
         add(p + "feed_forward.w3.weight", n(ff, d), q=True)
@@ -367,6 +374,9 @@ def main(argv=None) -> dict:
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("--outlier-amp", type=float, default=30.0)
     ap.add_argument("--outlier-frac", type=float, default=0.01)
+    ap.add_argument("--residual-init", action="store_true",
+                    help="GPT-style 1/sqrt(2L) residual-projection scaling "
+                         "(well-conditioned depth; see write_synth_llama)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--workdir", default=None,
                     help="where to write the synthetic model pair")
@@ -400,6 +410,7 @@ def main(argv=None) -> dict:
             write_synth_llama(
                 f32_p, q_p, geom, seed=args.seed,
                 outlier_frac=args.outlier_frac, outlier_amp=args.outlier_amp,
+                residual_init=args.residual_init,
             )
         print(f"[quality] synthetic pair at {work} (outlier amp "
               f"{args.outlier_amp}, frac {args.outlier_frac})")

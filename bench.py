@@ -45,8 +45,11 @@ def run_single(model: str) -> int:
         # (engine.resolve_llm_quant_mode / pick_cache_dtype)
         import jax.numpy as jnp
 
+        # cache dtype per the engine's own residency policy: fp8 at 13B
+        # (i8 codes + bf16 cache would not fit 16 GB), bf16 at 7B
+        cache_dt = jnp.float8_e4m3fn if model == "13B" else jnp.bfloat16
         dec = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64,
-                           cache_dtype=jnp.float8_e4m3fn, quant_mode="w8a8")
+                           cache_dtype=cache_dt, quant_mode="w8a8")
         try:
             enc = bench_encode(GEOMETRIES[model].n_embd)
         except Exception as e:  # encode is secondary; never lose the headline
@@ -93,19 +96,23 @@ def run_single(model: str) -> int:
         line["batched_aggregate_tok_s"] = round(dec["decode_tok_s_batched_aggregate"], 2)
         line["batch"] = dec.get("decode_batch")
     if "decode_tok_s_batched_spec" in dec:
-        # batched + speculative (the SessionPool greedy serving path) —
-        # cyclic-stream UPPER BOUND, same caveat as the single-stream number
-        line["batched_spec_tok_s_upper_bound"] = round(
+        # batched + speculative (the SessionPool greedy serving path), at
+        # whatever acceptance the synthetic stream produced
+        line["batched_spec_tok_s_measured"] = round(
             dec["decode_tok_s_batched_spec"], 2)
     if "decode_tok_s_spec" in dec:
-        # greedy speculative decoding (n-gram drafted, verify-k=8).  The
-        # measured-stream number is an UPPER BOUND (synthetic-weight greedy
-        # streams are cyclic, which n-gram lookup saturates); _realistic is
-        # the same pass cost at teacher-forced acceptance on non-repetitive
-        # prose (benchmark.spec_acceptance_on_stream) — real chats fall
-        # between the two.  Greedy output is token-identical either way.
-        line["speculative_tok_s_upper_bound"] = round(dec["decode_tok_s_spec"], 2)
-        line["spec_accept_per_pass_upper_bound"] = round(dec["spec_accept_per_pass"], 2)
+        # greedy speculative decoding (n-gram drafted, verify-k=8), three
+        # views: _measured = acceptance on the synthetic greedy stream
+        # (workload-dependent: cyclic streams saturate it, novel streams
+        # floor it); _realistic = the same pass cost at teacher-forced
+        # acceptance on non-repetitive prose (spec_acceptance_on_stream);
+        # _saturated = the arithmetic bound k * passes/s if every draft
+        # were accepted.  Greedy output is token-identical in all cases.
+        line["speculative_tok_s_measured"] = round(dec["decode_tok_s_spec"], 2)
+        line["spec_accept_per_pass_measured"] = round(dec["spec_accept_per_pass"], 2)
+        if "spec_pass_ms" in dec and "spec_k" in dec:
+            line["speculative_tok_s_saturated"] = round(
+                dec["spec_k"] * 1e3 / dec["spec_pass_ms"], 2)
         if "decode_tok_s_spec_realistic" in dec:
             line["speculative_tok_s_realistic"] = round(
                 dec["decode_tok_s_spec_realistic"], 2)

@@ -31,11 +31,12 @@ cmake --build build_capi -j >/dev/null
 test -f build_capi/libminigpt4.so
 
 if [ "$FAST" -eq 0 ]; then
-  echo "== [3/5] C ABI sanitizer config (UBSan) =="
-  cmake -S minigpt4_tpu/c_api -B build_capi_ubsan \
+  echo "== [3/5] C ABI sanitizer config (ASan+UBSan) =="
+  cmake -S minigpt4_tpu/c_api -B build_capi_san \
+        -DMINIGPT4_SANITIZE_ADDRESS=ON \
         -DMINIGPT4_SANITIZE_UNDEFINED=ON >/dev/null
-  cmake --build build_capi_ubsan -j >/dev/null
-  test -f build_capi_ubsan/libminigpt4.so
+  cmake --build build_capi_san -j >/dev/null
+  test -f build_capi_san/libminigpt4.so
 else
   echo "== [3/5] sanitizer config skipped (--fast) =="
 fi

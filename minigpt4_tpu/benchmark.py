@@ -353,6 +353,10 @@ def spec_acceptance_on_stream(
     stream = np.asarray(stream, np.int32)
     c = len(stream)
     k_draft = k_spec - 1
+    if c < warm + k_spec + 1:
+        raise ValueError(
+            f"stream of {c} tokens is too short for warm={warm}, k={k_spec}"
+        )
     pos_list = np.arange(warm, c - k_spec, dtype=np.int32)
     hist = jnp.asarray(stream)[None, :].repeat(len(pos_list), axis=0)
     mask = jnp.arange(c)[None, :] < pos_list[:, None]  # history strictly below pos
@@ -540,6 +544,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
             n_sp_passes += sp_passes
         dt_sp = time.perf_counter() - t0
         out["spec_pass_ms"] = dt_sp / n_sp_passes * 1e3
+        out["spec_k"] = k_spec
         out["spec_accept_per_pass"] = n_sp_tokens / n_sp_passes
         out["decode_tok_s_spec"] = n_sp_tokens / dt_sp
         # honest companion number: acceptance on non-cyclic realistic text

@@ -522,9 +522,9 @@ class MiniGPT4Engine:
             self.vision_params = jax.device_put(vparams)
 
         if isinstance(smooth_scales, (str, Path)):
-            # npz written by quality.save_smooth_scales (keys attn/ffn/w2/head)
-            z = np.load(smooth_scales)
-            smooth_scales = {k: z[k] for k in z.files}
+            from ..quality import load_smooth_scales
+
+            smooth_scales = load_smooth_scales(smooth_scales)
         with utils.phase_timer("LLM model init"):
             self._llm_file = LlamaFileReader(llm_path)
             backend = jax.default_backend()

@@ -416,6 +416,17 @@ class SessionPool:
                             decode_chunk, self.fns.attn_bucket(max_pos + decode_chunk),
                         )
                         lane_tokens = list(np.asarray(tokens))
+                        if use_spec:
+                            # same hist coherence as the ContinuousBatcher:
+                            # a demoted plain chunk must not leave -1 gaps
+                            # below surviving cursors (drafting collapses
+                            # when speculation resumes).  Out-of-bounds
+                            # rows (done lanes past n_ctx) drop silently.
+                            idx = pos_host[:, None] + np.arange(decode_chunk)
+                            hist = hist.at[
+                                jnp.arange(n)[:, None],
+                                jnp.asarray(idx, jnp.int32),
+                            ].set(tokens)
                     pos_host += decode_chunk  # done lanes keep decoding in
                 # their own overshoot region [ends, pos) — unreachable by the
                 # mask and overwritten by the session's next prefill before
@@ -729,6 +740,8 @@ class ContinuousBatcher:
         except Exception as e:
             out.put(e)
             out.put(self._DONE)
+            # a recycled queue id must not inherit this request's timestamp
+            self._deferred_since.pop(id(out), None)
 
     def _use_spec(self, scfg) -> bool:
         return self.pool.engine.speculative_k > 1 and scfg.greedy

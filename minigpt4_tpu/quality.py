@@ -317,6 +317,7 @@ def evaluate_paths(
     seed: int = 7,
     paths: tuple[str, ...] = ("q5k", "w8a8", "w8a8_smooth", "f8_cache"),
     quant_mode_exact: str = "auto",
+    artifacts: dict | None = None,
 ) -> dict:
     """Returns {path_name: metrics} vs the f32 dense reference, all through
     the real file -> load_params pipeline."""
@@ -349,6 +350,8 @@ def evaluate_paths(
     if "w8a8_smooth" in paths:
         sm = compute_smooth_scales(quant_path, calib, alpha=alpha,
                                    n_ctx=max(calib_len, 8))
+        if artifacts is not None:
+            artifacts["smooth_scales"] = sm
         results["w8a8_smooth"] = run("w8a8", smooth=sm)
     if "f8_cache" in paths:
         results["f8_cache"] = run(quant_mode_exact,
@@ -415,20 +418,15 @@ def main(argv=None) -> dict:
         print(f"[quality] synthetic pair at {work} (outlier amp "
               f"{args.outlier_amp}, frac {args.outlier_frac})")
 
+    artifacts: dict = {}
     results = evaluate_paths(
         f32_p, q_p, seq_len=args.seq_len, calib_len=args.calib_len,
-        alpha=args.alpha, seed=args.seed,
+        alpha=args.alpha, seed=args.seed, artifacts=artifacts,
     )
     if args.save_scales:
-        rng = np.random.default_rng(args.seed)
-        with LlamaFileReader(q_p) as r:
-            v = r.hparams.n_vocab
-        calib = [rng.integers(3, v, args.calib_len).astype(np.int32)
-                 for _ in range(2)]
-        save_smooth_scales(
-            args.save_scales,
-            compute_smooth_scales(q_p, calib, alpha=args.alpha),
-        )
+        # the exact scales the printed gate just validated — not a re-run
+        save_smooth_scales(args.save_scales, artifacts["smooth_scales"])
+        print(f"[quality] smooth scales -> {args.save_scales}")
 
     print(_fmt_table(results))
     # the gate VERDICT r1 asked for: w8a8(+smooth) may be the default decode

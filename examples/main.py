@@ -58,6 +58,11 @@ def parse_args():
         "small attention-precision cost",
     )
     p.add_argument(
+        "--smooth-scales", default=None,
+        help="w8a8 calibration npz (python -m minigpt4_tpu.quality "
+        "--save-scales); exact-fold activation-grid steering",
+    )
+    p.add_argument(
         "--warmup", action="store_true",
         help="precompile the common prefill buckets / decode chunks / image "
         "encoder before the session (multi-minute first compiles on "
@@ -77,6 +82,7 @@ def main():
         seed=args.seed, n_ctx=args.n_ctx, n_batch=args.n_batch,
         speculative_k=args.speculative_k,
         cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
+        smooth_scales=args.smooth_scales,
     )
     if args.warmup:
         eng.warmup()

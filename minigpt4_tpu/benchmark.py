@@ -397,7 +397,8 @@ def word_tokenize(text: str) -> np.ndarray:
 
 def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
                  dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
-                 quant_mode: str = "auto", quick: bool = False) -> dict:
+                 quant_mode: str = "auto", quick: bool = False,
+                 batch: int = 8) -> dict:
     cfg = GEOMETRIES[model]
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
@@ -560,7 +561,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     import dataclasses
 
     del cache
-    bsz = 8
+    bsz = batch
     bcfg = dataclasses.replace(cfg, n_ctx=512)
     bcache = llama_mod.init_cache(bcfg, batch=bsz, dtype=cache_dtype)
     bfwd = jax.jit(
@@ -672,6 +673,8 @@ def main():
                     default="auto",
                     help="w8a8 = EXPERIMENTAL direct-MXU i8 path (see "
                     "ops/i8_matmul.py for the speed/quality trade)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="batched-serving lane count for the aggregate section")
     ap.add_argument("--skip-encode", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
     args = ap.parse_args()
@@ -683,7 +686,8 @@ def main():
     if not args.skip_decode:
         results.update(bench_decode(args.model, qtype, args.n_decode, args.prefill,
                                     cache_dtype=cache_dt,
-                                    quant_mode=args.quant_mode))
+                                    quant_mode=args.quant_mode,
+                                    batch=args.batch))
     if not args.skip_encode:
         results.update(bench_encode(GEOMETRIES[args.model].n_embd))
     print(json.dumps(results, indent=2))

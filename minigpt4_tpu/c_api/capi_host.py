@@ -23,6 +23,8 @@ class Host:
         #   MINIGPT4_TPU_CACHE_DTYPE      bf16 | f32 | f8
         #   MINIGPT4_TPU_QUANT_MODE       auto | repack | qtensor | w8a8
         #   MINIGPT4_TPU_SPECULATIVE_K    greedy speculative verify width
+        #   MINIGPT4_TPU_SMOOTH_SCALES    calibration npz (quality.py) for
+        #                                 the w8a8 activation-quant grids
         import os
 
         from ..engine.engine import CACHE_DTYPES
@@ -44,6 +46,13 @@ class Host:
                     "auto | repack | qtensor | w8a8"
                 )
             kw["quant_mode"] = qm
+        sm = os.environ.get("MINIGPT4_TPU_SMOOTH_SCALES")
+        if sm:
+            if not os.path.exists(sm):
+                raise FileNotFoundError(
+                    f"MINIGPT4_TPU_SMOOTH_SCALES={sm!r} does not exist"
+                )
+            kw["smooth_scales"] = sm
         sk = os.environ.get("MINIGPT4_TPU_SPECULATIVE_K")
         if sk:
             try:

@@ -302,6 +302,12 @@ def main():
         "throughput rises with the acceptance rate; applies to single-stream "
         "AND batched (--batch-window-ms) greedy decode",
     )
+    ap.add_argument(
+        "--smooth-scales", default=None,
+        help="calibration npz (python -m minigpt4_tpu.quality --save-scales) "
+        "steering the w8a8 activation-quantization grids off outlier "
+        "channels; ignored unless the decoder is on the w8a8 path",
+    )
     args = ap.parse_args()
     from .engine.engine import CACHE_DTYPES
 
@@ -310,7 +316,8 @@ def main():
                          batch_window_s=args.batch_window_ms / 1e3,
                          continuous=args.continuous, max_batch=args.max_batch,
                          speculative_k=args.speculative_k,
-                         cache_dtype=CACHE_DTYPES.get(args.cache_dtype))
+                         cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
+                         smooth_scales=args.smooth_scales)
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

@@ -58,6 +58,10 @@ def parse_args():
         "small attention-precision cost",
     )
     p.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel devices for the decoder (greedy-identical)",
+    )
+    p.add_argument(
         "--smooth-scales", default=None,
         help="w8a8 calibration npz (python -m minigpt4_tpu.quality "
         "--save-scales); exact-fold activation-grid steering",
@@ -83,6 +87,7 @@ def main():
         speculative_k=args.speculative_k,
         cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
         smooth_scales=args.smooth_scales,
+        tp=args.tp,
     )
     if args.warmup:
         eng.warmup()

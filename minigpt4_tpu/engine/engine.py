@@ -493,7 +493,16 @@ class MiniGPT4Engine:
         matmul_precision: str | None = None,
         speculative_k: int = 0,
         smooth_scales: str | Path | dict | None = None,
+        tp: int = 1,
+        dp: int = 1,
     ):
+        """``tp``/``dp``: tensor/data-parallel mesh axes.  tp*dp > 1 places
+        the decoder over a (dp, tp) device mesh (parallel/spmd.py: column-
+        parallel qkv/w13, K-sharded row-parallel wo/w2, vocab-parallel head,
+        heads-sharded KV cache) and every decode path runs under shard_map
+        with explicit collectives; ``batch`` must be a multiple of dp.  The
+        single-chip default (1, 1) builds no mesh and inserts no
+        collectives."""
         utils.set_verbosity(verbosity)
         self.n_batch = n_batch
         self.batch = batch
@@ -508,6 +517,15 @@ class MiniGPT4Engine:
                 f"verify-block limit ({llama_mod.FLASH_DECODE_MAX_S})"
             )
         self.speculative_k = speculative_k
+        if batch % dp:
+            raise ValueError(f"batch={batch} must be a multiple of dp={dp}")
+        self.tp, self.dp = tp, dp
+        self.mesh = None
+        self._llm_specs = None
+        if tp * dp > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(dp=dp, tp=tp)
         if matmul_precision:
             # 'highest' forces true-f32 MXU passes for f32 params — needed for
             # token-for-token greedy parity with the f16 CPU reference; the
@@ -545,7 +563,14 @@ class MiniGPT4Engine:
                 smooth=smooth_scales,
             )
             self.quant_mode = llm_mode
-            self.llm_params = jax.device_put(lparams)
+            if self.mesh is not None:
+                from ..parallel import spmd
+
+                self.llm_params, self._llm_specs = spmd.place_llama_params(
+                    self.mesh, lparams
+                )
+            else:
+                self.llm_params = jax.device_put(lparams)
             self.tokenizer = LlamaTokenizer(
                 self._llm_file.vocab.tokens, self._llm_file.vocab.scores
             )
@@ -561,10 +586,14 @@ class MiniGPT4Engine:
         # KV cache defaults to bf16: the reference's llama.cpp cache is f16
         # (kv cache memory_type default), and bf16 halves decode attention
         # traffic vs f32 with comparable range behaviour on TPU
-        self._st = DecodeState(
-            llama_mod.init_cache(self.llm_cfg, batch=batch, dtype=cache_dtype or jnp.bfloat16),
-            seed=seed if seed else 0,
+        cache0 = llama_mod.init_cache(
+            self.llm_cfg, batch=batch, dtype=cache_dtype or jnp.bfloat16
         )
+        if self.mesh is not None:
+            from ..parallel import spmd
+
+            cache0 = spmd.place_cache(self.mesh, cache0)
+        self._st = DecodeState(cache0, seed=seed if seed else 0)
         self.sampler = Sampler(seed)
         self._embed = self._fns.embed
         self._encode = vision_mod.jit_encode_image(self.vision_cfg)
@@ -580,7 +609,13 @@ class MiniGPT4Engine:
             cfg = self.llm_cfg if n_ctx == self.llm_cfg.n_ctx else dataclasses.replace(
                 self.llm_cfg, n_ctx=n_ctx
             )
-            fns = self._fns_by_ctx[n_ctx] = StepFns(cfg)
+            if self.mesh is not None:
+                from ..parallel.spmd import SpmdStepFns
+
+                fns = SpmdStepFns(cfg, self.mesh, self._llm_specs)
+            else:
+                fns = StepFns(cfg)
+            self._fns_by_ctx[n_ctx] = fns
         return fns
 
     # engine state delegates to its DecodeState (the reference's single

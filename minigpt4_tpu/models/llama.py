@@ -542,6 +542,7 @@ def speculative_decode_loop(
     cfg: LlamaConfig,
     attn_len: int | None = None,
     use_flash: bool = True,
+    tp_axis: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict, jnp.ndarray]:
     """Greedy speculative decode: ``n_passes`` verify passes, each drafting
     ``k_spec - 1`` tokens by n-gram lookup (:func:`_ngram_draft`) and
@@ -583,7 +584,7 @@ def speculative_decode_loop(
         emb = embed_tokens(params, toks)
         logits_all, kc = forward(
             params, kc, emb, pos, cfg, all_logits=True, attn_len=attn_len,
-            use_flash=use_flash,
+            use_flash=use_flash, tp_axis=tp_axis,
         )  # [B, k, V]
         g = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)  # model's continuations
         ok = (draft == g[:, :-1]).astype(jnp.int32)  # [B, k-1]

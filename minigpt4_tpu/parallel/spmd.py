@@ -273,3 +273,129 @@ def make_spmd_decode_loop(mesh: Mesh, cfg, specs: dict, n_steps: int, scfg,
         check_vma=False,
     )
     return jax.jit(sm, donate_argnums=(1,))
+
+
+class SpmdStepFns:
+    """Drop-in :class:`engine.engine.StepFns` over a (dp, tp) device mesh.
+
+    Same call signatures and feeding-policy methods (the host-side logic is
+    inherited from StepFns), but every jitted member is a
+    ``jit(shard_map(...))`` over the placed parameter specs — the engine's
+    whole operation set (bucketed prefill, single-token step, fused decode
+    chunks, speculative verify) then runs tensor/data parallel with explicit
+    collectives.  ``MiniGPT4Engine(tp=N)`` builds one of these instead of
+    StepFns; nothing else in the engine or serving layer changes.
+
+    Static arguments (attn bucket, decode length, sampling config) select a
+    memoized shard_map jit per combination — the same compile-once-per-bucket
+    policy as the single-chip StepFns.
+    """
+
+    def __init__(self, cfg, mesh: Mesh, specs: dict):
+        import functools
+
+        from ..engine.engine import StepFns
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.specs = specs
+        cs = cache_specs()
+        self.embed = jax.jit(llama_mod.embed_tokens)
+
+        # host-side feeding policy is shared with the single-chip StepFns
+        self.attn_bucket = functools.partial(StepFns.attn_bucket, self)
+        self.prefill_embeds = functools.partial(StepFns.prefill_embeds, self)
+        self.add_tokens = functools.partial(StepFns.add_tokens, self)
+        self.decode_chunk = functools.partial(StepFns.decode_chunk, self)
+        self.decode_chunk_spec = functools.partial(StepFns.decode_chunk_spec, self)
+
+        def smjit(f, in_specs, out_specs, donate=(1,)):
+            sm = jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False)
+            return jax.jit(sm, donate_argnums=donate)
+
+        @functools.lru_cache(maxsize=None)
+        def fwd_jit(attn_len):
+            def f(p, c, e, pos0, last):
+                return llama_mod.forward(
+                    p, c, e, pos0, cfg, last, attn_len=attn_len, tp_axis="tp"
+                )
+
+            return smjit(f, (specs, cs, P("dp"), P(), P()), (P("dp"), cs))
+
+        self.forward = (
+            lambda p, c, e, pos0, last, attn_len:
+            fwd_jit(attn_len)(p, c, e, pos0, last)
+        )
+
+        @functools.lru_cache(maxsize=None)
+        def step_jit(attn_len):
+            def f(p, c, tok, pos0):
+                e = llama_mod.embed_tokens(p, tok)
+                return llama_mod.forward(
+                    p, c, e, pos0, cfg, attn_len=attn_len, tp_axis="tp"
+                )
+
+            return smjit(f, (specs, cs, P("dp"), P()), (P("dp"), cs))
+
+        self.decode_step = (
+            lambda p, c, tok, pos0, attn_len: step_jit(attn_len)(p, c, tok, pos0)
+        )
+
+        @functools.lru_cache(maxsize=None)
+        def loop_jit(scfg, n, attn_len):
+            def f(p, c, l0, pos0, key):
+                # distinct randomness per dp shard; identical across tp so
+                # every device samples the same tokens (greedy is key-free)
+                key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+                return llama_mod.decode_loop(
+                    p, c, l0, pos0, n, key, scfg, cfg, attn_len=attn_len,
+                    tp_axis="tp",
+                )
+
+            return smjit(
+                f, (specs, cs, P("dp"), P(), P()), (P("dp"), P("dp"), cs)
+            )
+
+        self.decode_loop = (
+            lambda p, c, l0, pos0, key, scfg, n, attn_len:
+            loop_jit(scfg, n, attn_len)(p, c, l0, pos0, key)
+        )
+
+        @functools.lru_cache(maxsize=None)
+        def spec_jit(n, k, attn_len):
+            def f(p, c, l0, pos0, hist):
+                return llama_mod.speculative_decode_loop(
+                    p, c, l0, pos0, hist, n, k, cfg, attn_len=attn_len,
+                    tp_axis="tp",
+                )
+
+            return smjit(
+                f, (specs, cs, P("dp"), P(), P("dp")),
+                (P("dp"), P("dp"), P("dp"), cs, P("dp")),
+            )
+
+        self.spec_loop = (
+            lambda p, c, l0, pos0, hist, n, k, attn_len:
+            spec_jit(n, k, attn_len)(p, c, l0, pos0, hist)
+        )
+
+        def _sample(logits, key, scfg):
+            from ..engine.device_sampling import sample_token as dev_sample
+
+            if scfg.greedy:
+                return jnp.argmax(logits).astype(jnp.int32), key
+            key, sub = jax.random.split(key)
+            return dev_sample(logits, sub, scfg), key
+
+        # logits leave shard_map gathered (vocab-parallel head all-gathers
+        # inside); sampling is an ordinary single-array jit
+        self.sample = jax.jit(_sample, static_argnums=(2,))
+
+
+def place_cache(mesh: Mesh, cache: dict) -> dict:
+    """Shard a KV cache [L, B, H, C, Dh]: batch over dp, heads over tp."""
+    cs = cache_specs()
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, cs[k])) for k, v in cache.items()
+    }

@@ -303,6 +303,15 @@ def main():
         "AND batched (--batch-window-ms) greedy decode",
     )
     ap.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel devices for the decoder (shard_map over a "
+        "(dp, tp) mesh; greedy output is identical to single-chip)",
+    )
+    ap.add_argument(
+        "--dp", type=int, default=1,
+        help="data-parallel mesh axis (batch lanes shard across it)",
+    )
+    ap.add_argument(
         "--smooth-scales", default=None,
         help="calibration npz (python -m minigpt4_tpu.quality --save-scales) "
         "steering the w8a8 activation-quantization grids off outlier "
@@ -317,7 +326,8 @@ def main():
                          continuous=args.continuous, max_batch=args.max_batch,
                          speculative_k=args.speculative_k,
                          cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
-                         smooth_scales=args.smooth_scales)
+                         smooth_scales=args.smooth_scales,
+                         tp=args.tp, dp=args.dp)
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

@@ -1,0 +1,83 @@
+"""Engine-level tensor parallelism: MiniGPT4Engine(tp=N) must produce
+token-for-token identical greedy output to the single-chip engine, through
+the full chat flow (prefill buckets, fused decode chunks, speculative
+verify, per-token step) — on the 8-virtual-device CPU mesh (conftest).
+"""
+
+import pytest
+
+from fixtures import build_tiny_models
+from minigpt4_tpu.engine.engine import MiniGPT4Engine
+from minigpt4_tpu.engine.sampling import SamplingParams
+from minigpt4_tpu.formats.dtypes import DataType
+
+GREEDY = SamplingParams(temp=0.0)
+
+
+def _chat(eng, limit=10, **gen):
+    eng.system_prompt()
+    eng.begin_chat("what is this?")
+    return list(eng.generate(limit=limit, params=GREEDY, **gen))
+
+
+@pytest.fixture(scope="module")
+def models(tmp_path_factory):
+    return build_tiny_models(tmp_path_factory.mktemp("tp"))
+
+
+@pytest.fixture(scope="module")
+def baseline(models):
+    model, llm = models
+    eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=16)
+    toks = _chat(eng)
+    eng.close()
+    return toks
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_greedy_identical(models, baseline, tp):
+    model, llm = models
+    eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=16, tp=tp)
+    assert eng.mesh is not None and eng.mesh.shape["tp"] == tp
+    toks = _chat(eng)
+    eng.close()
+    assert toks == baseline
+
+
+def test_tp_speculative_greedy_identical(models, baseline):
+    model, llm = models
+    eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=16, tp=2,
+                         speculative_k=4)
+    toks = _chat(eng)
+    eng.close()
+    assert toks == baseline
+
+
+def test_tp_stepwise_end_chat(models, baseline):
+    model, llm = models
+    eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=16, tp=2)
+    eng.system_prompt()
+    eng.begin_chat("what is this?")
+    toks = [eng.end_chat(GREEDY) for _ in range(6)]
+    eng.close()
+    # end_chat returns raw tokens (no EOS filtering): compare the prefix of
+    # the filtered baseline stream where they overlap
+    assert "".join(baseline).startswith("".join(t for t in toks if t)[:4])
+
+
+def test_tp_quantized_file(models, tmp_path_factory, baseline):
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("tpq"),
+                                   quant=DataType.Q5_0)
+    e1 = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=16)
+    t1 = _chat(e1)
+    e1.close()
+    e2 = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=16, tp=2)
+    t2 = _chat(e2)
+    e2.close()
+    assert t1 == t2
+
+
+def test_batch_dp_divisibility():
+    # constructor validation fires before any file IO
+    with pytest.raises(ValueError, match="multiple of dp"):
+        MiniGPT4Engine("x", "y", batch=3, dp=2)

@@ -81,3 +81,23 @@ def test_batch_dp_divisibility():
     # constructor validation fires before any file IO
     with pytest.raises(ValueError, match="multiple of dp"):
         MiniGPT4Engine("x", "y", batch=3, dp=2)
+
+
+def test_session_pool_under_tp(models):
+    """The serving layer runs unchanged over a TP engine: per-session caches
+    are plain single-device arrays that jit reshards at dispatch (a
+    device-side copy per join — acceptable; the stacked group cache then
+    stays sharded across the group's lifetime)."""
+    import numpy as np
+
+    from minigpt4_tpu.engine.sessions import SessionPool
+
+    model, llm = models
+    pool = SessionPool(model, llm, session_ctx=256, tp=2)
+    s = pool.new_session()
+    s.upload_image(np.zeros((3, 28, 28), np.float32))
+    s.ask("what?")
+    toks = list(s.generate(limit=5, params=GREEDY))
+    assert len(toks) >= 1
+    s.close()
+    pool.close()

@@ -151,7 +151,11 @@ def _sl(ref, i0, i1):
     return ref[:, i0:i1]
 
 
-TN = 256
+import os as _os
+
+# output-tile width: 256 measured best at decode (M<=8) in round 1; env
+# override for sweeps (tools/sweep_i8_tn.py)
+TN = int(_os.environ.get("MINIGPT4_TPU_I8_TN", "256"))
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret", "static_layer"))

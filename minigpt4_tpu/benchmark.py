@@ -570,7 +570,16 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     )
     bprefill = min(prefill_len, bcfg.n_ctx // 2)  # sessions use a short ctx
     btokens = jnp.asarray(rng.integers(0, cfg.n_vocab, (bsz, bprefill), dtype=np.int64))
-    blogits, bcache = bfwd(params, bcache, embed(params, btokens), jnp.int32(0))
+    # prefill in chunks: a monolithic [B, bprefill] pass materializes
+    # [B, H, S, C] attention scores (~250 MB at B=12) plus XLA padding that
+    # pushed batch >= 12 over 16 GB HBM beside the 13B i8 codes — chunking
+    # bounds the transient at S=64 while measuring the same decode state
+    pf_chunk = 64
+    for c0 in range(0, bprefill, pf_chunk):
+        blogits, bcache = bfwd(
+            params, bcache, embed(params, btokens[:, c0 : c0 + pf_chunk]),
+            jnp.int32(c0),
+        )
     bdl = jax.jit(
         lambda p, c, l0, pos0, key: llama_mod.decode_loop(
             p, c, l0, pos0, chunk, key, DeviceSamplingConfig(temp=0.0), bcfg

@@ -135,6 +135,19 @@ def _detach_lane_state(st: DecodeState, ends: int, pos_now: int, cache_slice,
     st.logits_host = None
 
 
+def _reset_lane_session(st: DecodeState, cfg, cache_dtype) -> None:
+    """Last-resort lane recovery when its group-cache slice cannot be read
+    back (device failure): the conversation prefix is gone with the group
+    cache, so the session resets to empty with a fresh zero cache (or a
+    ``None`` cache if even allocation fails — the next prefill raises
+    cleanly rather than corrupting)."""
+    try:
+        st.cache = llama_mod.init_cache(cfg, batch=1, dtype=cache_dtype)
+    except Exception:
+        st.cache = None
+    st.reset()
+
+
 class SessionPool:
     """Shared engine + per-session decode state."""
 
@@ -351,6 +364,11 @@ class SessionPool:
             }
             logits = jnp.stack([s.state.logits_dev for s in batch])
             key, self._batch_key = jax.random.split(self._batch_key)
+        for s in batch:
+            # the group cache is the live copy until detach: holding every
+            # lane's private cache too would double cache HBM for the whole
+            # generation (210 MB/lane at 13B/f8/512 ctx)
+            s.state.cache = None
 
         lanes = [
             {"session": s, "limit": limits_all[act[i]], "chat": "", "emitted": 0,
@@ -447,12 +465,22 @@ class SessionPool:
             # pending logits invalidated (they belong to the overshoot
             # continuation); the next prefill installs fresh ones.
             with self._lock:
+                err = None
                 for i, s in enumerate(batch):
-                    _detach_lane_state(
-                        s.state, lanes[i]["ends"], int(pos_host[i]),
-                        {kv: cache[kv][:, i : i + 1] for kv in ("k", "v")},
-                        logits[i],
-                    )
+                    try:
+                        _detach_lane_state(
+                            s.state, lanes[i]["ends"], int(pos_host[i]),
+                            {kv: cache[kv][:, i : i + 1] for kv in ("k", "v")},
+                            logits[i],
+                        )
+                    except Exception as e:  # device wedged: reset the lane
+                        # (its private cache was released at batch entry, so
+                        # there is no pre-batch copy to fall back to)
+                        _reset_lane_session(s.state, self.fns.cfg,
+                                            self.cache_dtype)
+                        err = err or e
+                if err is not None:
+                    raise err
 
     def close(self) -> None:
         self.engine.close()
@@ -668,9 +696,9 @@ class ContinuousBatcher:
         """Detach a lane after a failure/shutdown, leaving its SESSION in a
         coherent state (the len(tokens) == n_past invariant must survive —
         every later hist-seeding path relies on it).  Best effort: extract
-        the lane's cache like a normal finalize; if the device is wedged,
-        roll the session back to its pre-join state (its own cache was never
-        mutated — joins copy INTO the batch cache)."""
+        the lane's cache like a normal finalize; if the device is wedged the
+        session RESETS — its private cache was released at join (the slot
+        held the only copy), so there is no pre-join state to return to."""
         lane = self._lanes[slot]
         st = lane["session"].state
         try:
@@ -679,10 +707,7 @@ class ContinuousBatcher:
             _detach_lane_state(st, lane["ends"], int(self._pos[slot]),
                                cache_slice, None)
         except Exception:
-            st.n_past = lane["start"]
-            del st.tokens[lane["start"]:]
-            st.logits_dev = None
-            st.logits_host = None
+            _reset_lane_session(st, self.fns.cfg, self.pool.cache_dtype)
         if err is not None:
             lane["out"].put(err)
         lane["out"].put(self._DONE)
@@ -729,6 +754,10 @@ class ContinuousBatcher:
                     session.state.logits_dev, jnp.asarray(hist_row),
                     jnp.int32(slot),
                 )
+            # the slot is the live copy until finalize/abort: releasing the
+            # session's private cache here keeps per-lane HBM at 1x cache
+            # (210 MB/lane at 13B/f8/512 ctx) instead of 2x for the whole ride
+            session.state.cache = None
             self._scfg = scfg
             self._deferred_since.pop(id(out), None)
             self._pos[slot] = session.n_past

@@ -154,16 +154,21 @@ def _sl(ref, i0, i1):
 import os as _os
 
 # output-tile width: 256 measured best at decode (M<=8) in round 1; env
-# override for sweeps (tools/sweep_i8_tn.py)
+# override for deployments, and a static kernel arg for in-session sweeps
+# (tools/sweep_i8_tn.py — the shared chip's bandwidth drifts between
+# sessions, so only same-process A/B comparisons are trustworthy)
 TN = int(_os.environ.get("MINIGPT4_TPU_I8_TN", "256"))
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "interpret", "static_layer"))
-def _run(x_i8, codes, scales, *, meta, interpret=False, static_layer=None):
+@functools.partial(
+    jax.jit, static_argnames=("meta", "interpret", "static_layer", "tn")
+)
+def _run(x_i8, codes, scales, *, meta, interpret=False, static_layer=None,
+         tn=None):
     k, n_out = meta
     m = x_i8.shape[0]
     tm = 8 if m <= 8 else min(128, -(-m // 8) * 8)
-    tn = TN
+    tn = tn or TN
     m_pad = -(-m // tm) * tm
     n_pad = -(-n_out // tn) * tn
     xp = jnp.zeros((m_pad, k), jnp.int8).at[:m].set(x_i8)
@@ -217,7 +222,8 @@ def quantize_activations(
 
 
 def qmatmul_i8sb(
-    x: jnp.ndarray, w: I8SBQuant, out_dtype=None, layer=None, x_scale=None
+    x: jnp.ndarray, w: I8SBQuant, out_dtype=None, layer=None, x_scale=None,
+    tn: int | None = None,
 ) -> jnp.ndarray:
     """x [..., K] @ w.T -> [..., N]: per-row i8 activation quant, chunked i8
     MXU contraction, scales applied per chunk (weights) and per row
@@ -242,7 +248,7 @@ def qmatmul_i8sb(
     interpret = jax.default_backend() != "tpu"
     y = _run(
         x_i8, w.codes, w.scales, meta=(k, w.n_out), interpret=interpret,
-        static_layer=layer if stacked else None,
+        static_layer=layer if stacked else None, tn=tn,
     )
     y = y * sx
     return y.reshape(*lead, w.n_out).astype(out_dtype or x.dtype)

@@ -406,3 +406,44 @@ def test_generate_batch_context_end_safety(pool):
     assert got[1] == want
     for s in (near, fresh, fresh2):
         s.close()
+
+def test_batch_releases_private_caches_while_riding(pool):
+    """While sessions ride a batched decode, their private KV caches are
+    released (the group cache is the only copy — per-lane HBM stays 1x
+    cache instead of 2x at 13B scale), and detach hands back a live slice."""
+    a = pool.new_session()
+    pool.begin_chat(a, "one")
+    b = pool.new_session()
+    pool.begin_chat(b, "two")
+
+    stream = pool.generate_batch_stream(
+        [a, b], limit=6, params=SamplingParams(temp=0.0), decode_chunk=2
+    )
+    next(stream)  # the group is built on first advance
+    assert a.state.cache is None and b.state.cache is None
+    for _ in stream:
+        pass
+    # detach restored per-session slices; a follow-up turn works
+    assert a.state.cache is not None and b.state.cache is not None
+    pool.begin_chat(a, "and?")
+    more = list(a.generate(limit=2, params=SamplingParams(temp=0.0)))
+    assert all(isinstance(t, str) for t in more)
+    for s in (a, b):
+        s.close()
+
+
+def test_batch_early_close_restores_caches(pool):
+    """Closing the batched stream generator early still detaches every lane:
+    caches come back (released at entry) and cursors roll back coherently."""
+    a = pool.new_session()
+    pool.begin_chat(a, "alpha")
+    ends_before = a.n_past
+    stream = pool.generate_batch_stream(
+        [a], limit=8, params=SamplingParams(temp=0.0), decode_chunk=2
+    )
+    next(stream)
+    assert a.state.cache is None
+    stream.close()  # generator finalizer -> detach
+    assert a.state.cache is not None
+    assert a.n_past >= ends_before and len(a.state.tokens) == a.n_past
+    a.close()

@@ -87,6 +87,14 @@ class ChatSession:
         self.is_image_chat = False
         self.embedding = None
 
+    def park(self) -> None:
+        """Move this session's KV cache to host RAM (trimmed to the consumed
+        prefix), freeing its HBM while the user thinks.  Any engine
+        operation transparently re-uploads (DecodeState.ensure_device);
+        serve.py parks automatically between turns with ``park_idle``."""
+        with self._pool._lock:
+            self.state.park()
+
     def close(self) -> None:
         self._pool._release(self)
 
@@ -227,6 +235,7 @@ class SessionPool:
 
     def _add_tokens(self, s: ChatSession, tokens: list[int]) -> None:
         with self._lock:
+            s.state.ensure_device()  # transparent unpark of idled sessions
             self.metrics["tokens_prefilled"] += len(tokens)  # under self._lock
             self.fns.add_tokens(
                 self.engine.llm_params, s.state, tokens, self.engine.n_batch
@@ -243,6 +252,7 @@ class SessionPool:
         emb = np.asarray(embedding, np.float32).reshape(1, -1, self.engine.llm_cfg.n_embd)
         self._add_strings(s, "Human: <Img>")
         with self._lock:
+            s.state.ensure_device()
             self.fns.prefill_embeds(
                 self.engine.llm_params, s.state, jnp.asarray(emb), self.engine.n_batch
             )
@@ -274,6 +284,8 @@ class SessionPool:
                     break
                 yield token
             return
+        with self._lock:
+            s.state.ensure_device()
         for token in generate_stream(
             self.fns, self.engine.llm_params, s.state, self.engine.tokenizer,
             limit, params, dispatch_lock=self._lock,
@@ -335,6 +347,10 @@ class SessionPool:
         params = params or SamplingParams()
         if params.mirostat != 0:
             raise ValueError("generate_batch uses device sampling (no mirostat)")
+        for s in sessions:
+            if s.state.parked is not None:
+                with self._lock:
+                    s.state.ensure_device()
         if any(s.state.logits_dev is None for s in sessions):
             raise ValueError("every session needs a prepared prompt (ask/prefill)")
         scfg = DeviceSamplingConfig(
@@ -721,7 +737,10 @@ class ContinuousBatcher:
         session, limit, params, out = item
         try:
             scfg = self._scfg_of(params)
-            if params.mirostat != 0 or session.state.logits_dev is None:
+            prepared = (session.state.logits_dev is not None
+                        or (session.state.parked is not None
+                            and session.state.logits_host is not None))
+            if params.mirostat != 0 or not prepared:
                 out.put(ValueError(
                     "continuous batching needs a prepared prompt and device "
                     "sampling (no mirostat)"))
@@ -749,6 +768,7 @@ class ContinuousBatcher:
             hist_row = np.full((cfg.n_ctx,), -1, np.int32)
             hist_row[: session.n_past] = np.asarray(session.state.tokens, np.int32)
             with self.pool._lock:
+                session.state.ensure_device()
                 self._cache, self._logits, self._hist = self._join(
                     self._cache, self._logits, self._hist, session.state.cache,
                     session.state.logits_dev, jnp.asarray(hist_row),

@@ -115,8 +115,10 @@ class _Server:
     truth for session lifetime (no duplicate bookkeeping here)."""
 
     def __init__(self, pool: SessionPool, batch_window_s: float = 0.0,
-                 continuous: bool = False, max_batch: int = 8):
+                 continuous: bool = False, max_batch: int = 8,
+                 park_idle: bool = False):
         self.pool = pool
+        self.park_idle = park_idle
         if continuous:
             from .engine.sessions import ContinuousBatcher
 
@@ -199,6 +201,8 @@ def make_handler(srv: _Server):
                     img = Image.open(io.BytesIO(self._body())).convert("RGB")
                     size = srv.pool.engine.vision_cfg.vit.image_size
                     s.upload_image(image_mod.preprocess(np.asarray(img), size=size))
+                    if srv.park_idle:
+                        s.park()  # user is typing: free the lane's HBM
                     self._json(200, {"ok": True})
                     return
                 req = json.loads(self._body() or b"{}")
@@ -216,12 +220,14 @@ def make_handler(srv: _Server):
                         while True:
                             tok = out.get()
                             if tok is srv.batcher._DONE:
-                                return
+                                break
                             if isinstance(tok, Exception):
                                 raise tok
                             yield tok
                     else:
                         yield from s.generate(limit=limit, params=params)
+                    if srv.park_idle:
+                        s.park()  # turn done: hold the KV prefix in host RAM
                 if "stream=1" in self.path:
                     self.send_response(200)
                     self.send_header("Content-Type", "text/plain; charset=utf-8")
@@ -254,10 +260,11 @@ def make_handler(srv: _Server):
 def start_server(model_path, llm_path, host="127.0.0.1", port=8000,
                  session_ctx: int = 512, batch_window_s: float = 0.0,
                  continuous: bool = False, max_batch: int = 8,
+                 park_idle: bool = False,
                  **engine_kwargs) -> ThreadingHTTPServer:
     pool = SessionPool(model_path, llm_path, session_ctx=session_ctx, **engine_kwargs)
     srv = _Server(pool, batch_window_s=batch_window_s, continuous=continuous,
-                  max_batch=max_batch)
+                  max_batch=max_batch, park_idle=park_idle)
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
     httpd.pool = pool  # for tests / shutdown
     httpd.batcher = srv.batcher
@@ -288,6 +295,13 @@ def main():
         "--max-batch", type=int, default=8,
         help="lane count for --continuous (one stacked cache of this batch "
         "size is preallocated)",
+    )
+    ap.add_argument(
+        "--park-idle", action="store_true",
+        help="between turns, move each session's KV cache to host RAM "
+        "(trimmed to its consumed prefix) and re-upload transparently on "
+        "the next request — idle conversations cost 0 HBM, so far more "
+        "concurrent sessions fit beside the weights",
     )
     ap.add_argument(
         "--cache-dtype", choices=["auto", "bf16", "f32", "f8"], default="auto",
@@ -324,6 +338,7 @@ def main():
                          args.port, session_ctx=args.session_ctx, n_ctx=args.n_ctx,
                          batch_window_s=args.batch_window_ms / 1e3,
                          continuous=args.continuous, max_batch=args.max_batch,
+                         park_idle=args.park_idle,
                          speculative_k=args.speculative_k,
                          cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
                          smooth_scales=args.smooth_scales,

@@ -186,3 +186,52 @@ def test_batched_serving(tmp_path_factory, spec_k):
     finally:
         httpd.shutdown()
         httpd.pool.close()
+
+def test_park_idle_serving(tmp_path_factory):
+    """With --park-idle, sessions hold no device cache between turns yet
+    multi-turn chat works identically (transparent unpark per request)."""
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("park"))
+    httpd = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
+                         n_batch=32, park_idle=True)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        st, body = _post(base, "/v1/sessions")
+        sid = json.loads(body)["session_id"]
+        st, body = _post(
+            base, f"/v1/sessions/{sid}/chat",
+            json.dumps({"message": "hello", "limit": 4, "temp": 0.0}).encode(),
+        )
+        assert st == 200
+        first = json.loads(body)["text"]
+        s = httpd.pool._sessions[sid]
+        assert s.state.cache is None and s.state.parked is not None
+        st, body = _post(
+            base, f"/v1/sessions/{sid}/chat",
+            json.dumps({"message": "and?", "limit": 4, "temp": 0.0}).encode(),
+        )
+        assert st == 200
+        assert isinstance(json.loads(body)["text"], str)
+        assert s.state.cache is None and s.state.parked is not None
+
+        # the reference flow: never-parked pool gives the same text
+        httpd2 = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
+                              n_batch=32)
+        t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)
+        t2.start()
+        base2 = f"http://127.0.0.1:{httpd2.server_address[1]}"
+        try:
+            st, body = _post(base2, "/v1/sessions")
+            sid2 = json.loads(body)["session_id"]
+            st, body = _post(
+                base2, f"/v1/sessions/{sid2}/chat",
+                json.dumps({"message": "hello", "limit": 4, "temp": 0.0}).encode(),
+            )
+            assert json.loads(body)["text"] == first
+        finally:
+            httpd2.shutdown()
+            httpd2.pool.close()
+    finally:
+        httpd.shutdown()
+        httpd.pool.close()

@@ -447,3 +447,70 @@ def test_batch_early_close_restores_caches(pool):
     assert a.state.cache is not None
     assert a.n_past >= ends_before and len(a.state.tokens) == a.n_past
     a.close()
+
+def test_park_unpark_preserves_greedy_continuation(pool):
+    """Parking a session between turns (KV cache trimmed to the consumed
+    prefix, moved to host RAM) must not change anything observable: the
+    next turn's greedy tokens match an identical never-parked session."""
+    a = pool.new_session()
+    pool.system_prompt(a)
+    pool.begin_chat(a, "hello")
+    first_a = "".join(a.generate(limit=4, params=SamplingParams(temp=0.0)))
+    a.park()
+    assert a.state.cache is None and a.state.parked is not None
+    # parked second turn (transparent unpark inside ask/generate)
+    pool.begin_chat(a, "and then?")
+    got = "".join(a.generate(limit=4, params=SamplingParams(temp=0.0)))
+    assert a.state.cache is not None and a.state.parked is None
+
+    b = pool.new_session()
+    pool.system_prompt(b)
+    pool.begin_chat(b, "hello")
+    first_b = "".join(b.generate(limit=4, params=SamplingParams(temp=0.0)))
+    pool.begin_chat(b, "and then?")
+    want = "".join(b.generate(limit=4, params=SamplingParams(temp=0.0)))
+    assert first_a == first_b and got == want
+    for s in (a, b):
+        s.close()
+
+
+def test_parked_sessions_join_batched_decode(pool):
+    """Parked sessions are admitted to batched decode paths (static group
+    and continuous batcher) via transparent unpark, with identical output."""
+    import queue as queue_mod
+
+    a = pool.new_session()
+    pool.begin_chat(a, "one two")
+    want = "".join(a.generate(limit=4, params=SamplingParams(temp=0.0)))
+    a.close()
+
+    # static batch path
+    b = pool.new_session()
+    pool.begin_chat(b, "one two")
+    b.park()
+    got = pool.generate_batch([b], limit=4, params=SamplingParams(temp=0.0),
+                              decode_chunk=2)
+    assert got == [want]
+    b.close()
+
+    # continuous batcher path (prepared-prompt check must accept parked)
+    from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+    c = pool.new_session()
+    pool.begin_chat(c, "one two")
+    c.park()
+    cb = ContinuousBatcher(pool, max_batch=2, decode_chunk=2)
+    try:
+        out = cb.submit(c, 4, SamplingParams(temp=0.0))
+        toks = []
+        while True:
+            t = out.get(timeout=120)
+            if t is cb._DONE:
+                break
+            if isinstance(t, Exception):
+                raise t
+            toks.append(t)
+        assert "".join(toks) == want
+    finally:
+        cb.close()
+    c.close()

@@ -291,6 +291,17 @@ class StepFns:
             static_argnums=(5, 6, 7),
             donate_argnums=(1,),
         )
+        # paged-KV serving decode: the cache argument holds the shared page
+        # POOLS (engine/paged.py) and ``pt`` the per-lane page tables; the
+        # pool is donated (in-place page writes), the table is data — lane
+        # growth/admission never recompiles
+        self.paged_decode_loop = jax.jit(
+            lambda p, pool, pt, l0, pos0, key, scfg, n: llama_mod.decode_loop(
+                p, pool, l0, pos0, n, key, scfg, cfg, page_table=pt
+            ),
+            static_argnums=(6, 7),
+            donate_argnums=(1,),
+        )
 
         def _sample(logits, key, scfg):
             from .device_sampling import sample_token as dev_sample

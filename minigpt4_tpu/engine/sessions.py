@@ -165,6 +165,7 @@ class SessionPool:
         llm_path,
         session_ctx: int = 512,
         seed: int = 1337,
+        paged_pool_pages: int | None = None,
         **engine_kwargs,
     ):
         self.engine = MiniGPT4Engine(model_path, llm_path, seed=seed, **engine_kwargs)
@@ -190,6 +191,19 @@ class SessionPool:
         # the engine's compiled step functions at session_ctx — shared by
         # every session (bucketed prefill + fused decode compile once)
         self.fns = self.engine.step_fns_for(session_ctx)
+        # optional shared KV page pool (engine/paged.py): batched decode
+        # groups then cost HBM proportional to their USED positions instead
+        # of B x session_ctx reservations — the capacity lever for many
+        # short conversations on one chip.  Single-chip only (under tp the
+        # cache heads are sharded; groups fall back to dense stacking).
+        self.paged_pool = None
+        if paged_pool_pages and getattr(self.engine, "tp", 1) == 1:
+            from .paged import PagedKVPool
+
+            self.paged_pool = PagedKVPool(
+                self.fns.cfg, paged_pool_pages, session_ctx,
+                dtype=self.cache_dtype,
+            )
 
     def _bump(self, name: str, by: int = 1) -> None:
         import time
@@ -373,6 +387,17 @@ class SessionPool:
             return
         batch = [sessions[i] for i in act]
         n = len(batch)
+        if self.paged_pool is not None and not use_spec:
+            # paged-KV group (engine/paged.py): admission scatters each
+            # lane's consumed prefix into shared pool pages instead of
+            # stacking full session_ctx reservations.  Falls through to the
+            # dense path when the pool can't fit the group right now.
+            lane_pages = self._try_admit_paged(batch)
+            if lane_pages is not None:
+                yield from self._paged_batch_stream(
+                    act, batch, lane_pages, limits_all, scfg, decode_chunk
+                )
+                return
         with self._lock:
             cache = {
                 kv: jnp.concatenate([s.state.cache[kv] for s in batch], axis=1)
@@ -492,6 +517,127 @@ class SessionPool:
                     except Exception as e:  # device wedged: reset the lane
                         # (its private cache was released at batch entry, so
                         # there is no pre-batch copy to fall back to)
+                        _reset_lane_session(s.state, self.fns.cfg,
+                                            self.cache_dtype)
+                        err = err or e
+                if err is not None:
+                    raise err
+
+    def _try_admit_paged(self, batch: list[ChatSession]) -> list[list[int]] | None:
+        """Scatter every lane's consumed prefix into pool pages (all-or-
+        nothing, under the dispatch lock).  Returns per-lane page-id lists,
+        or None when the pool can't fit the whole group right now (the
+        caller decodes the group dense instead).  Admitted lanes drop their
+        private dense caches — the pool copy is the live one until detach."""
+        pool = self.paged_pool
+        with self._lock:
+            need = sum(pool.pages_for(s.n_past) for s in batch)
+            if need > pool.free_pages:
+                return None
+            lane_pages = []
+            for s in batch:
+                lane_pages.append(pool.admit(s.state.cache, s.n_past))
+                s.state.cache = None
+            return lane_pages
+
+    def _paged_batch_stream(
+        self,
+        act: list[int],
+        batch: list[ChatSession],
+        lane_pages: list[list[int]],
+        limits_all: list[int],
+        scfg,
+        decode_chunk: int,
+    ):
+        """Decode an admitted paged group (see :meth:`generate_batch_stream`
+        for the group semantics — this is the same static-batching contract
+        over the shared page pool).
+
+        Two paging simplifications over the dense path: (a) active lanes
+        get pages lazily, one chunk ahead, so group HBM tracks used
+        positions; (b) finished lanes overshooting their history write into
+        the pool's shared trash page (their table rows end in the sink slot
+        and the overflow table index clamps onto it), so the dense path's
+        clamped-write guard is unnecessary — overshoot can never land in
+        valid history.  Pool exhaustion mid-generation ends the group early
+        (sessions detach normally and can continue in a later group)."""
+        from .paged import PoolExhausted
+
+        pool = self.paged_pool
+        n = len(batch)
+        n_ctx = min(self.fns.cfg.n_ctx, pool.capacity)
+        with self._lock:
+            logits = jnp.stack([s.state.logits_dev for s in batch])
+            key, self._batch_key = jax.random.split(self._batch_key)
+        pt_np = np.stack([pool.table_row(p) for p in lane_pages])
+        lanes = [
+            {"session": s, "limit": limits_all[act[i]], "chat": "", "emitted": 0,
+             "ends": s.n_past}
+            for i, s in enumerate(batch)
+        ]
+        pos_host = np.asarray([s.n_past for s in batch], np.int64)
+        done = [False] * n
+        bump = lambda: self._bump("tokens_generated")
+        try:
+            while not all(done):
+                max_pos = int(max(pos_host[i] for i in range(n) if not done[i]))
+                if max_pos + decode_chunk > n_ctx:
+                    break  # an active lane is out of context: stop the group
+                stop = False
+                with self._lock:
+                    try:
+                        for i in range(n):
+                            if done[i]:
+                                continue  # overshoot writes go to the sink
+                            new_pages = pool.extend(
+                                lane_pages[i], int(pos_host[i]) + decode_chunk
+                            )
+                            if len(new_pages) != len(lane_pages[i]):
+                                lane_pages[i] = new_pages
+                                pt_np[i] = pool.table_row(new_pages)
+                    except PoolExhausted:
+                        stop = True  # pool dry: detach; callers resume later
+                    if not stop:
+                        key, sub = jax.random.split(key)
+                        tokens, logits, poolkv = self.fns.paged_decode_loop(
+                            self.engine.llm_params,
+                            {"k": pool.k, "v": pool.v},
+                            jnp.asarray(pt_np), logits,
+                            jnp.asarray(pos_host, jnp.int32),
+                            sub, scfg, decode_chunk,
+                        )
+                        # the dispatch donated the pool arrays: rebind
+                        pool.k, pool.v = poolkv["k"], poolkv["v"]
+                        lane_tokens = list(np.asarray(tokens))
+                if stop:
+                    break
+                pos_host += decode_chunk
+                updates: list[tuple[int, str]] = []
+                for i in range(n):
+                    if done[i]:
+                        continue
+                    deliver, done[i] = _consume_lane_tokens(
+                        lanes[i], lane_tokens[i], self.engine.tokenizer, bump
+                    )
+                    updates.extend((act[i], token) for token in deliver)
+                yield updates
+        finally:
+            # gather every lane's pages back into a private dense cache and
+            # free them — also on early generator close
+            with self._lock:
+                err = None
+                for i, s in enumerate(batch):
+                    try:
+                        dense = pool.evict(lane_pages[i], self.fns.cfg.n_ctx)
+                        _detach_lane_state(
+                            s.state, lanes[i]["ends"], int(pos_host[i]),
+                            dense, logits[i],
+                        )
+                    except Exception as e:  # device wedged: reset the lane
+                        try:
+                            pool.free(lane_pages[i])
+                        except Exception:
+                            pass
                         _reset_lane_session(s.state, self.fns.cfg,
                                             self.cache_dtype)
                         err = err or e

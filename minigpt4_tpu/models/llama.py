@@ -219,9 +219,18 @@ def _layer(
     use_flash: bool = True,
     tp_axis: str | None = None,
     act_stats: dict | None = None,
+    page_table: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder layer. x [B,S,D]; ck/cv [L,B,H,C,Dh] (the FULL cache —
     updated in place at layer ``li``).
+
+    ``page_table`` [B, MAXP] i32 switches the KV cache to **paged** mode:
+    ck/cv are then shared page POOLS [L, NP, H, PAGE, Dh] and lane bi's
+    positions [p*PAGE, (p+1)*PAGE) live in pool page ``page_table[bi, p]``
+    (engine/paged.py owns allocation).  Requires per-lane cursors (pos0
+    [B]) and spans that never cross a page edge (off + S <= PAGE — always
+    true for the S=1 decode steps this mode serves); attention runs the
+    paged flash kernel (ops/flash_decode.paged_flash_decode_attention).
 
     ``act_stats``: when given (a dict of lists), per-channel absolute maxima
     of each quantizable matmul's INPUT are appended per site ("attn", "wo",
@@ -274,7 +283,22 @@ def _layer(
     k = rope_interleaved(heads(xk), positions, cfg.rope_theta)
     v = heads(xv)
 
-    if batched_pos:
+    if page_table is not None:
+        # paged writes: lane bi's span lands in pool page
+        # page_table[bi, pos // PAGE] at offset pos % PAGE.  Same chained
+        # single-lane DUS shape as the batched path below (in-place on the
+        # donated pool); the caller guarantees off + s <= PAGE.
+        if not batched_pos:
+            raise ValueError("paged mode needs per-lane cursors (pos0 [B])")
+        page = ck.shape[3]
+        kb = k.astype(ck.dtype)[None]
+        vb = v.astype(cv.dtype)[None]
+        for bi in range(b):
+            pg = page_table[bi, pos0[bi] // page]
+            idx = (li, pg, 0, pos0[bi] % page, 0)
+            ck = jax.lax.dynamic_update_slice(ck, kb[:, bi : bi + 1], idx)
+            cv = jax.lax.dynamic_update_slice(cv, vb[:, bi : bi + 1], idx)
+    elif batched_pos:
         # per-batch write offsets: B chained single-lane updates (B is
         # static).  A vmapped dynamic_update_slice here lowers to
         # slice + update-slice FUSIONS that copy the [H, C, Dh] lane every
@@ -307,7 +331,19 @@ def _layer(
         and cfg.n_ctx % flash_blk == 0
         and (cfg.head_dim % 128 == 0 or jax.default_backend() != "tpu")
     )
-    if s <= FLASH_DECODE_MAX_S and flash_ok:
+    if page_table is not None:
+        # paged pools have no dense [B, C] view to fall back to
+        if s > FLASH_DECODE_MAX_S:
+            raise ValueError(
+                f"paged attention serves decode spans only (S <= {FLASH_DECODE_MAX_S})"
+            )
+        if cfg.head_dim % 128 and jax.default_backend() == "tpu":
+            raise ValueError("paged attention needs a lane-aligned head dim on TPU")
+        ctx = _fd.paged_flash_decode_attention(
+            q, ck, cv, li, pos0, page_table,
+            1.0 / float(np.sqrt(cfg.head_dim)),
+        ).astype(x.dtype)
+    elif s <= FLASH_DECODE_MAX_S and flash_ok:
         # decode path: blockwise flash kernel over the stacked HBM cache —
         # reads only ceil((pos0+s)/BLK) live KV blocks (no attn_len bucket,
         # no per-layer cache slice copy); see ops/flash_decode.py.  The cap
@@ -388,8 +424,12 @@ def forward(
     use_flash: bool = True,
     tp_axis: str | None = None,
     act_stats: dict | None = None,
+    page_table: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """embeds [B, S, D] -> (logits [B, V] at ``last_idx``, updated cache).
+
+    ``page_table`` [B, MAXP]: paged-KV mode — ``cache`` holds the shared
+    page pools instead of dense per-lane caches (see :func:`_layer`).
 
     ``all_logits=True`` returns [B, S, V] (training / perplexity path).
 
@@ -406,7 +446,7 @@ def forward(
     for li in range(cfg.n_layer):
         x, ck, cv = _layer(
             x, params["layers"], li, ck, cv, pos0, cfg, attn_len, use_flash,
-            tp_axis, act_stats,
+            tp_axis, act_stats, page_table,
         )
     new_cache = {"k": ck, "v": cv}
 
@@ -449,8 +489,15 @@ def decode_loop(
     attn_len: int | None = None,
     use_flash: bool = True,
     tp_axis: str | None = None,
+    page_table: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Fused multi-token decode: ONE dispatch generates ``n_steps`` tokens.
+
+    ``page_table`` [B, MAXP]: paged-KV serving mode — ``cache`` holds the
+    page pools and each lane's single-token writes route through the table
+    (a one-position write can never cross a page edge, so the scan needs no
+    boundary handling; the caller only has to provision pages covering
+    pos0 + n_steps).
 
     Per-token host round trips dominate decode latency on remote/tunneled
     backends (each blocking logits fetch pays a full RTT); this loop keeps
@@ -476,7 +523,8 @@ def decode_loop(
         tok = jax.vmap(lambda l, k: sample_token(l, k, scfg))(logits, keys)
         emb = embed_tokens(params, tok[:, None])
         new_logits, kc = forward(params, kc, emb, pos, cfg, attn_len=attn_len,
-                                 use_flash=use_flash, tp_axis=tp_axis)
+                                 use_flash=use_flash, tp_axis=tp_axis,
+                                 page_table=page_table)
         return (new_logits, kc, pos + 1), tok
 
     keys = jax.random.split(key, n_steps)

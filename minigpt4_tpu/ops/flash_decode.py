@@ -79,10 +79,15 @@ def _block_f32(v):
     return v.astype(jnp.float32)
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
-            scale, stats):
+def _kernel(*refs, li, s, blk, c, dh, scale, stats, paged):
     """One (b, h) pair per program.  k_ref/v_ref are the FULL stacked caches
     ([L, B, H, C, Dh], HBM); q_ref/o_ref are [1, 1, S, Dh] VMEM blocks.
+
+    ``paged=True`` (serving page pool): k_ref/v_ref are the page POOLS
+    [L, NP, H, PAGE, Dh] with blk == PAGE, and an extra SMEM ref ``pt_ref``
+    [B, MAXP] maps lane b's logical KV block i to its pool page — the DMA
+    source index goes through the table, nothing else changes (the blockwise
+    schedule is exactly what makes paging a lookup, not a new kernel).
 
     ``stats=True`` (sequence-parallel partials): o_ref gets the UNNORMALIZED
     accumulator and stats_ref[0] gets [m | l] lane-broadcast side by side —
@@ -90,6 +95,10 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
     ``pos0`` may be negative in that mode (this chip's cache slice starts
     after the last visible position): zero blocks are read and (m=-inf, l=0,
     acc=0) partials come back."""
+    if paged:
+        pos_ref, pt_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref = refs
+    else:
+        pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref = refs
     b = pl.program_id(0)
     h = pl.program_id(1)
     pos0 = pos_ref[b, 0]  # per-batch decode cursor (full [B, 1] SMEM block)
@@ -98,18 +107,24 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
         jnp.int32(0), jax.lax.min((live + blk - 1) // blk, jnp.int32(c // blk))
     )
 
+    def _srcs(i):
+        if paged:
+            pg = pt_ref[b, i]
+            return k_ref.at[li, pg, h], v_ref.at[li, pg, h]
+        c0 = pl.multiple_of(i * blk, blk)
+        return (
+            k_ref.at[li, b, h, pl.ds(c0, blk)],
+            v_ref.at[li, b, h, pl.ds(c0, blk)],
+        )
+
     def scoped(kb, vb, ksem, vsem):
         q = q_ref[0, 0].astype(jnp.float32) * scale  # [S, Dh]
         q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (s, blk), 0)
 
         def start_block(i, slot):
-            c0 = pl.multiple_of(i * blk, blk)
-            pltpu.make_async_copy(
-                k_ref.at[li, b, h, pl.ds(c0, blk)], kb.at[slot], ksem.at[slot]
-            ).start()
-            pltpu.make_async_copy(
-                v_ref.at[li, b, h, pl.ds(c0, blk)], vb.at[slot], vsem.at[slot]
-            ).start()
+            ks, vs = _srcs(i)
+            pltpu.make_async_copy(ks, kb.at[slot], ksem.at[slot]).start()
+            pltpu.make_async_copy(vs, vb.at[slot], vsem.at[slot]).start()
 
         # double-buffered KV stream: block i+1's DMA flies while block i
         # computes — without it every block pays full DMA latency serially,
@@ -127,12 +142,10 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
             def _prefetch():
                 start_block(i + 1, jax.lax.rem(i + 1, 2))
 
-            c0 = pl.multiple_of(i * blk, blk)
-            key_pos = c0 + jax.lax.broadcasted_iota(jnp.int32, (s, blk), 1)
+            ks, vs = _srcs(i)
+            key_pos = i * blk + jax.lax.broadcasted_iota(jnp.int32, (s, blk), 1)
             mask = jnp.where(key_pos <= q_pos, 0.0, NEG_INF)  # [S, BLK]
-            pltpu.make_async_copy(
-                k_ref.at[li, b, h, pl.ds(c0, blk)], kb.at[slot], ksem.at[slot]
-            ).wait()
+            pltpu.make_async_copy(ks, kb.at[slot], ksem.at[slot]).wait()
             sc = (
                 jax.lax.dot_general(
                     q, _block_f32(kb[slot]), (((1,), (1,)), ((), ())),
@@ -144,9 +157,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *stats_ref, li, s, blk, c, dh,
             p = jnp.exp(sc - m_new)  # [S, BLK]
             alpha = jnp.exp(m - m_new)  # [S, 1]
             l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-            pltpu.make_async_copy(
-                v_ref.at[li, b, h, pl.ds(c0, blk)], vb.at[slot], vsem.at[slot]
-            ).wait()
+            pltpu.make_async_copy(vs, vb.at[slot], vsem.at[slot]).wait()
             pv = jax.lax.dot_general(
                 p, _block_f32(vb[slot]), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -200,7 +211,7 @@ def _run(q, ck, cv, pos0, *, li, scale, interpret, stats=False, blk=None):
     )
     out = pl.pallas_call(
         functools.partial(_kernel, li=li, s=s, blk=blk, c=c, dh=dh, scale=scale,
-                          stats=stats),
+                          stats=stats, paged=False),
         grid=grid,
         in_specs=[
             # per-batch decode cursors (scalar pos broadcasts to [B, 1]);
@@ -216,6 +227,33 @@ def _run(q, ck, cv, pos0, *, li, scale, interpret, stats=False, blk=None):
         interpret=interpret,
     )(pos_arr.reshape(b, 1), q, ck, cv)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("li", "scale", "interpret"))
+def _run_paged(q, pk, pv, pos0, pt, *, li, scale, interpret):
+    b, h, s, dh = q.shape
+    _, np_, hp, page, _ = pk.shape
+    maxp = pt.shape[1]
+    c = maxp * page  # logical per-lane capacity
+    grid = (b, h)
+    block = pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0))
+    pos_arr = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32).reshape(-1), (b,))
+    return pl.pallas_call(
+        functools.partial(_kernel, li=li, s=s, blk=page, c=c, dh=dh,
+                          scale=scale, stats=False, paged=True),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda bi, hi: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, maxp), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            block,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
+        interpret=interpret,
+    )(pos_arr.reshape(b, 1), jnp.asarray(pt, jnp.int32), q, pk, pv)
 
 
 def flash_decode_attention(
@@ -246,6 +284,32 @@ def flash_decode_attention(
     acc, ml = _run(q, ck, cv, pos0, li=li, scale=scale, interpret=interpret,
                    stats=True, blk=blk)
     return acc, ml[..., 0], ml[..., 128]
+
+
+def paged_flash_decode_attention(
+    q: jnp.ndarray,
+    pool_k: jnp.ndarray,
+    pool_v: jnp.ndarray,
+    li: int,
+    pos0: jnp.ndarray,
+    page_table: jnp.ndarray,
+    scale: float,
+) -> jnp.ndarray:
+    """Decode attention over a shared KV **page pool** (vLLM-style paging,
+    TPU-native): q [B, H, S, Dh] x pools [L, NP, H, PAGE, Dh] -> ctx
+    [B, H, S, Dh] (f32).
+
+    ``page_table`` [B, MAXP] i32 maps lane b's logical KV block i (positions
+    [i*PAGE, (i+1)*PAGE)) to a pool page id; entries past the live length
+    are never read (the block loop stops at ceil((pos0+S)/PAGE)).  Serving
+    lanes thus cost HBM proportional to their *used* positions, not a
+    uniformly reserved session_ctx — the capacity lever behind the batched
+    serving paths (engine/paged.py).  The reference has no serving layer at
+    all (single cursor, minigpt4.cpp:2521); this is TPU-native new capability.
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _run_paged(q, pool_k, pool_v, pos0, page_table, li=li, scale=scale,
+                      interpret=interpret)
 
 
 def sp_flash_decode_attention(

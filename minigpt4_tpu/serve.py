@@ -260,9 +260,10 @@ def make_handler(srv: _Server):
 def start_server(model_path, llm_path, host="127.0.0.1", port=8000,
                  session_ctx: int = 512, batch_window_s: float = 0.0,
                  continuous: bool = False, max_batch: int = 8,
-                 park_idle: bool = False,
+                 park_idle: bool = False, paged_pages: int | None = None,
                  **engine_kwargs) -> ThreadingHTTPServer:
-    pool = SessionPool(model_path, llm_path, session_ctx=session_ctx, **engine_kwargs)
+    pool = SessionPool(model_path, llm_path, session_ctx=session_ctx,
+                       paged_pool_pages=paged_pages, **engine_kwargs)
     srv = _Server(pool, batch_window_s=batch_window_s, continuous=continuous,
                   max_batch=max_batch, park_idle=park_idle)
     httpd = ThreadingHTTPServer((host, port), make_handler(srv))
@@ -295,6 +296,13 @@ def main():
         "--max-batch", type=int, default=8,
         help="lane count for --continuous (one stacked cache of this batch "
         "size is preallocated)",
+    )
+    ap.add_argument(
+        "--paged-pages", type=int, default=0, metavar="N",
+        help="share a paged KV pool of N 128-position pages across batched "
+        "decode groups: lanes cost HBM for their USED positions instead of "
+        "a full session_ctx reservation, so short conversations batch far "
+        "wider on one chip (0 = dense stacked caches)",
     )
     ap.add_argument(
         "--park-idle", action="store_true",
@@ -339,6 +347,7 @@ def main():
                          batch_window_s=args.batch_window_ms / 1e3,
                          continuous=args.continuous, max_batch=args.max_batch,
                          park_idle=args.park_idle,
+                         paged_pages=args.paged_pages or None,
                          speculative_k=args.speculative_k,
                          cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
                          smooth_scales=args.smooth_scales,

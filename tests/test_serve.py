@@ -187,6 +187,60 @@ def test_batched_serving(tmp_path_factory, spec_k):
         httpd.shutdown()
         httpd.pool.close()
 
+def test_paged_batched_serving(tmp_path_factory):
+    """Window-batched serving over the shared KV page pool (+ park-idle, so
+    admission also exercises the unpark path) matches dense serving."""
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("pgsrv"))
+    httpd = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
+                         n_batch=32, batch_window_s=0.2, paged_pages=8,
+                         park_idle=True)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        texts = {}
+
+        def run(name, msg):
+            _, body = _post(base, "/v1/sessions")
+            sid = json.loads(body)["session_id"]
+            _, body = _post(
+                base, f"/v1/sessions/{sid}/chat",
+                json.dumps({"message": msg, "limit": 6, "temp": 0.0}).encode(),
+            )
+            texts[name] = json.loads(body)["text"]
+
+        ts = [threading.Thread(target=run, args=(i, f"prompt {i}")) for i in range(3)]
+        for x in ts:
+            x.start()
+        for x in ts:
+            x.join()
+        assert len(texts) == 3
+        assert httpd.pool.paged_pool.free_pages == 8  # all pages returned
+
+        # dense reference server: identical greedy texts
+        httpd2 = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
+                              n_batch=32)
+        t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)
+        t2.start()
+        base2 = f"http://127.0.0.1:{httpd2.server_address[1]}"
+        try:
+            for i in range(3):
+                _, body = _post(base2, "/v1/sessions")
+                sid = json.loads(body)["session_id"]
+                _, body = _post(
+                    base2, f"/v1/sessions/{sid}/chat",
+                    json.dumps({"message": f"prompt {i}", "limit": 6,
+                                "temp": 0.0}).encode(),
+                )
+                assert json.loads(body)["text"] == texts[i]
+        finally:
+            httpd2.shutdown()
+            httpd2.pool.close()
+    finally:
+        httpd.shutdown()
+        httpd.pool.close()
+
+
 def test_park_idle_serving(tmp_path_factory):
     """With --park-idle, sessions hold no device cache between turns yet
     multi-turn chat works identically (transparent unpark per request)."""

@@ -226,6 +226,8 @@ class DecodeState:
     def restore(self, path) -> None:
         """Restore a state saved by :meth:`save` into this state's arrays
         (dtypes/shapes must match the session geometry)."""
+        self.ensure_device()  # symmetric with save(): parked sessions restore
+        # transparently (and parked is cleared, so nothing stale resurrects)
         z = np.load(path)
         k, v = self.cache["k"], self.cache["v"]
         if tuple(z["k"].shape) != tuple(k.shape):
@@ -557,13 +559,20 @@ class MiniGPT4Engine:
         tp: int = 1,
         dp: int = 1,
     ):
-        """``tp``/``dp``: tensor/data-parallel mesh axes.  tp*dp > 1 places
-        the decoder over a (dp, tp) device mesh (parallel/spmd.py: column-
-        parallel qkv/w13, K-sharded row-parallel wo/w2, vocab-parallel head,
-        heads-sharded KV cache) and every decode path runs under shard_map
-        with explicit collectives; ``batch`` must be a multiple of dp.  The
-        single-chip default (1, 1) builds no mesh and inserts no
-        collectives."""
+        """``tp``: tensor-parallel devices.  tp > 1 places the decoder over
+        a (dp=1, tp) device mesh (parallel/spmd.py: column-parallel qkv/w13,
+        K-sharded row-parallel wo/w2, vocab-parallel head, heads-sharded KV
+        cache) and every decode path runs under shard_map with explicit
+        collectives; greedy output is identical to single-chip.  The default
+        (tp=1) builds no mesh and inserts no collectives.
+
+        ``dp`` must stay 1 here: the engine's chat cursor (and every serving
+        session) prefills at batch 1, which cannot shard over a dp axis —
+        a dp>1 engine would crash at the first prompt.  Data parallelism
+        lives where there IS a batch to shard: the parallel.spmd batched
+        decode/train entry points (dryrun_multichip drives them over a real
+        (dp, tp) mesh) and multi-session batching (SessionPool /
+        ContinuousBatcher) on the serving side."""
         utils.set_verbosity(verbosity)
         self.n_batch = n_batch
         self.batch = batch
@@ -578,15 +587,20 @@ class MiniGPT4Engine:
                 f"verify-block limit ({llama_mod.FLASH_DECODE_MAX_S})"
             )
         self.speculative_k = speculative_k
-        if batch % dp:
-            raise ValueError(f"batch={batch} must be a multiple of dp={dp}")
+        if dp != 1:
+            raise ValueError(
+                f"dp={dp}: the engine's chat/serving surface prefills at "
+                "batch 1 and cannot shard it over a dp axis — use "
+                "parallel.spmd's batched entry points (see dryrun_multichip) "
+                "for dp, or batch sessions (SessionPool/ContinuousBatcher)"
+            )
         self.tp, self.dp = tp, dp
         self.mesh = None
         self._llm_specs = None
-        if tp * dp > 1:
+        if tp > 1:
             from ..parallel.mesh import make_mesh
 
-            self.mesh = make_mesh(dp=dp, tp=tp)
+            self.mesh = make_mesh(dp=1, tp=tp)
         if matmul_precision:
             # 'highest' forces true-f32 MXU passes for f32 params — needed for
             # token-for-token greedy parity with the f16 CPU reference; the

@@ -91,10 +91,19 @@ class PagedKVPool:
         self.v = jnp.zeros(shape, dtype)
         self.trash_page = n_pages  # reserved write sink (never allocated)
         self._free = list(range(n_pages))
+        self._allocated: set[int] = set()
+        # a failed donated dispatch leaves k/v pointing at deleted buffers;
+        # the owner marks the pool broken and falls back to dense groups
+        # (engine/sessions.py) instead of poisoning every later group
+        self.broken = False
 
     @property
     def free_pages(self) -> int:
         return len(self._free)
+
+    @property
+    def allocated_pages(self) -> int:
+        return len(self._allocated)
 
     def pages_for(self, n_positions: int) -> int:
         """Pages needed to cover ``n_positions`` consumed positions."""
@@ -106,12 +115,18 @@ class PagedKVPool:
                 f"need {n} pages, {len(self._free)} free (of {self.n_pages})"
             )
         got, self._free = self._free[:n], self._free[n:]
+        self._allocated.update(got)
         return got
 
     def free(self, pages: list[int]) -> None:
+        """Return pages to the free list.  Pages not currently allocated are
+        rejected — a double-free would hand the same page to two lanes, whose
+        decode writes would silently clobber each other's KV history."""
         for p in pages:
-            if not (0 <= p < self.n_pages):
-                raise ValueError(f"bad page id {p}")
+            if p not in self._allocated:
+                raise ValueError(f"page {p} is not allocated (double free?)")
+        for p in pages:
+            self._allocated.discard(p)
         self._free.extend(pages)
 
     def admit(self, dense_cache: dict, n_past: int) -> list[int]:
@@ -121,9 +136,17 @@ class PagedKVPool:
         live one until :meth:`evict`)."""
         n = self.pages_for(n_past)
         pages = self.alloc(n)
-        ids = jnp.asarray(pages, jnp.int32)
-        self.k = _scatter(self.k, dense_cache["k"], ids, n)
-        self.v = _scatter(self.v, dense_cache["v"], ids, n)
+        try:
+            ids = jnp.asarray(pages, jnp.int32)
+            self.k = _scatter(self.k, dense_cache["k"], ids, n)
+            self.v = _scatter(self.v, dense_cache["v"], ids, n)
+        except Exception:
+            # _scatter donates the pool arrays: after a failed dispatch they
+            # may point at deleted buffers.  Poisoned pools are abandoned
+            # (the owner rebuilds or serves dense), never reused.
+            self.broken = True
+            self.free(pages)
+            raise
         return pages
 
     def extend(self, pages: list[int], needed_positions: int) -> list[int]:
@@ -153,11 +176,15 @@ class PagedKVPool:
 
     def evict(self, pages: list[int], n_ctx: int) -> dict:
         """Gather a lane's pages back to a dense [L, 1, H, n_ctx, Dh] cache
-        and free the pages (detach path)."""
-        ids = jnp.asarray(pages, jnp.int32)
-        out = {
-            "k": _gather(self.k, ids, len(pages), n_ctx),
-            "v": _gather(self.v, ids, len(pages), n_ctx),
-        }
-        self.free(pages)
+        and free the pages (detach path).  The pages are freed even when the
+        gather fails (the lane is being detached either way); ``free``'s
+        allocated-set check keeps a repeated call from double-freeing."""
+        try:
+            ids = jnp.asarray(pages, jnp.int32)
+            out = {
+                "k": _gather(self.k, ids, len(pages), n_ctx),
+                "v": _gather(self.v, ids, len(pages), n_ctx),
+            }
+        finally:
+            self.free(pages)
         return out

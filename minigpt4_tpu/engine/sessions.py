@@ -197,7 +197,11 @@ class SessionPool:
         # short conversations on one chip.  Single-chip only (under tp the
         # cache heads are sharded; groups fall back to dense stacking).
         self.paged_pool = None
-        if paged_pool_pages and getattr(self.engine, "tp", 1) == 1:
+        self._paged_pool_pages = paged_pool_pages
+        # single-chip StepFns only: a mesh swaps in SpmdStepFns, which has
+        # no paged_decode_loop (the pool arrays would also need mesh
+        # placement) — sharded engines batch with dense stacked caches
+        if paged_pool_pages and self.engine.mesh is None:
             from .paged import PagedKVPool
 
             self.paged_pool = PagedKVPool(
@@ -361,11 +365,10 @@ class SessionPool:
         params = params or SamplingParams()
         if params.mirostat != 0:
             raise ValueError("generate_batch uses device sampling (no mirostat)")
-        for s in sessions:
-            if s.state.parked is not None:
-                with self._lock:
-                    s.state.ensure_device()
-        if any(s.state.logits_dev is None for s in sessions):
+        if any(
+            s.state.logits_dev is None and s.state.logits_host is None
+            for s in sessions
+        ):
             raise ValueError("every session needs a prepared prompt (ask/prefill)")
         scfg = DeviceSamplingConfig(
             temp=params.temp, top_k=params.top_k, top_p=params.top_p,
@@ -387,6 +390,13 @@ class SessionPool:
             return
         batch = [sessions[i] for i in act]
         n = len(batch)
+        # unpark only the lanes that actually joined the group: excluded
+        # sessions (no context room) would pay a full cache re-upload for
+        # nothing, every time the window batcher resubmits them
+        with self._lock:
+            for s in batch:
+                if s.state.parked is not None:
+                    s.state.ensure_device()
         if self.paged_pool is not None and not use_spec:
             # paged-KV group (engine/paged.py): admission scatters each
             # lane's consumed prefix into shared pool pages instead of
@@ -528,15 +538,43 @@ class SessionPool:
         nothing, under the dispatch lock).  Returns per-lane page-id lists,
         or None when the pool can't fit the whole group right now (the
         caller decodes the group dense instead).  Admitted lanes drop their
-        private dense caches — the pool copy is the live one until detach."""
+        private dense caches only after EVERY lane scattered — a failure
+        mid-admission frees the group's pages, leaves all sessions on their
+        dense caches, and retires the (possibly donation-poisoned) pool so
+        serving continues dense instead of failing every later group."""
         pool = self.paged_pool
         with self._lock:
+            if pool.broken:
+                # a fresh pool is safe once no group holds pages in the old
+                # one; until then (or if HBM is tight) groups decode dense
+                if pool.allocated_pages == 0:
+                    from .paged import PagedKVPool
+
+                    try:
+                        pool = self.paged_pool = PagedKVPool(
+                            self.fns.cfg, pool.n_pages, pool.capacity,
+                            dtype=self.cache_dtype,
+                        )
+                    except Exception:
+                        self.paged_pool = None
+                        return None
+                else:
+                    return None
             need = sum(pool.pages_for(s.n_past) for s in batch)
             if need > pool.free_pages:
                 return None
-            lane_pages = []
+            lane_pages: list[list[int]] = []
+            try:
+                for s in batch:
+                    lane_pages.append(pool.admit(s.state.cache, s.n_past))
+            except Exception:
+                for pages in lane_pages:
+                    try:
+                        pool.free(pages)
+                    except Exception:
+                        pass
+                return None  # group decodes dense; pool.broken gates reuse
             for s in batch:
-                lane_pages.append(pool.admit(s.state.cache, s.n_past))
                 s.state.cache = None
             return lane_pages
 
@@ -599,16 +637,23 @@ class SessionPool:
                         stop = True  # pool dry: detach; callers resume later
                     if not stop:
                         key, sub = jax.random.split(key)
-                        tokens, logits, poolkv = self.fns.paged_decode_loop(
-                            self.engine.llm_params,
-                            {"k": pool.k, "v": pool.v},
-                            jnp.asarray(pt_np), logits,
-                            jnp.asarray(pos_host, jnp.int32),
-                            sub, scfg, decode_chunk,
-                        )
-                        # the dispatch donated the pool arrays: rebind
-                        pool.k, pool.v = poolkv["k"], poolkv["v"]
-                        lane_tokens = list(np.asarray(tokens))
+                        try:
+                            tokens, logits, poolkv = self.fns.paged_decode_loop(
+                                self.engine.llm_params,
+                                {"k": pool.k, "v": pool.v},
+                                jnp.asarray(pt_np), logits,
+                                jnp.asarray(pos_host, jnp.int32),
+                                sub, scfg, decode_chunk,
+                            )
+                            # the dispatch donated the pool arrays: rebind
+                            pool.k, pool.v = poolkv["k"], poolkv["v"]
+                            lane_tokens = list(np.asarray(tokens))
+                        except Exception:
+                            # the donated pool arrays may be gone: retire the
+                            # pool (admission rebuilds it once drained) so one
+                            # device hiccup doesn't fail every later group
+                            pool.broken = True
+                            raise
                 if stop:
                     break
                 pos_host += decode_chunk
@@ -623,11 +668,16 @@ class SessionPool:
                 yield updates
         finally:
             # gather every lane's pages back into a private dense cache and
-            # free them — also on early generator close
+            # free them — also on early generator close.  evict frees the
+            # lane's pages even when its gather fails, so the except arm only
+            # resets the session (re-freeing would double-allocate the pages
+            # to two future lanes — paged.free rejects it anyway).
             with self._lock:
                 err = None
                 for i, s in enumerate(batch):
                     try:
+                        if pool.broken:
+                            raise RuntimeError("paged pool retired mid-group")
                         dense = pool.evict(lane_pages[i], self.fns.cfg.n_ctx)
                         _detach_lane_state(
                             s.state, lanes[i]["ends"], int(pos_host[i]),

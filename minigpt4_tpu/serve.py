@@ -262,6 +262,12 @@ def start_server(model_path, llm_path, host="127.0.0.1", port=8000,
                  continuous: bool = False, max_batch: int = 8,
                  park_idle: bool = False, paged_pages: int | None = None,
                  **engine_kwargs) -> ThreadingHTTPServer:
+    if paged_pages and continuous:
+        # the ContinuousBatcher decodes over its own preallocated stacked
+        # cache; a page pool beside it would just burn the HBM the flag was
+        # meant to reclaim
+        raise ValueError("--paged-pages applies to batch-window serving, "
+                         "not --continuous (which preallocates its lanes)")
     pool = SessionPool(model_path, llm_path, session_ctx=session_ctx,
                        paged_pool_pages=paged_pages, **engine_kwargs)
     srv = _Server(pool, batch_window_s=batch_window_s, continuous=continuous,
@@ -330,10 +336,6 @@ def main():
         "(dp, tp) mesh; greedy output is identical to single-chip)",
     )
     ap.add_argument(
-        "--dp", type=int, default=1,
-        help="data-parallel mesh axis (batch lanes shard across it)",
-    )
-    ap.add_argument(
         "--smooth-scales", default=None,
         help="calibration npz (python -m minigpt4_tpu.quality --save-scales) "
         "steering the w8a8 activation-quantization grids off outlier "
@@ -351,7 +353,7 @@ def main():
                          speculative_k=args.speculative_k,
                          cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
                          smooth_scales=args.smooth_scales,
-                         tp=args.tp, dp=args.dp)
+                         tp=args.tp)
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

@@ -77,10 +77,13 @@ def test_tp_quantized_file(models, tmp_path_factory, baseline):
     assert t1 == t2
 
 
-def test_batch_dp_divisibility():
-    # constructor validation fires before any file IO
-    with pytest.raises(ValueError, match="multiple of dp"):
-        MiniGPT4Engine("x", "y", batch=3, dp=2)
+def test_engine_rejects_dp():
+    # the chat/serving surface prefills at batch 1, which cannot shard over
+    # a dp axis — the constructor refuses before any file IO rather than
+    # crashing at the first prompt (dp lives in parallel.spmd's batched
+    # entry points and in multi-session batching)
+    with pytest.raises(ValueError, match="dp=2"):
+        MiniGPT4Engine("x", "y", dp=2)
 
 
 def test_session_pool_under_tp(models):

@@ -199,3 +199,87 @@ def test_paged_mid_pool_exhaustion_detaches_cleanly(tmp_path_factory):
             s.close()
     finally:
         p.close()
+
+
+def test_pool_free_rejects_double_free():
+    """free() rejects pages that are not currently allocated — a double
+    free would hand one page to two lanes (silent cross-session KV
+    clobbering)."""
+    from minigpt4_tpu.engine.paged import PagedKVPool
+
+    class Cfg:
+        n_layer, n_head, head_dim = 1, 1, 8
+
+    pool = PagedKVPool(Cfg, n_pages=4, capacity=256)
+    pages = pool.alloc(2)
+    pool.free(pages)
+    with pytest.raises(ValueError, match="double free"):
+        pool.free(pages)
+    assert pool.free_pages == 4
+    with pytest.raises(ValueError, match="double free"):
+        pool.free([99])
+
+
+def test_admit_failure_falls_back_dense(tmp_path_factory):
+    """An exception during group admission frees the already-allocated
+    pages, leaves every session on its private dense cache, and the group
+    decodes dense — no lane loses its conversation."""
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("paged_adm"))
+    p = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32,
+                    paged_pool_pages=8)
+    try:
+        pool = p.paged_pool
+        orig, calls = pool.admit, []
+
+        def flaky(dense_cache, n_past):
+            calls.append(n_past)
+            if len(calls) == 2:
+                raise RuntimeError("injected admit failure")
+            return orig(dense_cache, n_past)
+
+        pool.admit = flaky
+        got, gs, _ = _batch_run(p, ["one two", "three"], limit=6)
+        assert len(calls) == 2  # the second lane's admission failed
+        assert pool.free_pages == pool.n_pages  # lane 1's pages were freed
+        pool.admit = orig
+        for s in gs:
+            assert s.state.cache is not None  # detached dense, coherent
+            s.close()
+        q = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32)
+        try:
+            want, ws, _ = _batch_run(q, ["one two", "three"], limit=6)
+            assert got == want
+            for s in ws:
+                s.close()
+        finally:
+            q.close()
+    finally:
+        p.close()
+
+
+def test_dispatch_failure_retires_and_rebuilds_pool(tmp_path_factory):
+    """A failed paged decode dispatch (donated pool arrays possibly dead)
+    retires the pool instead of poisoning every later group: the failing
+    group's lanes reset, and the NEXT group rebuilds a fresh pool and
+    decodes paged again."""
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("paged_ret"))
+    p = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32,
+                    paged_pool_pages=8)
+    try:
+        old_pool = p.paged_pool
+        orig = p.fns.paged_decode_loop
+        p.fns.paged_decode_loop = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected device failure"))
+        with pytest.raises(RuntimeError):
+            _batch_run(p, ["one two", "three"], limit=6)
+        assert old_pool.broken
+        assert old_pool.allocated_pages == 0  # drained by the reset path
+        p.fns.paged_decode_loop = orig
+
+        got, gs, _ = _batch_run(p, ["one two", "three"], limit=6)
+        assert p.paged_pool is not old_pool and not p.paged_pool.broken
+        assert all(len(t) > 0 for t in got)
+        for s in gs:
+            s.close()
+    finally:
+        p.close()

@@ -289,3 +289,13 @@ def test_park_idle_serving(tmp_path_factory):
     finally:
         httpd.shutdown()
         httpd.pool.close()
+
+
+def test_paged_with_continuous_rejected():
+    """--paged-pages only applies to batch-window serving; combined with
+    --continuous it would allocate a pool the ContinuousBatcher never reads
+    (pure HBM waste) — rejected before any model IO."""
+    import pytest
+
+    with pytest.raises(ValueError, match="paged-pages"):
+        start_server("nope.bin", "nope2.bin", continuous=True, paged_pages=8)

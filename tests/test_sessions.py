@@ -514,3 +514,38 @@ def test_parked_sessions_join_batched_decode(pool):
     finally:
         cb.close()
     c.close()
+
+
+def test_excluded_parked_session_stays_parked(pool):
+    """A parked session with no context room is excluded from the group
+    WITHOUT being unparked first — resubmitting it every batch window must
+    not pay a full cache re-upload for a lane that never decodes."""
+    a = pool.new_session()
+    b = pool.new_session()
+    pool.begin_chat(a, "one two")
+    pool.begin_chat(b, "three")
+    a.state.n_past = pool.session_ctx - 1  # no room for any decode chunk
+    a.state.tokens = [-1] * a.state.n_past
+    a.park()
+    got = pool.generate_batch([a, b], limit=3,
+                              params=SamplingParams(temp=0.0), decode_chunk=2)
+    assert a.state.parked is not None and a.state.cache is None
+    assert got[0] == "" and len(got[1]) > 0
+    a.close()
+    b.close()
+
+
+def test_restore_into_parked_session(pool, tmp_path):
+    """DecodeState.restore on a parked session unparks transparently (the
+    symmetric behavior to save()) instead of crashing on the absent cache."""
+    a = pool.new_session()
+    pool.begin_chat(a, "one two")
+    ckpt = tmp_path / "st.npz"
+    a.state.save(ckpt)
+    want = "".join(a.generate(limit=4, params=SamplingParams(temp=0.0)))
+    a.state.restore(ckpt)
+    a.park()
+    a.state.restore(ckpt)
+    assert a.state.parked is None and a.state.cache is not None
+    assert "".join(a.generate(limit=4, params=SamplingParams(temp=0.0))) == want
+    a.close()

@@ -717,6 +717,19 @@ class ContinuousBatcher:
       * greedy groups run the batched speculative-verify path when the
         engine has ``speculative_k`` (per-lane n-gram drafts).
 
+    **Paged mode** (the pool has a :class:`~minigpt4_tpu.engine.paged.
+    PagedKVPool` and speculation is off — verify spans can cross page
+    edges): lanes hold shared pool PAGES for their used positions instead
+    of slots in a preallocated stacked cache, so the batcher's HBM tracks
+    live context and ``max_batch`` can exceed what dense reservations fit.
+    Joins scatter into freshly allocated pages, leaves gather back to a
+    dense private cache, and the decode dispatch routes writes/attention
+    through per-lane page tables (table growth never recompiles).  When
+    the pool runs dry mid-flight the YOUNGEST lane is preempted — detached
+    with coherent session state and re-queued; it resumes from its last
+    delivered token once pages free (vLLM-style preemption reframed for
+    XLA static shapes).
+
     All in-flight requests share one device sampling config (a static
     compile arg); a request with a different config waits until the worker
     drains.  Requests enter via :meth:`submit`, which returns a queue of
@@ -768,7 +781,32 @@ class ContinuousBatcher:
             lambda bl, slot: jax.lax.dynamic_slice(bl, (slot, jnp.int32(0)), (1, V))[0]
         )
 
-        self._cache = llama_mod.init_cache(cfg, batch=self.B, dtype=pool.cache_dtype)
+        # paged mode: lanes live in the pool's shared pages (no stacked
+        # cache allocation at all — the capacity lever); dense mode keeps
+        # the preallocated slots.  Speculative verify spans can cross a
+        # page edge (S=k writes), so spec engines stay dense.
+        self.paged = (pool.paged_pool is not None
+                      and pool.engine.speculative_k <= 1)
+        if self.paged:
+            self._cache = None
+            maxp = pool.paged_pool.maxp
+            self._pages: list[list[int]] = [[] for _ in range(self.B)]
+            self._pt_np = np.full((self.B, maxp + 1),
+                                  pool.paged_pool.trash_page, np.int32)
+            self._join_lh = jax.jit(
+                lambda bl, bh, lr, hr, slot: (
+                    jax.lax.dynamic_update_slice(bl, lr[None],
+                                                 (slot, jnp.int32(0))),
+                    jax.lax.dynamic_update_slice(bh, hr[None],
+                                                 (slot, jnp.int32(0))),
+                ),
+                donate_argnums=(0, 1),
+            )
+            self._join_seq = 0
+            self.preemptions = 0  # dry-pool lane preemptions (observability)
+        else:
+            self._cache = llama_mod.init_cache(cfg, batch=self.B,
+                                               dtype=pool.cache_dtype)
         self._logits = jnp.zeros((self.B, V), jnp.float32)
         self._hist = jnp.full((self.B, C), -1, jnp.int32)
         self._pos = np.zeros(self.B, np.int64)
@@ -915,11 +953,26 @@ class ContinuousBatcher:
         st = lane["session"].state
         try:
             with self.pool._lock:
-                cache_slice = self._extract(self._cache, jnp.int32(slot))
+                if self.paged:
+                    ppool = self.pool.paged_pool
+                    if ppool.broken:
+                        raise RuntimeError("paged pool retired")
+                    cache_slice = ppool.evict(self._pages[slot],
+                                              self.fns.cfg.n_ctx)
+                else:
+                    cache_slice = self._extract(self._cache, jnp.int32(slot))
             _detach_lane_state(st, lane["ends"], int(self._pos[slot]),
                                cache_slice, None)
         except Exception:
+            if self.paged:
+                try:  # evict frees its pages even on failure; double-free
+                    self.pool.paged_pool.free(self._pages[slot])
+                except Exception:  # is rejected — only the bookkeeping runs
+                    pass
             _reset_lane_session(st, self.fns.cfg, self.pool.cache_dtype)
+        if self.paged:
+            self._pages[slot] = []
+            self._pt_np[slot] = self.pool.paged_pool.trash_page
         if err is not None:
             lane["out"].put(err)
         lane["out"].put(self._DONE)
@@ -929,8 +982,13 @@ class ContinuousBatcher:
     def _try_admit(self, item) -> None:
         """Admit, defer, or reject one request.  NEVER raises: any failure is
         delivered on the request's own queue — an exception escaping here
-        would kill the worker thread and hang every other client."""
-        session, limit, params, out = item
+        would kill the worker thread and hang every other client.
+
+        A 5th element (a lane dict) marks a preempted lane resuming: its
+        chat/emitted/limit state carries over so EOS detection and limits
+        behave as if the preemption never happened."""
+        session, limit, params, out = item[:4]
+        resume = item[4] if len(item) > 4 else None
         try:
             scfg = self._scfg_of(params)
             prepared = (session.state.logits_dev is not None
@@ -964,12 +1022,38 @@ class ContinuousBatcher:
             hist_row = np.full((cfg.n_ctx,), -1, np.int32)
             hist_row[: session.n_past] = np.asarray(session.state.tokens, np.int32)
             with self.pool._lock:
-                session.state.ensure_device()
-                self._cache, self._logits, self._hist = self._join(
-                    self._cache, self._logits, self._hist, session.state.cache,
-                    session.state.logits_dev, jnp.asarray(hist_row),
-                    jnp.int32(slot),
-                )
+                if self.paged:
+                    # pool admission instead of a slot copy: require a
+                    # growth-reserve page per active lane so admitting a
+                    # new lane doesn't immediately starve the running ones
+                    ppool = self._paged_ready()
+                    if ppool is None:
+                        self._defer(item)
+                        return
+                    need = ppool.pages_for(session.n_past)
+                    if ppool.free_pages < need + self._n_active():
+                        self._defer(item)
+                        return
+                    session.state.ensure_device()
+                    try:
+                        self._pages[slot] = ppool.admit(
+                            session.state.cache, session.n_past
+                        )
+                    except Exception:
+                        self._defer(item)  # broken pool rebuilds on retry
+                        return
+                    self._pt_np[slot] = ppool.table_row(self._pages[slot])
+                    self._logits, self._hist = self._join_lh(
+                        self._logits, self._hist, session.state.logits_dev,
+                        jnp.asarray(hist_row), jnp.int32(slot),
+                    )
+                else:
+                    session.state.ensure_device()
+                    self._cache, self._logits, self._hist = self._join(
+                        self._cache, self._logits, self._hist,
+                        session.state.cache, session.state.logits_dev,
+                        jnp.asarray(hist_row), jnp.int32(slot),
+                    )
             # the slot is the live copy until finalize/abort: releasing the
             # session's private cache here keeps per-lane HBM at 1x cache
             # (210 MB/lane at 13B/f8/512 ctx) instead of 2x for the whole ride
@@ -977,16 +1061,63 @@ class ContinuousBatcher:
             self._scfg = scfg
             self._deferred_since.pop(id(out), None)
             self._pos[slot] = session.n_past
-            self._lanes[slot] = {
+            lane = {
                 "session": session, "limit": limit, "out": out,
                 "chat": "", "emitted": 0, "ends": session.n_past,
-                "start": session.n_past,
+                "start": session.n_past, "params": params,
             }
+            if resume is not None:
+                # continue the preempted generation's delivery state
+                lane["chat"] = resume["chat"]
+                lane["emitted"] = resume["emitted"]
+                lane["limit"] = resume["limit"]
+            if self.paged:
+                self._join_seq += 1
+                lane["seq"] = self._join_seq
+            self._lanes[slot] = lane
         except Exception as e:
             out.put(e)
             out.put(self._DONE)
             # a recycled queue id must not inherit this request's timestamp
             self._deferred_since.pop(id(out), None)
+
+    def _paged_ready(self):
+        """The live page pool, rebuilding a retired one once it has fully
+        drained (same policy as SessionPool._try_admit_paged); ``None``
+        while unusable.  Call under ``pool._lock``."""
+        ppool = self.pool.paged_pool
+        if ppool is None or (ppool.broken and ppool.allocated_pages):
+            return None
+        if ppool.broken:
+            from .paged import PagedKVPool
+
+            try:
+                ppool = self.pool.paged_pool = PagedKVPool(
+                    self.fns.cfg, ppool.n_pages, ppool.capacity,
+                    dtype=self.pool.cache_dtype,
+                )
+            except Exception:
+                return None
+        return ppool
+
+    def _preempt_one(self) -> bool:
+        """Preempt the YOUNGEST lane to free its pages: detach it with
+        coherent session state and re-queue it as a deferred resume item
+        (it continues from its last delivered token once pages free).
+        False when fewer than two lanes are active (nothing to preempt)."""
+        act = [i for i, l in enumerate(self._lanes) if l is not None]
+        if len(act) <= 1:
+            return False
+        victim = max(act, key=lambda i: self._lanes[i]["seq"])
+        lane = self._lanes[victim]
+        self.preemptions += 1
+        if self._finalize(victim, resume=True):
+            self._defer((lane["session"], lane["limit"], lane["params"],
+                         lane["out"], lane))
+        else:  # detach failed — the session reset; the stream just ends
+            lane["out"].put(RuntimeError("paged lane preemption failed"))
+            lane["out"].put(self._DONE)
+        return True
 
     def _use_spec(self, scfg) -> bool:
         return self.pool.engine.speculative_k > 1 and scfg.greedy
@@ -1041,6 +1172,58 @@ class ContinuousBatcher:
                 for i in act
             }
             self._pos += cnt_host.sum(axis=1)
+        elif self.paged:
+            from .paged import PoolExhausted
+
+            # grow every active lane one chunk ahead; when the pool runs
+            # dry, preempt the youngest lane and retry (its pages fund the
+            # others).  A lone lane the pool cannot grow ends its stream at
+            # the wall (same semantics as the window batcher's dry-pool stop).
+            while True:
+                try:
+                    with self.pool._lock:
+                        ppool = self.pool.paged_pool
+                        for i in range(self.B):
+                            if self._lanes[i] is None:
+                                continue
+                            new = ppool.extend(
+                                self._pages[i],
+                                int(self._pos[i]) + self.decode_chunk,
+                            )
+                            if len(new) != len(self._pages[i]):
+                                self._pages[i] = new
+                                self._pt_np[i] = ppool.table_row(new)
+                    break
+                except PoolExhausted:
+                    if not self._preempt_one():
+                        lone = next(i for i, l in enumerate(self._lanes)
+                                    if l is not None)
+                        self._finalize(lone)
+                        return
+            act = [i for i, l in enumerate(self._lanes) if l is not None]
+            if not act:
+                return
+            pos_dev = jnp.asarray(self._pos, jnp.int32)
+            self._key, sub = jax.random.split(self._key)
+            with self.pool._lock:
+                ppool = self.pool.paged_pool
+                try:
+                    tokens, self._logits, poolkv = self.fns.paged_decode_loop(
+                        self.pool.engine.llm_params,
+                        {"k": ppool.k, "v": ppool.v},
+                        jnp.asarray(self._pt_np), self._logits,
+                        pos_dev, sub, scfg, self.decode_chunk,
+                    )
+                    ppool.k, ppool.v = poolkv["k"], poolkv["v"]
+                    tok_host = np.asarray(tokens)
+                except Exception:
+                    # donated pool arrays may be dead: retire the pool; the
+                    # worker's step-failure handler aborts the lanes and
+                    # admission rebuilds the pool once drained
+                    ppool.broken = True
+                    raise
+            lane_tokens = {i: tok_host[i] for i in act}
+            self._pos += self.decode_chunk
         else:
             self._key, sub = jax.random.split(self._key)
             with self.pool._lock:
@@ -1077,17 +1260,43 @@ class ContinuousBatcher:
             if lane is None:
                 self._pos[i] = 0
 
-    def _finalize(self, slot: int) -> None:
-        """Detach a lane: slice its cache back into the session, roll back
-        overshoot, free the slot."""
+    def _finalize(self, slot: int, resume: bool = False) -> bool:
+        """Detach a lane: its cache (slot slice, or gathered pool pages in
+        paged mode) goes back into the session with overshoot rolled back,
+        and the slot frees.  ``resume=True`` (preemption) skips the _DONE —
+        the caller re-queues the request to continue later.  Returns False
+        when the detach failed and the session had to reset."""
         lane = self._lanes[slot]
-        with self.pool._lock:
-            cache_slice = self._extract(self._cache, jnp.int32(slot))
-            logits_row = self._extract_logits(self._logits, jnp.int32(slot))
-        _detach_lane_state(
-            lane["session"].state, lane["ends"], int(self._pos[slot]),
-            cache_slice, logits_row,
-        )
-        lane["out"].put(self._DONE)
+        st = lane["session"].state
+        ok = True
+        if self.paged:
+            with self.pool._lock:
+                ppool = self.pool.paged_pool
+                try:
+                    if ppool.broken:
+                        raise RuntimeError("paged pool retired mid-flight")
+                    dense = ppool.evict(self._pages[slot], self.fns.cfg.n_ctx)
+                    logits_row = self._extract_logits(self._logits,
+                                                      jnp.int32(slot))
+                    _detach_lane_state(st, lane["ends"], int(self._pos[slot]),
+                                       dense, logits_row)
+                except Exception:
+                    try:  # evict frees even on failure; this is belt+braces
+                        ppool.free(self._pages[slot])
+                    except Exception:
+                        pass
+                    _reset_lane_session(st, self.fns.cfg, self.pool.cache_dtype)
+                    ok = False
+                self._pages[slot] = []
+                self._pt_np[slot] = ppool.trash_page
+        else:
+            with self.pool._lock:
+                cache_slice = self._extract(self._cache, jnp.int32(slot))
+                logits_row = self._extract_logits(self._logits, jnp.int32(slot))
+            _detach_lane_state(st, lane["ends"], int(self._pos[slot]),
+                               cache_slice, logits_row)
+        if not resume:
+            lane["out"].put(self._DONE)
         self._lanes[slot] = None
         self._pos[slot] = 0
+        return ok

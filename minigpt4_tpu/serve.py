@@ -262,12 +262,12 @@ def start_server(model_path, llm_path, host="127.0.0.1", port=8000,
                  continuous: bool = False, max_batch: int = 8,
                  park_idle: bool = False, paged_pages: int | None = None,
                  **engine_kwargs) -> ThreadingHTTPServer:
-    if paged_pages and continuous:
-        # the ContinuousBatcher decodes over its own preallocated stacked
-        # cache; a page pool beside it would just burn the HBM the flag was
-        # meant to reclaim
-        raise ValueError("--paged-pages applies to batch-window serving, "
-                         "not --continuous (which preallocates its lanes)")
+    if paged_pages and continuous and engine_kwargs.get("speculative_k", 0) > 1:
+        # paged lanes take single-position writes only; speculative verify
+        # spans (S=k) can cross a page edge, so the batcher would silently
+        # fall back to dense slots while the pool burns HBM — reject instead
+        raise ValueError("--paged-pages with --continuous requires "
+                         "speculation off (--speculative-k 0)")
     pool = SessionPool(model_path, llm_path, session_ctx=session_ctx,
                        paged_pool_pages=paged_pages, **engine_kwargs)
     srv = _Server(pool, batch_window_s=batch_window_s, continuous=continuous,
@@ -306,9 +306,11 @@ def main():
     ap.add_argument(
         "--paged-pages", type=int, default=0, metavar="N",
         help="share a paged KV pool of N 128-position pages across batched "
-        "decode groups: lanes cost HBM for their USED positions instead of "
-        "a full session_ctx reservation, so short conversations batch far "
-        "wider on one chip (0 = dense stacked caches)",
+        "decode lanes (window groups AND --continuous): lanes cost HBM for "
+        "their USED positions instead of a full session_ctx reservation, so "
+        "short conversations batch far wider on one chip; under "
+        "--continuous a dry pool preempts the youngest lane, which resumes "
+        "once pages free (0 = dense stacked caches)",
     )
     ap.add_argument(
         "--park-idle", action="store_true",

@@ -283,3 +283,88 @@ def test_dispatch_failure_retires_and_rebuilds_pool(tmp_path_factory):
             s.close()
     finally:
         p.close()
+
+
+def _drain(cb, out):
+    toks = []
+    while True:
+        t = out.get(timeout=300)
+        if t is cb._DONE:
+            return "".join(toks)
+        if isinstance(t, Exception):
+            raise t
+        toks.append(t)
+
+
+def test_paged_continuous_matches_dense(paged_pool, dense_pool):
+    """The ContinuousBatcher in paged mode (lanes = pool pages, no stacked
+    cache preallocated) emits the same greedy tokens as dense continuous
+    batching."""
+    from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+    def run(pool):
+        sessions = []
+        for q in ("one two", "three four"):
+            s = pool.new_session()
+            pool.begin_chat(s, q)
+            sessions.append(s)
+        cb = ContinuousBatcher(pool, max_batch=4, decode_chunk=4)
+        try:
+            outs = [cb.submit(s, 8, GREEDY) for s in sessions]
+            texts = [_drain(cb, o) for o in outs]
+        finally:
+            cb.close()
+        states = [(s.n_past, s.state.cache is not None) for s in sessions]
+        for s in sessions:
+            s.close()
+        return texts, states, cb
+
+    got, gstates, cb_p = run(paged_pool)
+    assert cb_p.paged and cb_p._cache is None
+    assert paged_pool.paged_pool.free_pages == paged_pool.paged_pool.n_pages
+    want, wstates, cb_d = run(dense_pool)
+    assert not cb_d.paged
+    assert got == want
+    assert [st[1] for st in gstates] == [True, True]  # dense caches restored
+    assert [st[0] for st in gstates] == [st[0] for st in wstates]
+
+
+def test_paged_continuous_preemption_resumes(tmp_path_factory):
+    """Two long generations on a pool too small for both: the youngest lane
+    is preempted when the pool runs dry and RESUMES once pages free — both
+    clients still receive their complete streams (same tokens as a roomy
+    pool)."""
+    from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("paged_pre"))
+    prompts = ("one two", "three four")
+    limit = 140  # crosses the 128-position page boundary mid-generation
+
+    def run(n_pages):
+        p = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32,
+                        paged_pool_pages=n_pages)
+        try:
+            sessions = []
+            for q in prompts:
+                s = p.new_session()
+                p.begin_chat(s, q)
+                sessions.append(s)
+            cb = ContinuousBatcher(p, max_batch=4, decode_chunk=8)
+            try:
+                outs = [cb.submit(s, limit, GREEDY) for s in sessions]
+                texts = [_drain(cb, o) for o in outs]
+                n_pre = cb.preemptions
+            finally:
+                cb.close()
+            for s in sessions:
+                s.close()
+            assert p.paged_pool.free_pages == p.paged_pool.n_pages
+            return texts, n_pre
+        finally:
+            p.close()
+
+    want, pre_roomy = run(8)   # 8 pages: both lanes fit, no preemption
+    assert pre_roomy == 0
+    got, pre_tight = run(3)    # 3 pages: second lane preempts at the wall
+    assert pre_tight >= 1
+    assert got == want

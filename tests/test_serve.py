@@ -291,11 +291,12 @@ def test_park_idle_serving(tmp_path_factory):
         httpd.pool.close()
 
 
-def test_paged_with_continuous_rejected():
-    """--paged-pages only applies to batch-window serving; combined with
-    --continuous it would allocate a pool the ContinuousBatcher never reads
-    (pure HBM waste) — rejected before any model IO."""
+def test_paged_continuous_with_spec_rejected():
+    """Paged continuous serving requires speculation off (verify spans can
+    cross page edges; the batcher would silently fall back to dense slots
+    while the pool burns HBM) — rejected before any model IO."""
     import pytest
 
-    with pytest.raises(ValueError, match="paged-pages"):
-        start_server("nope.bin", "nope2.bin", continuous=True, paged_pages=8)
+    with pytest.raises(ValueError, match="speculation off"):
+        start_server("nope.bin", "nope2.bin", continuous=True, paged_pages=8,
+                     speculative_k=4)

@@ -167,9 +167,18 @@ def make_handler(srv: _Server):
 
         def do_GET(self):
             if self.path == "/v1/health":
-                self._json(200, {"ok": True, "sessions": srv.count(),
-                                 "metrics": dict(srv.pool.metrics),
-                                 "tok_s_30s": round(srv.pool.generation_rate(), 2)})
+                body = {"ok": True, "sessions": srv.count(),
+                        "metrics": dict(srv.pool.metrics),
+                        "tok_s_30s": round(srv.pool.generation_rate(), 2)}
+                ppool = srv.pool.paged_pool
+                if ppool is not None:  # paged-KV capacity gauges
+                    body["paged"] = {
+                        "free_pages": ppool.free_pages,
+                        "total_pages": ppool.n_pages,
+                        "broken": ppool.broken,
+                        "preemptions": getattr(srv.batcher, "preemptions", 0),
+                    }
+                self._json(200, body)
             else:
                 self._json(404, {"error": "not found"})
 

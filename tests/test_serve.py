@@ -33,6 +33,11 @@ def _post(base, path, data=b"", headers=None):
         return r.status, r.read()
 
 
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=120) as r:
+        return r.status, r.read()
+
+
 def test_health(server):
     with urllib.request.urlopen(server + "/v1/health", timeout=30) as r:
         h = json.loads(r.read())
@@ -216,6 +221,9 @@ def test_paged_batched_serving(tmp_path_factory):
             x.join()
         assert len(texts) == 3
         assert httpd.pool.paged_pool.free_pages == 8  # all pages returned
+        health = json.loads(_get(base, "/v1/health")[1])
+        assert health["paged"] == {"free_pages": 8, "total_pages": 8,
+                                   "broken": False, "preemptions": 0}
 
         # dense reference server: identical greedy texts
         httpd2 = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,

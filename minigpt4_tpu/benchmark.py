@@ -290,6 +290,10 @@ GEOMETRIES = {
                                 n_rot=128, n_ff=11008, n_ctx=2048),
     "13B": llama_mod.LlamaConfig(n_vocab=32000, n_embd=5120, n_head=40, n_layer=40,
                                  n_rot=128, n_ff=13824, n_ctx=2048),
+    # CPU smoke geometry: exercises every section of the harness in seconds
+    # (real runs use 7B/13B; nothing about "tiny" is performance-meaningful)
+    "tiny": llama_mod.LlamaConfig(n_vocab=256, n_embd=256, n_head=2, n_layer=2,
+                                  n_rot=128, n_ff=512, n_ctx=1024),
 }
 
 
@@ -606,48 +610,118 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     # acceptance multiplies the batched aggregate.  Same caveat as the
     # single-stream spec number: synthetic-weight greedy streams draft
     # optimistically; real chats sit between plain-batched and this.
-    sp_k_b, sp_passes_b = 8, 2
-    bspec = jax.jit(
-        lambda p, c, l0, pos0, hist: llama_mod.speculative_decode_loop(
-            p, c, l0, pos0, hist, sp_passes_b, sp_k_b, bcfg, attn_len=bcfg.n_ctx
-        ),
-        donate_argnums=(1,),
-    )
-    # seed per-lane draft history with each lane's own greedy run-in (the
-    # plain batched loop above already decoded [bpos+chunk, bpos+chunk+n_b);
-    # record a fresh run-in so hist positions line up with the cache)
-    bpos_ri = int(bpos[0]) + chunk + n_b
-    if bpos_ri + runin + sp_passes_b * sp_k_b > bcfg.n_ctx:
-        # no room left in the session context for run-in + spec passes
-        # (large --n-decode/--prefill): skip the batched-spec section
-        return out
-    bhist0 = np.full((bsz, bcfg.n_ctx), -1, np.int32)
-    bhist0[:, :bprefill] = np.asarray(btokens, np.int32)
-    ri_done = 0
-    while ri_done < runin:
-        btoks, blogits, bcache = bdl(params, bcache, blogits,
-                                     jnp.full((bsz,), bpos_ri + ri_done, jnp.int32),
-                                     key)
-        bhist0[:, bpos_ri + ri_done : bpos_ri + ri_done + chunk] = sync(btoks)
-        ri_done += chunk
-    bpos = jnp.full((bsz,), bpos_ri + runin, jnp.int32)
-    bhist = jnp.asarray(bhist0)
-    btoks_sp, bcounts, blogits, bcache, bhist = bspec(
-        params, bcache, blogits, bpos, bhist
-    )
-    sync(btoks_sp)  # compile
-    t0 = time.perf_counter()
-    n_tok_b = 0
-    n_pass_b = 0
-    for _ in range(3):
+    # Guarded: a failure here (OOM on a tight chip) must not sink the
+    # sections already measured or the paged section after it.
+    def _batched_spec_section():
+        nonlocal bcache, blogits, bpos, btoks
+        sp_k_b, sp_passes_b = 8, 2
+        bspec = jax.jit(
+            lambda p, c, l0, pos0, hist: llama_mod.speculative_decode_loop(
+                p, c, l0, pos0, hist, sp_passes_b, sp_k_b, bcfg,
+                attn_len=bcfg.n_ctx
+            ),
+            donate_argnums=(1,),
+        )
+        # seed per-lane draft history with each lane's own greedy run-in
+        # (the plain batched loop above already decoded
+        # [bpos+chunk, bpos+chunk+n_b); record a fresh run-in so hist
+        # positions line up with the cache)
+        bpos_ri = int(bpos[0]) + chunk + n_b
+        if bpos_ri + runin + sp_passes_b * sp_k_b > bcfg.n_ctx:
+            # no room left in the session context for run-in + spec passes
+            # (large --n-decode/--prefill): skip the batched-spec section
+            return
+        bhist0 = np.full((bsz, bcfg.n_ctx), -1, np.int32)
+        bhist0[:, :bprefill] = np.asarray(btokens, np.int32)
+        ri_done = 0
+        while ri_done < runin:
+            btoks, blogits, bcache = bdl(
+                params, bcache, blogits,
+                jnp.full((bsz,), bpos_ri + ri_done, jnp.int32), key,
+            )
+            bhist0[:, bpos_ri + ri_done : bpos_ri + ri_done + chunk] = sync(btoks)
+            ri_done += chunk
+        bpos = jnp.full((bsz,), bpos_ri + runin, jnp.int32)
+        bhist = jnp.asarray(bhist0)
         btoks_sp, bcounts, blogits, bcache, bhist = bspec(
             params, bcache, blogits, bpos, bhist
         )
-        n_tok_b += int(sync(bcounts).sum())
-        n_pass_b += sp_passes_b * bsz
-    dt_bs = time.perf_counter() - t0
-    out["decode_tok_s_batched_spec"] = n_tok_b / dt_bs
-    out["spec_accept_per_pass_batched"] = n_tok_b / n_pass_b
+        sync(btoks_sp)  # compile
+        t0 = time.perf_counter()
+        n_tok_b = 0
+        n_pass_b = 0
+        for _ in range(3):
+            btoks_sp, bcounts, blogits, bcache, bhist = bspec(
+                params, bcache, blogits, bpos, bhist
+            )
+            n_tok_b += int(sync(bcounts).sum())
+            n_pass_b += sp_passes_b * bsz
+        dt_bs = time.perf_counter() - t0
+        out["decode_tok_s_batched_spec"] = n_tok_b / dt_bs
+        out["spec_accept_per_pass_batched"] = n_tok_b / n_pass_b
+
+    try:
+        _batched_spec_section()
+    except Exception as e:
+        out["batched_spec_error"] = f"{type(e).__name__}: {e}"
+
+    # --- batched serving over the shared KV page pool (engine/paged.py),
+    # measured LAST: the pool must co-reside with the dense group caches it
+    # admits from, so it runs on a subset of the lanes with an exactly-sized
+    # pool (a full-width pool beside the dense group OOMed 13B w8a8/f8 —
+    # the transient is bsz_p lanes x used pages, not a session_ctx
+    # reservation).  PAGE == the flash kernel's serving KV block, so the
+    # claim under test is bandwidth parity: per-lane tok/s should match the
+    # dense group within chip noise, while lane HBM tracks used context.
+    try:
+        from .engine.paged import PAGE, PagedKVPool
+
+        bsz_p = min(bsz, 4)
+        n_pg = min(n_b, 4 * chunk)
+        used = bprefill + chunk * (n_pg // chunk + 2)
+        pool = PagedKVPool(bcfg, bsz_p * -(-used // PAGE), bcfg.n_ctx,
+                           dtype=cache_dtype)
+        lane_pages = [
+            pool.admit({kv: bcache[kv][:, i : i + 1] for kv in ("k", "v")},
+                       bprefill)
+            for i in range(bsz_p)
+        ]
+        pdl = jax.jit(
+            lambda p, pool_kv, pt, l0, pos0, key: llama_mod.decode_loop(
+                p, pool_kv, l0, pos0, chunk, key,
+                DeviceSamplingConfig(temp=0.0), bcfg, page_table=pt,
+            ),
+            donate_argnums=(1,),
+        )
+
+        def pstep(plogits, ppos):
+            for i in range(bsz_p):
+                lane_pages[i] = pool.extend(lane_pages[i], int(ppos[0]) + chunk)
+            pt = jnp.asarray(np.stack([pool.table_row(pg) for pg in lane_pages]))
+            ptoks, plogits, poolkv = pdl(
+                params, {"k": pool.k, "v": pool.v}, pt, plogits,
+                jnp.asarray(ppos, jnp.int32), key,
+            )
+            pool.k, pool.v = poolkv["k"], poolkv["v"]
+            sync(ptoks)
+            return plogits, ppos + chunk
+
+        ppos = np.full((bsz_p,), bprefill, np.int64)
+        plogits, ppos = pstep(blogits[:bsz_p], ppos)  # compile
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_pg:
+            plogits, ppos = pstep(plogits, ppos)
+            done += chunk
+        dt_p = time.perf_counter() - t0
+        out["paged_lanes"] = bsz_p
+        out["decode_tok_s_batched_paged_aggregate"] = bsz_p * n_pg / dt_p
+        out["paged_pool_mb"] = round(2 * pool.k.nbytes / 1e6, 1)
+        out["dense_per_lane_mb"] = round(
+            2 * bcache["k"].nbytes / bsz / 1e6, 1)
+        del pool
+    except Exception as e:  # the paged section must not sink the whole bench
+        out["paged_error"] = f"{type(e).__name__}: {e}"
     return out
 
 

@@ -149,6 +149,24 @@ class PagedKVPool:
             raise
         return pages
 
+    def admit_host(self, parked: dict, n_past: int) -> list[int]:
+        """Scatter a PARKED session's host-trimmed cache straight into pool
+        pages.  ``parked`` is ``DecodeState.parked`` ({"shape", "dtype",
+        "k", "v"} with k/v [L, 1, H, n, Dh] trimmed to the consumed
+        prefix): only the used pages cross PCIe, instead of ensure_device's
+        full-geometry re-upload followed by a device-side scatter."""
+        n = self.pages_for(n_past)
+        pad = n * PAGE - parked["k"].shape[3]
+
+        def prep(a):
+            a = np.asarray(a)
+            if pad:
+                a = np.pad(a, ((0, 0),) * 3 + ((0, pad), (0, 0)))
+            return jnp.asarray(a, self.k.dtype)
+
+        return self.admit({"k": prep(parked["k"]), "v": prep(parked["v"])},
+                          n_past)
+
     def extend(self, pages: list[int], needed_positions: int) -> list[int]:
         """Grow a lane's page list to cover ``needed_positions``; returns the
         (possibly unchanged) list.  Raises :class:`PoolExhausted` when the

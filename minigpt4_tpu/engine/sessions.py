@@ -390,24 +390,26 @@ class SessionPool:
             return
         batch = [sessions[i] for i in act]
         n = len(batch)
-        # unpark only the lanes that actually joined the group: excluded
-        # sessions (no context room) would pay a full cache re-upload for
-        # nothing, every time the window batcher resubmits them
-        with self._lock:
-            for s in batch:
-                if s.state.parked is not None:
-                    s.state.ensure_device()
         if self.paged_pool is not None and not use_spec:
             # paged-KV group (engine/paged.py): admission scatters each
             # lane's consumed prefix into shared pool pages instead of
-            # stacking full session_ctx reservations.  Falls through to the
-            # dense path when the pool can't fit the group right now.
+            # stacking full session_ctx reservations — parked lanes scatter
+            # straight from their host-trimmed copies (admit_host), no
+            # full-geometry re-upload.  Falls through to the dense path
+            # when the pool can't fit the whole group right now.
             lane_pages = self._try_admit_paged(batch)
             if lane_pages is not None:
                 yield from self._paged_batch_stream(
                     act, batch, lane_pages, limits_all, scfg, decode_chunk
                 )
                 return
+        # dense path: unpark only the lanes that actually joined the group —
+        # excluded sessions (no context room) would pay a full cache
+        # re-upload for nothing, every time the window batcher resubmits them
+        with self._lock:
+            for s in batch:
+                if s.state.parked is not None:
+                    s.state.ensure_device()
         with self._lock:
             cache = {
                 kv: jnp.concatenate([s.state.cache[kv] for s in batch], axis=1)
@@ -566,7 +568,13 @@ class SessionPool:
             lane_pages: list[list[int]] = []
             try:
                 for s in batch:
-                    lane_pages.append(pool.admit(s.state.cache, s.n_past))
+                    if s.state.parked is not None:
+                        # parked lane: host-trimmed pages upload directly —
+                        # no ensure_device full-geometry round trip
+                        lane_pages.append(
+                            pool.admit_host(s.state.parked, s.n_past))
+                    else:
+                        lane_pages.append(pool.admit(s.state.cache, s.n_past))
             except Exception:
                 for pages in lane_pages:
                     try:
@@ -575,7 +583,11 @@ class SessionPool:
                         pass
                 return None  # group decodes dense; pool.broken gates reuse
             for s in batch:
+                # the pool copy is now the live one: drop the private cache
+                # AND any parked snapshot (a later ensure_device must not
+                # resurrect a stale copy over the pool's)
                 s.state.cache = None
+                s.state.parked = None
             return lane_pages
 
     def _paged_batch_stream(
@@ -605,7 +617,13 @@ class SessionPool:
         n = len(batch)
         n_ctx = min(self.fns.cfg.n_ctx, pool.capacity)
         with self._lock:
-            logits = jnp.stack([s.state.logits_dev for s in batch])
+            # formerly-parked lanes carry host logits (admit_host skipped
+            # the ensure_device that would have re-uploaded them)
+            logits = jnp.stack([
+                s.state.logits_dev if s.state.logits_dev is not None
+                else jnp.asarray(s.state.logits_host)
+                for s in batch
+            ])
             key, self._batch_key = jax.random.split(self._batch_key)
         pt_np = np.stack([pool.table_row(p) for p in lane_pages])
         lanes = [
@@ -1034,19 +1052,29 @@ class ContinuousBatcher:
                     if ppool.free_pages < need + self._n_active():
                         self._defer(item)
                         return
-                    session.state.ensure_device()
                     try:
-                        self._pages[slot] = ppool.admit(
-                            session.state.cache, session.n_past
-                        )
+                        if session.state.parked is not None:
+                            # parked lane: scatter the host-trimmed pages
+                            # directly (no full-geometry re-upload)
+                            self._pages[slot] = ppool.admit_host(
+                                session.state.parked, session.n_past
+                            )
+                        else:
+                            self._pages[slot] = ppool.admit(
+                                session.state.cache, session.n_past
+                            )
                     except Exception:
                         self._defer(item)  # broken pool rebuilds on retry
                         return
                     self._pt_np[slot] = ppool.table_row(self._pages[slot])
+                    lr = (session.state.logits_dev
+                          if session.state.logits_dev is not None
+                          else jnp.asarray(session.state.logits_host))
                     self._logits, self._hist = self._join_lh(
-                        self._logits, self._hist, session.state.logits_dev,
+                        self._logits, self._hist, lr,
                         jnp.asarray(hist_row), jnp.int32(slot),
                     )
+                    session.state.parked = None  # pool copy is live now
                 else:
                     session.state.ensure_device()
                     self._cache, self._logits, self._hist = self._join(

@@ -368,3 +368,49 @@ def test_paged_continuous_preemption_resumes(tmp_path_factory):
     got, pre_tight = run(3)    # 3 pages: second lane preempts at the wall
     assert pre_tight >= 1
     assert got == want
+
+
+def test_parked_sessions_admit_from_host(paged_pool, dense_pool):
+    """Parked sessions join paged groups by scattering their host-trimmed
+    pages directly — ensure_device (full-geometry re-upload) is never
+    called — with output identical to a never-parked dense run."""
+    from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+    want, ws, _ = _batch_run(dense_pool, ["one two"], limit=6)
+    for s in ws:
+        s.close()
+
+    calls = []
+
+    def run_parked(use_cb):
+        s = paged_pool.new_session()
+        paged_pool.begin_chat(s, "one two")
+        s.park()
+        st = s.state
+        orig = type(st).ensure_device
+
+        def counting(self):
+            if self is st:
+                calls.append(1)
+            return orig(self)
+
+        type(st).ensure_device = counting
+        try:
+            if use_cb:
+                cb = ContinuousBatcher(paged_pool, max_batch=2, decode_chunk=4)
+                try:
+                    text = _drain(cb, cb.submit(s, 6, GREEDY))
+                finally:
+                    cb.close()
+            else:
+                text = paged_pool.generate_batch([s], limit=6, params=GREEDY,
+                                                 decode_chunk=4)[0]
+        finally:
+            type(st).ensure_device = orig
+        assert st.parked is None and st.cache is not None
+        s.close()
+        return text
+
+    assert run_parked(use_cb=False) == want[0]
+    assert run_parked(use_cb=True) == want[0]
+    assert calls == []  # the host fast path never touched ensure_device

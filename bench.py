@@ -95,6 +95,13 @@ def run_single(model: str) -> int:
     if "decode_tok_s_batched_aggregate" in dec:
         line["batched_aggregate_tok_s"] = round(dec["decode_tok_s_batched_aggregate"], 2)
         line["batch"] = dec.get("decode_batch")
+    if "decode_tok_s_batched_paged_aggregate" in dec:
+        # batched serving over the shared KV page pool (engine/paged.py):
+        # the bandwidth-parity check for paging (lane HBM tracks used
+        # context; per-lane rate should match the dense group)
+        line["batched_paged_tok_s"] = round(
+            dec["decode_tok_s_batched_paged_aggregate"], 2)
+        line["paged_lanes"] = dec.get("paged_lanes")
     if "decode_tok_s_batched_spec" in dec:
         # batched + speculative (the SessionPool greedy serving path), at
         # whatever acceptance the synthetic stream produced

@@ -605,6 +605,19 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     out["decode_batch"] = bsz
     out["decode_tok_s_batched_aggregate"] = bsz * n_b / dt_b
 
+    # Snapshot the paged section's admission source to HOST now: the spec
+    # section below donates bcache on every dispatch, so a mid-section
+    # failure leaves it pointing at deleted buffers — the snapshot keeps
+    # the paged measurement independent of the spec section's fate (and
+    # lets the dense group be freed before the pool allocates).
+    from .engine.paged import PAGE
+
+    src_pos = -(-bprefill // PAGE) * PAGE
+    paged_src = {kv: np.asarray(bcache[kv][:, :, :, :src_pos, :])
+                 for kv in ("k", "v")}
+    paged_logits0 = np.asarray(blogits)
+    dense_group_mb = 2 * bcache["k"].nbytes / 1e6
+
     # --- batched + speculative (SessionPool.generate_batch_stream greedy
     # path): per-lane n-gram drafts on top of the shared weight read —
     # acceptance multiplies the batched aggregate.  Same caveat as the
@@ -666,25 +679,28 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         out["batched_spec_error"] = f"{type(e).__name__}: {e}"
 
     # --- batched serving over the shared KV page pool (engine/paged.py),
-    # measured LAST: the pool must co-reside with the dense group caches it
-    # admits from, so it runs on a subset of the lanes with an exactly-sized
-    # pool (a full-width pool beside the dense group OOMed 13B w8a8/f8 —
-    # the transient is bsz_p lanes x used pages, not a session_ctx
-    # reservation).  PAGE == the flash kernel's serving KV block, so the
-    # claim under test is bandwidth parity: per-lane tok/s should match the
-    # dense group within chip noise, while lane HBM tracks used context.
+    # measured LAST at the SAME lane count as the dense group: the dense
+    # group caches are released first and admission scatters from the host
+    # snapshot taken above, so pool + dense never co-reside (a full-width
+    # pool beside the dense group OOMed 13B w8a8/f8).  PAGE == the flash
+    # kernel's serving KV block, so the claim under test is bandwidth
+    # parity: aggregate tok/s should match decode_tok_s_batched_aggregate
+    # within chip noise, while lane HBM tracks used context
+    # (paged_pool_mb vs dense_group_mb).
     try:
-        from .engine.paged import PAGE, PagedKVPool
+        from .engine.paged import PagedKVPool
 
-        bsz_p = min(bsz, 4)
+        del bcache, bdl, bfwd  # release the dense group before the pool
+        blogits = btoks = None
         n_pg = min(n_b, 4 * chunk)
         used = bprefill + chunk * (n_pg // chunk + 2)
-        pool = PagedKVPool(bcfg, bsz_p * -(-used // PAGE), bcfg.n_ctx,
+        pool = PagedKVPool(bcfg, bsz * -(-used // PAGE), bcfg.n_ctx,
                            dtype=cache_dtype)
         lane_pages = [
-            pool.admit({kv: bcache[kv][:, i : i + 1] for kv in ("k", "v")},
-                       bprefill)
-            for i in range(bsz_p)
+            pool.admit_host(
+                {kv: paged_src[kv][:, i : i + 1] for kv in ("k", "v")},
+                bprefill)
+            for i in range(bsz)
         ]
         pdl = jax.jit(
             lambda p, pool_kv, pt, l0, pos0, key: llama_mod.decode_loop(
@@ -695,7 +711,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         )
 
         def pstep(plogits, ppos):
-            for i in range(bsz_p):
+            for i in range(bsz):
                 lane_pages[i] = pool.extend(lane_pages[i], int(ppos[0]) + chunk)
             pt = jnp.asarray(np.stack([pool.table_row(pg) for pg in lane_pages]))
             ptoks, plogits, poolkv = pdl(
@@ -706,19 +722,18 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
             sync(ptoks)
             return plogits, ppos + chunk
 
-        ppos = np.full((bsz_p,), bprefill, np.int64)
-        plogits, ppos = pstep(blogits[:bsz_p], ppos)  # compile
+        ppos = np.full((bsz,), bprefill, np.int64)
+        plogits, ppos = pstep(jnp.asarray(paged_logits0), ppos)  # compile
         t0 = time.perf_counter()
         done = 0
         while done < n_pg:
             plogits, ppos = pstep(plogits, ppos)
             done += chunk
         dt_p = time.perf_counter() - t0
-        out["paged_lanes"] = bsz_p
-        out["decode_tok_s_batched_paged_aggregate"] = bsz_p * n_pg / dt_p
+        out["paged_lanes"] = bsz
+        out["decode_tok_s_batched_paged_aggregate"] = bsz * n_pg / dt_p
         out["paged_pool_mb"] = round(2 * pool.k.nbytes / 1e6, 1)
-        out["dense_per_lane_mb"] = round(
-            2 * bcache["k"].nbytes / bsz / 1e6, 1)
+        out["dense_group_mb"] = round(dense_group_mb, 1)
         del pool
     except Exception as e:  # the paged section must not sink the whole bench
         out["paged_error"] = f"{type(e).__name__}: {e}"

@@ -397,10 +397,12 @@ class SessionPool:
             # straight from their host-trimmed copies (admit_host), no
             # full-geometry re-upload.  Falls through to the dense path
             # when the pool can't fit the whole group right now.
-            lane_pages = self._try_admit_paged(batch)
-            if lane_pages is not None:
+            admitted = self._try_admit_paged(batch)
+            if admitted is not None:
+                lane_pages, pool = admitted
                 yield from self._paged_batch_stream(
-                    act, batch, lane_pages, limits_all, scfg, decode_chunk
+                    act, batch, lane_pages, pool, limits_all, scfg,
+                    decode_chunk
                 )
                 return
         # dense path: unpark only the lanes that actually joined the group —
@@ -535,33 +537,49 @@ class SessionPool:
                 if err is not None:
                     raise err
 
-    def _try_admit_paged(self, batch: list[ChatSession]) -> list[list[int]] | None:
-        """Scatter every lane's consumed prefix into pool pages (all-or-
-        nothing, under the dispatch lock).  Returns per-lane page-id lists,
-        or None when the pool can't fit the whole group right now (the
-        caller decodes the group dense instead).  Admitted lanes drop their
-        private dense caches only after EVERY lane scattered — a failure
-        mid-admission frees the group's pages, leaves all sessions on their
-        dense caches, and retires the (possibly donation-poisoned) pool so
-        serving continues dense instead of failing every later group."""
+    def _live_paged_pool(self):
+        """The current usable page pool, rebuilding a retired (broken) one
+        once every group's pages have drained out of it; ``None`` while the
+        broken pool still holds pages or the rebuild allocation fails (it
+        stays in place and is retried on the next call — ``paged_pool``
+        itself never becomes None once configured, so lane teardown paths
+        can always dereference it).  Call under ``self._lock``: resolution
+        and rebuild must be atomic or two threads rebuild twice and strand
+        each other's page ids in different pools."""
         pool = self.paged_pool
-        with self._lock:
-            if pool.broken:
-                # a fresh pool is safe once no group holds pages in the old
-                # one; until then (or if HBM is tight) groups decode dense
-                if pool.allocated_pages == 0:
-                    from .paged import PagedKVPool
+        if pool is None or not pool.broken:
+            return pool
+        if pool.allocated_pages:
+            return None  # groups still hold pages in the dead pool
+        from .paged import PagedKVPool
 
-                    try:
-                        pool = self.paged_pool = PagedKVPool(
-                            self.fns.cfg, pool.n_pages, pool.capacity,
-                            dtype=self.cache_dtype,
-                        )
-                    except Exception:
-                        self.paged_pool = None
-                        return None
-                else:
-                    return None
+        try:
+            pool = self.paged_pool = PagedKVPool(
+                self.fns.cfg, pool.n_pages, pool.capacity,
+                dtype=self.cache_dtype,
+            )
+        except Exception:
+            return None  # left broken in place; retried next admission
+        return pool
+
+    def _try_admit_paged(
+        self, batch: list[ChatSession]
+    ) -> tuple[list[list[int]], "object"] | None:
+        """Scatter every lane's consumed prefix into pool pages (all-or-
+        nothing, under the dispatch lock).  Returns (per-lane page-id
+        lists, the admitting pool) — the caller must decode/evict against
+        THAT pool object, not a re-read of ``self.paged_pool``, which a
+        concurrent broken-pool rebuild may have swapped — or None when the
+        pool can't fit the whole group right now (the caller decodes the
+        group dense instead).  Admitted lanes drop their private dense
+        caches only after EVERY lane scattered — a failure mid-admission
+        frees the group's pages, leaves all sessions on their dense caches,
+        and retires the (possibly donation-poisoned) pool so serving
+        continues dense instead of failing every later group."""
+        with self._lock:
+            pool = self._live_paged_pool()
+            if pool is None:
+                return None
             need = sum(pool.pages_for(s.n_past) for s in batch)
             if need > pool.free_pages:
                 return None
@@ -588,13 +606,14 @@ class SessionPool:
                 # resurrect a stale copy over the pool's)
                 s.state.cache = None
                 s.state.parked = None
-            return lane_pages
+            return lane_pages, pool
 
     def _paged_batch_stream(
         self,
         act: list[int],
         batch: list[ChatSession],
         lane_pages: list[list[int]],
+        pool,
         limits_all: list[int],
         scfg,
         decode_chunk: int,
@@ -610,10 +629,14 @@ class SessionPool:
         and the overflow table index clamps onto it), so the dense path's
         clamped-write guard is unnecessary — overshoot can never land in
         valid history.  Pool exhaustion mid-generation ends the group early
-        (sessions detach normally and can continue in a later group)."""
+        (sessions detach normally and can continue in a later group).
+
+        ``pool`` is the object that admitted ``lane_pages`` — never re-read
+        ``self.paged_pool`` here (a concurrent broken-pool rebuild may have
+        swapped it; these page ids only mean anything in the admitting
+        pool)."""
         from .paged import PoolExhausted
 
-        pool = self.paged_pool
         n = len(batch)
         n_ctx = min(self.fns.cfg.n_ctx, pool.capacity)
         with self._lock:
@@ -885,7 +908,8 @@ class ContinuousBatcher:
         if self._scfg is None:
             return False
         now = time.monotonic()
-        for _, _, p, o in self._deferred:
+        for it in self._deferred:  # items may carry a 5th (resume) element
+            p, o = it[2], it[3]
             ts = self._deferred_since.get(id(o))
             if ts is not None and now - ts > self.config_wait_s:
                 if self._scfg_of(p) != self._scfg:
@@ -1044,7 +1068,7 @@ class ContinuousBatcher:
                     # pool admission instead of a slot copy: require a
                     # growth-reserve page per active lane so admitting a
                     # new lane doesn't immediately starve the running ones
-                    ppool = self._paged_ready()
+                    ppool = self.pool._live_paged_pool()
                     if ppool is None:
                         self._defer(item)
                         return
@@ -1066,14 +1090,26 @@ class ContinuousBatcher:
                     except Exception:
                         self._defer(item)  # broken pool rebuilds on retry
                         return
-                    self._pt_np[slot] = ppool.table_row(self._pages[slot])
-                    lr = (session.state.logits_dev
-                          if session.state.logits_dev is not None
-                          else jnp.asarray(session.state.logits_host))
-                    self._logits, self._hist = self._join_lh(
-                        self._logits, self._hist, lr,
-                        jnp.asarray(hist_row), jnp.int32(slot),
-                    )
+                    try:
+                        self._pt_np[slot] = ppool.table_row(self._pages[slot])
+                        lr = (session.state.logits_dev
+                              if session.state.logits_dev is not None
+                              else jnp.asarray(session.state.logits_host))
+                        self._logits, self._hist = self._join_lh(
+                            self._logits, self._hist, lr,
+                            jnp.asarray(hist_row), jnp.int32(slot),
+                        )
+                    except Exception:
+                        # the lane never activated: free its pages NOW or
+                        # they leak for the process lifetime (nothing else
+                        # ever evicts an unactivated slot's pages)
+                        try:
+                            ppool.free(self._pages[slot])
+                        except Exception:
+                            pass
+                        self._pages[slot] = []
+                        self._pt_np[slot] = ppool.trash_page
+                        raise
                     session.state.parked = None  # pool copy is live now
                 else:
                     session.state.ensure_device()
@@ -1108,25 +1144,6 @@ class ContinuousBatcher:
             out.put(self._DONE)
             # a recycled queue id must not inherit this request's timestamp
             self._deferred_since.pop(id(out), None)
-
-    def _paged_ready(self):
-        """The live page pool, rebuilding a retired one once it has fully
-        drained (same policy as SessionPool._try_admit_paged); ``None``
-        while unusable.  Call under ``pool._lock``."""
-        ppool = self.pool.paged_pool
-        if ppool is None or (ppool.broken and ppool.allocated_pages):
-            return None
-        if ppool.broken:
-            from .paged import PagedKVPool
-
-            try:
-                ppool = self.pool.paged_pool = PagedKVPool(
-                    self.fns.cfg, ppool.n_pages, ppool.capacity,
-                    dtype=self.pool.cache_dtype,
-                )
-            except Exception:
-                return None
-        return ppool
 
     def _preempt_one(self) -> bool:
         """Preempt the YOUNGEST lane to free its pages: detach it with
@@ -1171,14 +1188,19 @@ class ContinuousBatcher:
         act = [i for i, l in enumerate(self._lanes) if l is not None]
         max_pos = int(max(self._pos[i] for i in act))
         # a near-context-end lane demotes the STEP to plain chunks (its tail
-        # still decodes); speculation resumes once that lane leaves
-        spec_span = self._span(scfg)
-        spec_step = (
-            self._use_spec(scfg) and max_pos + spec_span <= cfg.n_ctx
-        )
-        span = spec_span if spec_step else self.decode_chunk
-        bucket = self.fns.attn_bucket(max_pos + span)
-        pos_dev = jnp.asarray(self._pos, jnp.int32)
+        # still decodes); speculation resumes once that lane leaves.  Paged
+        # mode (spec always off there) computes neither: the paged kernel
+        # reads through page tables with live lengths, no attn bucket, and
+        # pos_dev must be rebuilt after its preemption loop anyway.
+        spec_step = False
+        if not self.paged:
+            spec_span = self._span(scfg)
+            spec_step = (
+                self._use_spec(scfg) and max_pos + spec_span <= cfg.n_ctx
+            )
+            span = spec_span if spec_step else self.decode_chunk
+            bucket = self.fns.attn_bucket(max_pos + span)
+            pos_dev = jnp.asarray(self._pos, jnp.int32)
         if spec_step:
             from .engine import _spec_passes
 
@@ -1324,6 +1346,12 @@ class ContinuousBatcher:
             _detach_lane_state(st, lane["ends"], int(self._pos[slot]),
                                cache_slice, logits_row)
         if not resume:
+            if not ok:
+                # the stream's tokens were delivered, but the session reset:
+                # the client must hear that its conversation state is gone
+                # (matching _abort_lane), not a clean end-of-stream
+                lane["out"].put(RuntimeError(
+                    "lane detach failed; session state reset"))
             lane["out"].put(self._DONE)
         self._lanes[slot] = None
         self._pos[slot] = 0

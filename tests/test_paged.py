@@ -414,3 +414,53 @@ def test_parked_sessions_admit_from_host(paged_pool, dense_pool):
     assert run_parked(use_cb=False) == want[0]
     assert run_parked(use_cb=True) == want[0]
     assert calls == []  # the host fast path never touched ensure_device
+
+
+def test_aged_config_waiter_tolerates_resume_items(paged_pool):
+    """Deferred 5-tuple resume items (preemption) must not break the
+    config-waiter aging scan that unpacks deferred entries."""
+    import queue
+
+    from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+    cb = ContinuousBatcher(paged_pool, max_batch=2, decode_chunk=4)
+    try:
+        cb._scfg = cb._scfg_of(GREEDY)
+        out = queue.Queue()
+        lane = {"chat": "", "emitted": 0, "limit": 5}
+        cb._deferred.append((None, 5, SamplingParams(temp=0.7), out, lane))
+        cb._deferred_since[id(out)] = -1e9  # long overdue, mismatched config
+        assert cb._has_aged_config_waiter() is True  # and no ValueError
+        cb._deferred.clear()
+        cb._deferred_since.clear()
+    finally:
+        cb.close()
+
+
+def test_continuous_admission_failure_frees_pages(paged_pool):
+    """A failure AFTER pool admission but before lane activation (the
+    logits/hist join) must free the lane's pages — an unactivated slot is
+    never evicted, so a leak here shrinks the pool for the process
+    lifetime."""
+    from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+    s = paged_pool.new_session()
+    paged_pool.begin_chat(s, "one two")
+    cb = ContinuousBatcher(paged_pool, max_batch=2, decode_chunk=4)
+    try:
+        orig = cb._join_lh
+        cb._join_lh = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected join failure"))
+        out = cb.submit(s, 4, GREEDY)
+        first = out.get(timeout=120)
+        assert isinstance(first, RuntimeError)  # error forwarded to client
+        assert out.get(timeout=120) is cb._DONE
+        pool = paged_pool.paged_pool
+        assert pool.free_pages == pool.n_pages  # nothing leaked
+        assert s.state.cache is not None  # session untouched, can retry
+        cb._join_lh = orig
+        text = _drain(cb, cb.submit(s, 4, GREEDY))
+        assert len(text) > 0
+    finally:
+        cb.close()
+    s.close()

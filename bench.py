@@ -107,6 +107,11 @@ def run_single(model: str) -> int:
         # whatever acceptance the synthetic stream produced
         line["batched_spec_tok_s_measured"] = round(
             dec["decode_tok_s_batched_spec"], 2)
+    if "decode_tok_s_paged_spec" in dec:
+        # paged pool x speculative verify passes (spec no longer forces
+        # serving groups off the paged capacity path)
+        line["paged_spec_tok_s_measured"] = round(
+            dec["decode_tok_s_paged_spec"], 2)
     if "decode_tok_s_spec" in dec:
         # greedy speculative decoding (n-gram drafted, verify-k=8), three
         # views: _measured = acceptance on the synthetic greedy stream

@@ -53,6 +53,11 @@ def parse_args():
         "output is token-identical, just faster)",
     )
     p.add_argument(
+        "--draft-llm", default=None, metavar="PATH",
+        help="smaller ggml llama sharing the tokenizer: draft-model "
+        "speculative decoding for greedy generation (token-identical)",
+    )
+    p.add_argument(
         "--cache-dtype", choices=["auto", "bf16", "f32", "f8"], default="auto",
         help="KV-cache storage dtype; f8 (e4m3) halves cache memory at a "
         "small attention-precision cost",
@@ -85,6 +90,7 @@ def main():
         args.model, args.llm_model, verbosity=args.verbosity,
         seed=args.seed, n_ctx=args.n_ctx, n_batch=args.n_batch,
         speculative_k=args.speculative_k,
+        draft_llm_path=args.draft_llm,
         cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
         smooth_scales=args.smooth_scales,
         tp=args.tp,

@@ -710,6 +710,9 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
             donate_argnums=(1,),
         )
 
+        phist = np.full((bsz, bcfg.n_ctx), -1, np.int32)
+        phist[:, :bprefill] = np.asarray(btokens, np.int32)
+
         def pstep(plogits, ppos):
             for i in range(bsz):
                 lane_pages[i] = pool.extend(lane_pages[i], int(ppos[0]) + chunk)
@@ -719,7 +722,8 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
                 jnp.asarray(ppos, jnp.int32), key,
             )
             pool.k, pool.v = poolkv["k"], poolkv["v"]
-            sync(ptoks)
+            # keep per-lane draft history coherent for the spec section below
+            phist[:, int(ppos[0]) : int(ppos[0]) + chunk] = sync(ptoks)
             return plogits, ppos + chunk
 
         ppos = np.full((bsz,), bprefill, np.int64)
@@ -734,6 +738,61 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         out["decode_tok_s_batched_paged_aggregate"] = bsz * n_pg / dt_p
         out["paged_pool_mb"] = round(2 * pool.k.nbytes / 1e6, 1)
         out["dense_group_mb"] = round(dense_group_mb, 1)
+
+        # --- paged x speculative: greedy verify passes over the SAME pool
+        # (llama.speculative_decode_loop with a page table; edge-crossing
+        # verify writes split inside _layer).  Acceptance caveat matches
+        # the dense spec sections: synthetic greedy streams draft
+        # optimistically; the pass-cost ratio is the hardware truth.
+        def _paged_spec_section():
+            nonlocal plogits, ppos
+            sp_k_p, sp_passes_p = 8, 2
+            span = sp_k_p * sp_passes_p
+            if int(ppos[0]) + 3 * span > bcfg.n_ctx:
+                return  # no context room left for the spec dispatches
+            pspec = jax.jit(
+                lambda p, pool_kv, pt, l0, pos0, hist: (
+                    llama_mod.speculative_decode_loop(
+                        p, pool_kv, l0, pos0, hist, sp_passes_p, sp_k_p,
+                        bcfg, page_table=pt)
+                ),
+                donate_argnums=(1,),
+            )
+            hist = jnp.asarray(phist)
+            pos_dev = jnp.asarray(ppos, jnp.int32)
+
+            def sstep(plogits, hist, pos_dev, pos_max):
+                for i in range(bsz):
+                    lane_pages[i] = pool.extend(lane_pages[i], pos_max + span)
+                pt = jnp.asarray(
+                    np.stack([pool.table_row(pg) for pg in lane_pages]))
+                ptoks, pcnt, plogits, poolkv, hist = pspec(
+                    params, {"k": pool.k, "v": pool.v}, pt, plogits,
+                    pos_dev, hist,
+                )
+                pool.k, pool.v = poolkv["k"], poolkv["v"]
+                cnt = sync(pcnt)
+                return plogits, hist, pos_dev + cnt.sum(axis=1), int(cnt.sum())
+
+            pos_max = int(ppos.max())
+            plogits, hist, pos_dev, _ = sstep(plogits, hist, pos_dev,
+                                              pos_max)  # compile
+            t0 = time.perf_counter()
+            n_tok = n_pass = 0
+            for _ in range(2):
+                pos_max = int(np.asarray(pos_dev).max())
+                plogits, hist, pos_dev, emitted = sstep(
+                    plogits, hist, pos_dev, pos_max)
+                n_tok += emitted
+                n_pass += sp_passes_p * bsz
+            dt_s = time.perf_counter() - t0
+            out["decode_tok_s_paged_spec"] = n_tok / dt_s
+            out["spec_accept_per_pass_paged"] = n_tok / n_pass
+
+        try:
+            _paged_spec_section()
+        except Exception as e:
+            out["paged_spec_error"] = f"{type(e).__name__}: {e}"
         del pool
     except Exception as e:  # the paged section must not sink the whole bench
         out["paged_error"] = f"{type(e).__name__}: {e}"

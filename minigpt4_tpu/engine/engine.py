@@ -132,6 +132,13 @@ class DecodeState:
         self.tokens: list[int] = []
         # host-side copy of the cache while parked (see :meth:`park`)
         self.parked: dict | None = None
+        # draft-model speculative decoding (engine.DraftFns): the drafter's
+        # own KV cache + its evaluated frontier.  Lazily (re)built from
+        # ``tokens`` by MiniGPT4Engine._draft_catchup — every non-draft
+        # decode path stays oblivious, the catch-up prefill closes the gap
+        # before the next draft-spec dispatch.
+        self.dcache: dict | None = None
+        self.draft_past = 0
 
     @property
     def logits(self) -> np.ndarray | None:
@@ -148,6 +155,8 @@ class DecodeState:
         self.logits_host = None
         self.tokens = []
         self.parked = None
+        self.dcache = None
+        self.draft_past = 0
 
     def park(self) -> None:
         """Move the KV cache off the device, trimmed to the consumed prefix,
@@ -171,6 +180,10 @@ class DecodeState:
             self.logits_host = np.asarray(self.logits_dev)
             self.logits_dev = None
         self.cache = None
+        # the draft cache is cheap to rebuild (tiny model): drop it rather
+        # than round-tripping it through host RAM
+        self.dcache = None
+        self.draft_past = 0
 
     def ensure_device(self) -> None:
         """Re-upload a parked cache (zero-padded back to the session
@@ -300,6 +313,19 @@ class StepFns:
         self.paged_decode_loop = jax.jit(
             lambda p, pool, pt, l0, pos0, key, scfg, n: llama_mod.decode_loop(
                 p, pool, l0, pos0, n, key, scfg, cfg, page_table=pt
+            ),
+            static_argnums=(6, 7),
+            donate_argnums=(1,),
+        )
+        # paged + speculative: greedy verify passes over the page pool —
+        # verify spans route through the table (edge-crossing writes are
+        # split inside llama._layer), so speculation no longer forces a
+        # group off the paged capacity path
+        self.paged_spec_loop = jax.jit(
+            lambda p, pool, pt, l0, pos0, hist, n, k: (
+                llama_mod.speculative_decode_loop(
+                    p, pool, l0, pos0, hist, n, k, cfg, page_table=pt
+                )
             ),
             static_argnums=(6, 7),
             donate_argnums=(1,),
@@ -443,6 +469,55 @@ def _rollback(st: DecodeState, n: int) -> None:
         del st.tokens[st.n_past :]
         st.logits_dev = None
         st.logits_host = None
+        # the draft frontier may not outrun the cursor (positions above it
+        # are stale and must be re-evaluated by the next catch-up)
+        st.draft_past = min(st.draft_past, st.n_past)
+
+
+class DraftFns:
+    """Jitted entry points for DRAFT-MODEL speculative decoding (a second,
+    smaller ggml llama proposes tokens; the main model verifies — llama.cpp's
+    "speculative" pattern, TPU-native: the whole draft-k + verify pass is ONE
+    dispatch, llama.draft_speculative_decode_loop).
+
+    Complements the built-in n-gram drafting: prompt lookup is free but
+    finds nothing on novel text (measured 1.04 tok/pass realistic); a
+    trained drafter proposes real continuations everywhere.  Greedy output
+    is token-identical either way."""
+
+    def __init__(self, cfg, dcfg):
+        self.cfg = cfg
+        self.dcfg = dcfg
+        self.spec_loop = jax.jit(
+            lambda p, c, dp, dc, l0, pos0, n, k, attn_len, d_attn: (
+                llama_mod.draft_speculative_decode_loop(
+                    p, c, dp, dc, l0, pos0, n, k, cfg, dcfg,
+                    attn_len=attn_len, d_attn_len=d_attn)
+            ),
+            static_argnums=(6, 7, 8, 9),
+            donate_argnums=(1, 3),
+        )
+        # catch-up prefill on the drafter (logits discarded; the draft cache
+        # is the product).  ``ids`` may carry -1 sentinels (injected image
+        # embedding rows): those positions feed ZERO embeddings — the
+        # drafter can't consume the main model's projection dim, and
+        # verification makes drafting around images merely less effective,
+        # never incorrect.
+        def _catchup(dp, dc, ids, pos0, attn_len):
+            emb = llama_mod.embed_tokens(dp, jnp.maximum(ids, 0))
+            emb = jnp.where((ids < 0)[..., None], 0.0, emb).astype(emb.dtype)
+            _, dc = llama_mod.forward(dp, dc, emb, pos0, dcfg,
+                                      attn_len=attn_len)
+            return dc
+
+        self.catchup = jax.jit(_catchup, static_argnums=(4,),
+                               donate_argnums=(1,))
+
+    def attn_bucket(self, needed: int) -> int:
+        b = 128
+        while b < needed:
+            b *= 2
+        return min(b, self.dcfg.n_ctx)
 
 
 def _spec_passes(decode_chunk: int, k: int) -> int:
@@ -450,6 +525,61 @@ def _spec_passes(decode_chunk: int, k: int) -> int:
     one host round-trip and a pass can emit a single token), at least
     ``decode_chunk`` worth of width."""
     return max(1, max(decode_chunk, 2 * k) // k)
+
+
+def _draft_catchup(dfns: DraftFns, dparams, st: DecodeState,
+                   chunk: int = 64) -> None:
+    """Bring the draft cache's evaluated frontier up to the main cursor by
+    prefilling ``st.tokens[draft_past:n_past]`` through the drafter (-1
+    sentinels — injected image embeddings — feed zero embeddings).  Chunks
+    pad to power-of-two buckets (bounded compiles); padded junk positions
+    are overwritten by the next chunk, the standard prefill invariant."""
+    dcfg = dfns.dcfg
+    if st.dcache is None:
+        st.dcache = llama_mod.init_cache(dcfg, batch=1, dtype=jnp.bfloat16)
+        st.draft_past = 0
+    while st.draft_past < st.n_past:
+        span = st.tokens[st.draft_past : st.draft_past + chunk]
+        b = 8
+        while b < len(span):
+            b *= 2
+        if st.draft_past + b > dcfg.n_ctx:
+            # a padded write near the context end would clamp into valid
+            # history: feed the exact remainder (rare odd-shape compile)
+            b = len(span)
+        ids = np.full((1, b), -1, np.int32)
+        ids[0, : len(span)] = span
+        st.dcache = dfns.catchup(
+            dparams, st.dcache, jnp.asarray(ids), jnp.int32(st.draft_past),
+            dfns.attn_bucket(st.draft_past + b),
+        )
+        st.draft_past += len(span)
+
+
+def _draft_chunk(fns, dfns: DraftFns, params, dparams, st: DecodeState,
+                 n_passes: int, k: int) -> np.ndarray:
+    """One draft-model speculative dispatch (catch-up + n_passes verify
+    passes); same emission bookkeeping as StepFns.decode_chunk_spec."""
+    _draft_catchup(dfns, dparams, st)
+    span = n_passes * k
+    tokens, counts, final_logits, st.cache, st.dcache = dfns.spec_loop(
+        params, st.cache, dparams, st.dcache, st.logits_dev[None],
+        jnp.int32(st.n_past), n_passes, k,
+        fns.attn_bucket(st.n_past + span), dfns.attn_bucket(st.n_past + span),
+    )
+    tok_host = np.asarray(tokens[0])  # [n_passes, k]
+    cnt_host = np.asarray(counts[0])  # [n_passes]
+    emitted = np.concatenate(
+        [tok_host[i, : cnt_host[i]] for i in range(n_passes)]
+    )
+    st.n_past += int(cnt_host.sum())
+    st.tokens.extend(int(t) for t in emitted)
+    # draft positions past the cursor hold junk/rejected evals: the next
+    # catch-up (or the next pass's own drafting) re-evaluates from here
+    st.draft_past = st.n_past
+    st.logits_dev = final_logits[0]
+    st.logits_host = None
+    return emitted
 
 
 def generate_stream(
@@ -462,6 +592,7 @@ def generate_stream(
     decode_chunk: int = 16,
     dispatch_lock=None,
     speculative_k: int = 0,
+    draft: tuple | None = None,
 ):
     """Streaming fused-chunk decode with the reference's EOS logic
     (MiniGPT4ChatBot.generate, minigpt4_library.py:609-657) — shared by the
@@ -480,6 +611,12 @@ def generate_stream(
     is token-for-token identical to the plain path, at 1x-kx the speed
     (bandwidth-bound decode reads the weights once per verify pass of up to
     k tokens).  Non-greedy sampling ignores the flag.
+
+    ``draft`` = (DraftFns, draft_params, k): greedy chunks are instead
+    drafted by a second, smaller llama model and block-verified
+    (llama.draft_speculative_decode_loop) — same token-identical contract,
+    but the drafter proposes real continuations on novel text where n-gram
+    lookup finds nothing.  Takes precedence over ``speculative_k``.
     """
     import contextlib
 
@@ -492,7 +629,8 @@ def generate_stream(
     lock = dispatch_lock if dispatch_lock is not None else contextlib.nullcontext()
     if st.logits_dev is None:
         return  # nothing evaluated yet: empty stream, like the per-token path
-    use_spec = speculative_k > 1 and scfg.greedy
+    use_draft = draft is not None and scfg.greedy
+    use_spec = speculative_k > 1 and scfg.greedy and not use_draft
     chat = ""
     emitted = 0
     while emitted < limit:
@@ -500,15 +638,19 @@ def generate_stream(
         # overshoot past `limit` or EOS is rolled back via the cursor —
         # positions >= n_past are unreachable by the causal mask
         token_ids = None
-        if use_spec:
-            k = speculative_k
+        if use_draft or use_spec:
+            k = draft[2] if use_draft else speculative_k
             passes = _spec_passes(decode_chunk, k)
             # worst-case advance must stay inside the context
             while passes > 1 and st.n_past + passes * k > fns.cfg.n_ctx:
                 passes -= 1
             if st.n_past + passes * k <= fns.cfg.n_ctx:
                 with lock:
-                    token_ids = fns.decode_chunk_spec(params, st, passes, k)
+                    if use_draft:
+                        token_ids = _draft_chunk(
+                            fns, draft[0], params, draft[1], st, passes, k)
+                    else:
+                        token_ids = fns.decode_chunk_spec(params, st, passes, k)
             # else: no room for even one k-wide pass — plain tail chunk
         if token_ids is None:
             n = decode_chunk
@@ -555,6 +697,7 @@ class MiniGPT4Engine:
         quant_mode: str = "auto",
         matmul_precision: str | None = None,
         speculative_k: int = 0,
+        draft_llm_path: str | Path | None = None,
         smooth_scales: str | Path | dict | None = None,
         tp: int = 1,
         dp: int = 1,
@@ -656,6 +799,37 @@ class MiniGPT4Engine:
                 f"LLM n_embd = {self.llm_cfg.n_embd}"
             )
 
+        # optional DRAFT model (draft-model speculative decoding): a second,
+        # smaller ggml llama proposes greedy continuations, the main model
+        # verifies (llama.cpp's "speculative" example pattern).  Greedy
+        # output stays token-identical; the drafter only changes speed.
+        self.draft_params = None
+        self.draft_cfg = None
+        self._draft_fns_by_ctx: dict[int, DraftFns] = {}
+        self.draft_k = 0
+        if draft_llm_path is not None:
+            if self.mesh is not None:
+                raise ValueError(
+                    "draft_llm_path requires tp=1 (the drafter is small "
+                    "enough to replicate; sharding it buys nothing)")
+            with utils.phase_timer("Draft LLM init"):
+                self._draft_file = LlamaFileReader(draft_llm_path)
+                dmode = resolve_llm_quant_mode(
+                    self._draft_file, quant_mode, jax.default_backend())
+                dparams, self.draft_cfg = llama_mod.load_params(
+                    self._draft_file, compute_dtype, n_ctx=n_ctx,
+                    quant_mode=dmode,
+                )
+                if self.draft_cfg.n_vocab != self.llm_cfg.n_vocab:
+                    raise ValueError(
+                        f"draft model vocab ({self.draft_cfg.n_vocab}) != "
+                        f"main model vocab ({self.llm_cfg.n_vocab}) — the "
+                        "drafter must share the tokenizer")
+                self.draft_params = jax.device_put(dparams)
+            # verify-block width: an explicit speculative_k, else 8 (the
+            # free-verify width measured on the flash decode path)
+            self.draft_k = speculative_k if speculative_k > 1 else 8
+
         self._fns_by_ctx: dict[int, StepFns] = {}
         self._fns = self.step_fns_for(self.llm_cfg.n_ctx)
         # KV cache defaults to bf16: the reference's llama.cpp cache is f16
@@ -691,6 +865,19 @@ class MiniGPT4Engine:
             else:
                 fns = StepFns(cfg)
             self._fns_by_ctx[n_ctx] = fns
+        return fns
+
+    def draft_fns_for(self, cfg) -> "DraftFns | None":
+        """DraftFns matched to a main-model StepFns config (sessions run at
+        session_ctx geometry; the verify pass must be traced against THAT
+        cache shape), memoized per n_ctx.  None when no draft model is
+        configured."""
+        if self.draft_params is None:
+            return None
+        fns = self._draft_fns_by_ctx.get(cfg.n_ctx)
+        if fns is None:
+            fns = DraftFns(cfg, self.draft_cfg)
+            self._draft_fns_by_ctx[cfg.n_ctx] = fns
         return fns
 
     # engine state delegates to its DecodeState (the reference's single
@@ -962,10 +1149,12 @@ class MiniGPT4Engine:
         if params.mirostat != 0 or decode_chunk <= 1:
             yield from self._generate_stepwise(limit, params)
             return
+        dfns = self.draft_fns_for(self._fns.cfg)
         yield from generate_stream(
             self._fns, self.llm_params, self._st, self.tokenizer,
             limit, params, decode_chunk,
             speculative_k=k,
+            draft=(dfns, self.draft_params, self.draft_k) if dfns else None,
         )
 
     def _generate_stepwise(self, limit: int, params: SamplingParams):
@@ -982,3 +1171,5 @@ class MiniGPT4Engine:
     def close(self) -> None:
         self._container.close()
         self._llm_file.close()
+        if self.draft_params is not None:
+            self._draft_file.close()

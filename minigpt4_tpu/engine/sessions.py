@@ -166,6 +166,7 @@ class SessionPool:
         session_ctx: int = 512,
         seed: int = 1337,
         paged_pool_pages: int | None = None,
+        prefix_cache: bool = True,
         **engine_kwargs,
     ):
         self.engine = MiniGPT4Engine(model_path, llm_path, seed=seed, **engine_kwargs)
@@ -187,7 +188,24 @@ class SessionPool:
             "images_encoded": 0,
             "tokens_prefilled": 0,
             "tokens_generated": 0,
+            "prefix_cache_hits": 0,
+            "prefix_cache_misses": 0,
         }
+        # system-prompt prefix KV reuse: every fresh session starts with the
+        # identical SYSTEM_PROMPT prefill (reference flow: reset ->
+        # system_prompt -> encode, minigpt4_library.py:672-689).  The first
+        # session's computed prefix KV + pending logits are kept on host and
+        # COPIED into later fresh sessions instead of recomputing the
+        # prefill — new-session TTFT drops by one prefill dispatch.  Exact:
+        # the installed state is bit-identical to what the prefill produced.
+        # Single-chip only (sharded caches would need mesh-aware placement).
+        self.prefix_cache = bool(prefix_cache) and self.engine.mesh is None
+        self._prefix_cache: dict[tuple[int, ...], dict] = {}
+        self._install_prefix_fn = jax.jit(
+            lambda c, upd: jax.lax.dynamic_update_slice(
+                c, upd, (0, 0, 0, 0, 0)),
+            donate_argnums=(0,),
+        )
         # the engine's compiled step functions at session_ctx — shared by
         # every session (bucketed prefill + fused decode compile once)
         self.fns = self.engine.step_fns_for(session_ctx)
@@ -262,9 +280,54 @@ class SessionPool:
     def _add_strings(self, s: ChatSession, text: str) -> None:
         self._add_tokens(s, self.engine.tokenizer.tokenize(text, add_bos=True))
 
+    def _prefill_cached(self, s: ChatSession, tokens: list[int]) -> None:
+        """Prefill ``tokens`` into a FRESH session, reusing the cached prefix
+        KV when an identical prefix was prefilled before (the prefix-cache
+        fast path; falls back to a normal prefill and captures the result).
+
+        Only exact full-prefix matches install — the state after either path
+        is bit-identical (same cache bytes, same pending logits), so every
+        downstream consumer (decode, batching, park, checkpoint) is
+        oblivious."""
+        if not self.prefix_cache or s.state.n_past != 0 or len(tokens) == 0:
+            self._add_tokens(s, tokens)
+            return
+        key = tuple(int(t) for t in tokens)
+        n = len(key)
+        with self._lock:
+            hit = self._prefix_cache.get(key)
+            if hit is not None and n <= self.fns.cfg.n_ctx:
+                st = s.state
+                st.parked = None  # fresh session: nothing parked worth keeping
+                if st.cache is None:
+                    st.cache = llama_mod.init_cache(
+                        self.fns.cfg, batch=1, dtype=self.cache_dtype)
+                st.cache = {
+                    kv: self._install_prefix_fn(
+                        st.cache[kv], jnp.asarray(hit[kv]))
+                    for kv in ("k", "v")
+                }
+                st.logits_dev = jnp.asarray(hit["logits"])
+                st.logits_host = None
+                st.n_past = n
+                st.tokens = list(key)
+                self._bump("prefix_cache_hits")
+                return
+        self._add_tokens(s, tokens)
+        with self._lock:
+            st = s.state
+            if st.cache is not None and st.n_past == n and st.logits_dev is not None:
+                self._prefix_cache[key] = {
+                    "k": np.asarray(st.cache["k"][:, :, :, :n, :]),
+                    "v": np.asarray(st.cache["v"][:, :, :, :n, :]),
+                    "logits": np.asarray(st.logits_dev),
+                }
+                self._bump("prefix_cache_misses")
+
     # -- chat protocol (same templates as the engine) --
     def system_prompt(self, s: ChatSession) -> None:
-        self._add_strings(s, SYSTEM_PROMPT)
+        self._prefill_cached(
+            s, self.engine.tokenizer.tokenize(SYSTEM_PROMPT, add_bos=True))
 
     def begin_chat_image(self, s: ChatSession, embedding: np.ndarray, q: str) -> None:
         emb = np.asarray(embedding, np.float32).reshape(1, -1, self.engine.llm_cfg.n_embd)
@@ -304,10 +367,13 @@ class SessionPool:
             return
         with self._lock:
             s.state.ensure_device()
+        dfns = self.engine.draft_fns_for(self.fns.cfg)
         for token in generate_stream(
             self.fns, self.engine.llm_params, s.state, self.engine.tokenizer,
             limit, params, dispatch_lock=self._lock,
             speculative_k=self.engine.speculative_k,
+            draft=(dfns, self.engine.draft_params, self.engine.draft_k)
+            if dfns else None,
         ):
             self._bump("tokens_generated")
             yield token
@@ -390,13 +456,16 @@ class SessionPool:
             return
         batch = [sessions[i] for i in act]
         n = len(batch)
-        if self.paged_pool is not None and not use_spec:
+        if self.paged_pool is not None:
             # paged-KV group (engine/paged.py): admission scatters each
             # lane's consumed prefix into shared pool pages instead of
             # stacking full session_ctx reservations — parked lanes scatter
             # straight from their host-trimmed copies (admit_host), no
             # full-geometry re-upload.  Falls through to the dense path
-            # when the pool can't fit the whole group right now.
+            # when the pool can't fit the whole group right now.  Greedy
+            # groups keep their speculative verify passes over the pool
+            # (paged_spec_loop — verify spans crossing a page edge split
+            # inside llama._layer).
             admitted = self._try_admit_paged(batch)
             if admitted is not None:
                 lane_pages, pool = admitted
@@ -631,6 +700,12 @@ class SessionPool:
         valid history.  Pool exhaustion mid-generation ends the group early
         (sessions detach normally and can continue in a later group).
 
+        Greedy groups under an engine with ``speculative_k`` run batched
+        speculative verify passes over the pool (fns.paged_spec_loop) —
+        same contract as the dense spec path (token-identical greedy
+        output); active lanes provision pages covering the worst-case
+        spec span, done lanes overshoot into the sink.
+
         ``pool`` is the object that admitted ``lane_pages`` — never re-read
         ``self.paged_pool`` here (a concurrent broken-pool rebuild may have
         swapped it; these page ids only mean anything in the admitting
@@ -639,6 +714,13 @@ class SessionPool:
 
         n = len(batch)
         n_ctx = min(self.fns.cfg.n_ctx, pool.capacity)
+        k_spec = self.engine.speculative_k
+        use_spec = k_spec > 1 and scfg.greedy
+        if use_spec:
+            from .engine import _spec_passes
+
+            n_passes = _spec_passes(decode_chunk, k_spec)
+            spec_span = n_passes * k_spec  # worst-case per-lane advance
         with self._lock:
             # formerly-parked lanes carry host logits (admit_host skipped
             # the ensure_device that would have re-uploaded them)
@@ -656,12 +738,21 @@ class SessionPool:
         ]
         pos_host = np.asarray([s.n_past for s in batch], np.int64)
         done = [False] * n
+        if use_spec:
+            # per-lane n-gram draft history (device-carried across steps;
+            # spec_loop appends every evaluated token, incl. overshoot)
+            hist_np = np.full((n, self.fns.cfg.n_ctx), -1, np.int32)
+            for i, s in enumerate(batch):
+                hist_np[i, : s.n_past] = np.asarray(s.state.tokens, np.int32)
+            hist = jnp.asarray(hist_np)
         bump = lambda: self._bump("tokens_generated")
         try:
             while not all(done):
                 max_pos = int(max(pos_host[i] for i in range(n) if not done[i]))
                 if max_pos + decode_chunk > n_ctx:
                     break  # an active lane is out of context: stop the group
+                spec_step = use_spec and max_pos + spec_span <= n_ctx
+                span = spec_span if spec_step else decode_chunk
                 stop = False
                 with self._lock:
                     try:
@@ -669,7 +760,7 @@ class SessionPool:
                             if done[i]:
                                 continue  # overshoot writes go to the sink
                             new_pages = pool.extend(
-                                lane_pages[i], int(pos_host[i]) + decode_chunk
+                                lane_pages[i], int(pos_host[i]) + span
                             )
                             if len(new_pages) != len(lane_pages[i]):
                                 lane_pages[i] = new_pages
@@ -677,18 +768,48 @@ class SessionPool:
                     except PoolExhausted:
                         stop = True  # pool dry: detach; callers resume later
                     if not stop:
-                        key, sub = jax.random.split(key)
                         try:
-                            tokens, logits, poolkv = self.fns.paged_decode_loop(
-                                self.engine.llm_params,
-                                {"k": pool.k, "v": pool.v},
-                                jnp.asarray(pt_np), logits,
-                                jnp.asarray(pos_host, jnp.int32),
-                                sub, scfg, decode_chunk,
-                            )
-                            # the dispatch donated the pool arrays: rebind
-                            pool.k, pool.v = poolkv["k"], poolkv["v"]
-                            lane_tokens = list(np.asarray(tokens))
+                            if spec_step:
+                                (tokens, counts, logits, poolkv,
+                                 hist) = self.fns.paged_spec_loop(
+                                    self.engine.llm_params,
+                                    {"k": pool.k, "v": pool.v},
+                                    jnp.asarray(pt_np), logits,
+                                    jnp.asarray(pos_host, jnp.int32), hist,
+                                    n_passes, k_spec,
+                                )
+                                pool.k, pool.v = poolkv["k"], poolkv["v"]
+                                tok_host = np.asarray(tokens)
+                                cnt_host = np.asarray(counts)
+                                lane_tokens = [
+                                    np.concatenate([
+                                        tok_host[i, p, : cnt_host[i, p]]
+                                        for p in range(n_passes)
+                                    ])
+                                    for i in range(n)
+                                ]
+                            else:
+                                key, sub = jax.random.split(key)
+                                tokens, logits, poolkv = self.fns.paged_decode_loop(
+                                    self.engine.llm_params,
+                                    {"k": pool.k, "v": pool.v},
+                                    jnp.asarray(pt_np), logits,
+                                    jnp.asarray(pos_host, jnp.int32),
+                                    sub, scfg, decode_chunk,
+                                )
+                                # the dispatch donated the pool arrays: rebind
+                                pool.k, pool.v = poolkv["k"], poolkv["v"]
+                                lane_tokens = list(np.asarray(tokens))
+                                if use_spec:
+                                    # demoted plain chunk: keep hist coherent
+                                    # below surviving cursors (drafting
+                                    # collapses when speculation resumes);
+                                    # out-of-bounds rows drop silently
+                                    idx = pos_host[:, None] + np.arange(decode_chunk)
+                                    hist = hist.at[
+                                        jnp.arange(n)[:, None],
+                                        jnp.asarray(idx, jnp.int32),
+                                    ].set(tokens)
                         except Exception:
                             # the donated pool arrays may be gone: retire the
                             # pool (admission rebuilds it once drained) so one
@@ -697,7 +818,10 @@ class SessionPool:
                             raise
                 if stop:
                     break
-                pos_host += decode_chunk
+                if spec_step:
+                    pos_host += cnt_host.sum(axis=1)
+                else:
+                    pos_host += decode_chunk
                 updates: list[tuple[int, str]] = []
                 for i in range(n):
                     if done[i]:
@@ -824,10 +948,10 @@ class ContinuousBatcher:
 
         # paged mode: lanes live in the pool's shared pages (no stacked
         # cache allocation at all — the capacity lever); dense mode keeps
-        # the preallocated slots.  Speculative verify spans can cross a
-        # page edge (S=k writes), so spec engines stay dense.
-        self.paged = (pool.paged_pool is not None
-                      and pool.engine.speculative_k <= 1)
+        # the preallocated slots.  Speculative verify spans ride the pool
+        # too (llama._layer splits spans crossing a page edge into two
+        # blended window writes; fns.paged_spec_loop).
+        self.paged = pool.paged_pool is not None
         if self.paged:
             self._cache = None
             maxp = pool.paged_pool.maxp
@@ -1188,44 +1312,14 @@ class ContinuousBatcher:
         act = [i for i, l in enumerate(self._lanes) if l is not None]
         max_pos = int(max(self._pos[i] for i in act))
         # a near-context-end lane demotes the STEP to plain chunks (its tail
-        # still decodes); speculation resumes once that lane leaves.  Paged
-        # mode (spec always off there) computes neither: the paged kernel
-        # reads through page tables with live lengths, no attn bucket, and
-        # pos_dev must be rebuilt after its preemption loop anyway.
-        spec_step = False
-        if not self.paged:
-            spec_span = self._span(scfg)
-            spec_step = (
-                self._use_spec(scfg) and max_pos + spec_span <= cfg.n_ctx
-            )
-            span = spec_span if spec_step else self.decode_chunk
-            bucket = self.fns.attn_bucket(max_pos + span)
-            pos_dev = jnp.asarray(self._pos, jnp.int32)
-        if spec_step:
-            from .engine import _spec_passes
-
-            k = self.pool.engine.speculative_k
-            n_passes = _spec_passes(self.decode_chunk, k)
-            with self.pool._lock:
-                tokens, counts, self._logits, self._cache, self._hist = (
-                    self.fns.spec_loop(
-                        self.pool.engine.llm_params, self._cache, self._logits,
-                        pos_dev, self._hist, n_passes, k, bucket,
-                    )
-                )
-                tok_host = np.asarray(tokens)
-                cnt_host = np.asarray(counts)
-            lane_tokens = {
-                i: np.concatenate(
-                    [tok_host[i, p, : cnt_host[i, p]] for p in range(n_passes)]
-                )
-                for i in act
-            }
-            self._pos += cnt_host.sum(axis=1)
-        elif self.paged:
+        # still decodes); speculation resumes once that lane leaves
+        spec_span = self._span(scfg)
+        spec_step = self._use_spec(scfg) and max_pos + spec_span <= cfg.n_ctx
+        span = spec_span if spec_step else self.decode_chunk
+        if self.paged:
             from .paged import PoolExhausted
 
-            # grow every active lane one chunk ahead; when the pool runs
+            # grow every active lane one step-span ahead; when the pool runs
             # dry, preempt the youngest lane and retry (its pages fund the
             # others).  A lone lane the pool cannot grow ends its stream at
             # the wall (same semantics as the window batcher's dry-pool stop).
@@ -1237,8 +1331,7 @@ class ContinuousBatcher:
                             if self._lanes[i] is None:
                                 continue
                             new = ppool.extend(
-                                self._pages[i],
-                                int(self._pos[i]) + self.decode_chunk,
+                                self._pages[i], int(self._pos[i]) + span,
                             )
                             if len(new) != len(self._pages[i]):
                                 self._pages[i] = new
@@ -1253,7 +1346,47 @@ class ContinuousBatcher:
             act = [i for i, l in enumerate(self._lanes) if l is not None]
             if not act:
                 return
-            pos_dev = jnp.asarray(self._pos, jnp.int32)
+        else:
+            bucket = self.fns.attn_bucket(max_pos + span)
+        pos_dev = jnp.asarray(self._pos, jnp.int32)
+        if spec_step:
+            from .engine import _spec_passes
+
+            k = self.pool.engine.speculative_k
+            n_passes = _spec_passes(self.decode_chunk, k)
+            with self.pool._lock:
+                if self.paged:
+                    ppool = self.pool.paged_pool
+                    try:
+                        (tokens, counts, self._logits, poolkv,
+                         self._hist) = self.fns.paged_spec_loop(
+                            self.pool.engine.llm_params,
+                            {"k": ppool.k, "v": ppool.v},
+                            jnp.asarray(self._pt_np), self._logits,
+                            pos_dev, self._hist, n_passes, k,
+                        )
+                        ppool.k, ppool.v = poolkv["k"], poolkv["v"]
+                    except Exception:
+                        ppool.broken = True
+                        raise
+                else:
+                    tokens, counts, self._logits, self._cache, self._hist = (
+                        self.fns.spec_loop(
+                            self.pool.engine.llm_params, self._cache,
+                            self._logits, pos_dev, self._hist, n_passes, k,
+                            bucket,
+                        )
+                    )
+                tok_host = np.asarray(tokens)
+                cnt_host = np.asarray(counts)
+            lane_tokens = {
+                i: np.concatenate(
+                    [tok_host[i, p, : cnt_host[i, p]] for p in range(n_passes)]
+                )
+                for i in act
+            }
+            self._pos += cnt_host.sum(axis=1)
+        elif self.paged:
             self._key, sub = jax.random.split(self._key)
             with self.pool._lock:
                 ppool = self.pool.paged_pool
@@ -1266,6 +1399,14 @@ class ContinuousBatcher:
                     )
                     ppool.k, ppool.v = poolkv["k"], poolkv["v"]
                     tok_host = np.asarray(tokens)
+                    if self._use_spec(scfg):
+                        # keep the device n-gram history coherent across
+                        # demoted plain-chunk steps (see the dense arm below)
+                        idx = self._pos[:, None] + np.arange(self.decode_chunk)
+                        self._hist = self._hist.at[
+                            jnp.arange(self.B)[:, None],
+                            jnp.asarray(idx, jnp.int32),
+                        ].set(tokens)
                 except Exception:
                     # donated pool arrays may be dead: retire the pool; the
                     # worker's step-failure handler aborts the lanes and

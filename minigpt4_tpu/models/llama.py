@@ -287,17 +287,67 @@ def _layer(
         # paged writes: lane bi's span lands in pool page
         # page_table[bi, pos // PAGE] at offset pos % PAGE.  Same chained
         # single-lane DUS shape as the batched path below (in-place on the
-        # donated pool); the caller guarantees off + s <= PAGE.
+        # donated pool).
         if not batched_pos:
             raise ValueError("paged mode needs per-lane cursors (pos0 [B])")
         page = ck.shape[3]
+        if s > page:
+            raise ValueError(f"paged span {s} exceeds the page size {page}")
         kb = k.astype(ck.dtype)[None]
         vb = v.astype(cv.dtype)[None]
-        for bi in range(b):
-            pg = page_table[bi, pos0[bi] // page]
-            idx = (li, pg, 0, pos0[bi] % page, 0)
-            ck = jax.lax.dynamic_update_slice(ck, kb[:, bi : bi + 1], idx)
-            cv = jax.lax.dynamic_update_slice(cv, vb[:, bi : bi + 1], idx)
+        maxp = page_table.shape[1] - 1  # last slot is the overshoot clamp
+        if s == 1:
+            # single-token decode: the write can never cross a page edge
+            for bi in range(b):
+                pg = page_table[bi, jnp.minimum(pos0[bi] // page, maxp)]
+                idx = (li, pg, 0, pos0[bi] % page, 0)
+                ck = jax.lax.dynamic_update_slice(ck, kb[:, bi : bi + 1], idx)
+                cv = jax.lax.dynamic_update_slice(cv, vb[:, bi : bi + 1], idx)
+        else:
+            # speculative verify spans (1 < s <= PAGE) may cross ONE page
+            # edge.  Dynamic-length sub-writes don't exist under jit, so each
+            # lane does two fixed-size [.., s, ..] read-blend-writes:
+            #   W1 in page p0 at start1 = min(off, page - s) — the span
+            #      tokens roll right by shift1 = off - start1; slots below
+            #      shift1 are CONSUMED history (positions < pos0) and keep
+            #      their read-back values;
+            #   W2 in page p0+1 at offset 0 — the span rolls left by
+            #      (page - off); slots past the spilled length keep old
+            #      values.  When the span doesn't cross, W2 degenerates to
+            #      rewriting page p0's own first s slots with their current
+            #      contents (mask selects nothing new).
+            # Done lanes overshooting their pages hit the table's trailing
+            # trash slot(s) — both windows then land in the shared sink.
+            sl = jnp.arange(s)  # window slot iota
+            for bi in range(b):
+                off = pos0[bi] % page
+                p0 = pos0[bi] // page
+                pg1 = page_table[bi, jnp.minimum(p0, maxp)]
+                pg2 = page_table[bi, jnp.minimum(p0 + 1, maxp)]
+                start1 = jnp.minimum(off, page - s)
+                shift1 = off - start1
+                spill = off + s - page  # tokens landing in page p0+1 (<=0: none)
+                for cache, data in ((0, kb), (1, vb)):
+                    d = data[:, bi : bi + 1]  # [1, 1, H, s, Dh]
+                    tgt = ck if cache == 0 else cv
+                    i1 = (li, pg1, 0, start1, 0)
+                    cur1 = jax.lax.dynamic_slice(tgt, i1, d.shape)
+                    w1 = jnp.where(
+                        (sl >= shift1)[None, None, None, :, None],
+                        jnp.roll(d, shift1, axis=3), cur1,
+                    )
+                    tgt = jax.lax.dynamic_update_slice(tgt, w1, i1)
+                    i2 = (li, pg2, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+                    cur2 = jax.lax.dynamic_slice(tgt, i2, d.shape)
+                    w2 = jnp.where(
+                        (sl < spill)[None, None, None, :, None],
+                        jnp.roll(d, -(page - off), axis=3), cur2,
+                    )
+                    tgt = jax.lax.dynamic_update_slice(tgt, w2, i2)
+                    if cache == 0:
+                        ck = tgt
+                    else:
+                        cv = tgt
     elif batched_pos:
         # per-batch write offsets: B chained single-lane updates (B is
         # static).  A vmapped dynamic_update_slice here lowers to
@@ -591,10 +641,18 @@ def speculative_decode_loop(
     attn_len: int | None = None,
     use_flash: bool = True,
     tp_axis: str | None = None,
+    page_table: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict, jnp.ndarray]:
     """Greedy speculative decode: ``n_passes`` verify passes, each drafting
     ``k_spec - 1`` tokens by n-gram lookup (:func:`_ngram_draft`) and
     verifying the whole block in ONE forward pass of S=k_spec.
+
+    ``page_table`` [B, MAXP+1]: paged-KV serving mode — ``cache`` holds the
+    shared page pools and the S=k_spec verify writes route through the
+    table (``_layer`` splits spans crossing a page edge into two blended
+    window writes; the caller provisions pages covering
+    ``pos0 + n_passes*k_spec`` for active lanes — overshooting done lanes
+    write into the pool's trash sink via the table's trailing clamp slot).
 
     Why this wins: batch-1 decode is bound by streaming every quantized
     weight per token; an S=k forward reads the weights ONCE for all k
@@ -632,7 +690,7 @@ def speculative_decode_loop(
         emb = embed_tokens(params, toks)
         logits_all, kc = forward(
             params, kc, emb, pos, cfg, all_logits=True, attn_len=attn_len,
-            use_flash=use_flash, tp_axis=tp_axis,
+            use_flash=use_flash, tp_axis=tp_axis, page_table=page_table,
         )  # [B, k, V]
         g = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)  # model's continuations
         ok = (draft == g[:, :-1]).astype(jnp.int32)  # [B, k-1]
@@ -656,6 +714,96 @@ def speculative_decode_loop(
         final_logits,
         cache,
         hist,
+    )
+
+
+def draft_speculative_decode_loop(
+    params: dict,
+    cache: dict,
+    dparams: dict,
+    dcache: dict,
+    logits0: jnp.ndarray,
+    pos0: jnp.ndarray,
+    n_passes: int,
+    k_spec: int,
+    cfg: LlamaConfig,
+    dcfg: LlamaConfig,
+    attn_len: int | None = None,
+    d_attn_len: int | None = None,
+    use_flash: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict, dict]:
+    """Greedy speculative decode drafted by a SECOND, smaller llama model
+    (llama.cpp's "speculative" example pattern — the reference ecosystem's
+    external drafter), verified by the main model in one S=k_spec pass.
+
+    vs :func:`speculative_decode_loop` (prompt-lookup/n-gram drafting): a
+    draft model proposes plausible continuations on NOVEL text too, where
+    n-gram lookup finds nothing (the measured 1.04 tok/pass realistic
+    floor).  The cost model: each pass runs k_spec sequential draft-model
+    steps (cheap — the drafter is 10-100x smaller) plus ONE main-model
+    verify pass (the same weight read as a single token).  Greedy output is
+    token-for-token identical to plain decode regardless of drafter quality
+    — bad drafts just reject.
+
+    The draft model must share the tokenizer/vocab (asserted by the engine).
+    Its cache must contain the same token history as the main cache;
+    positions holding injected image embeddings are evaluated with ZERO
+    embeddings on the drafter (its n_embd differs from the projection dim) —
+    drafting quality around images degrades, correctness never does.
+
+    Each pass evaluates k_spec draft-model steps: steps 0..k-2 produce the
+    draft tokens d1..d{k-1}; the final step evaluates d{k-1} itself so the
+    draft cache stays gap-free through pos+k (a fully accepted pass would
+    otherwise leave position pos+k-1 unevaluated for the next pass).
+
+    Returns (tokens [B, n_passes, k_spec], counts [B, n_passes],
+    final_logits [B, V], cache, dcache).
+    """
+    b = logits0.shape[0]
+    pos0 = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32).reshape(-1), (b,))
+
+    def body(carry, _):
+        logits, kc, dkc, pos = carry
+        t0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+
+        def dstep(dc_carry, i):
+            dkc, tok = dc_carry
+            demb = embed_tokens(dparams, tok[:, None])
+            dlog, dkc = forward(dparams, dkc, demb, pos + i, dcfg,
+                                attn_len=d_attn_len, use_flash=use_flash)
+            nxt = jnp.argmax(dlog, axis=-1).astype(jnp.int32)
+            return (dkc, nxt), tok
+
+        # k_spec sequential draft steps; the emitted sequence is the tokens
+        # EVALUATED: [t0, d1, ..., d_{k-1}] (the last step's output is the
+        # k-th draft, unused — it only fills the draft cache)
+        (dkc, _), toks_t = jax.lax.scan(
+            dstep, (dkc, t0), jnp.arange(k_spec))
+        toks = toks_t.T  # [B, k]
+
+        emb = embed_tokens(params, toks)
+        logits_all, kc = forward(
+            params, kc, emb, pos, cfg, all_logits=True, attn_len=attn_len,
+            use_flash=use_flash,
+        )  # [B, k, V]
+        g = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+        ok = (toks[:, 1:] == g[:, :-1]).astype(jnp.int32)  # drafts vs argmax
+        acc = jnp.cumprod(ok, axis=1).sum(axis=1)
+        count = 1 + acc
+        new_logits = jnp.take_along_axis(
+            logits_all, acc[:, None, None], axis=1
+        )[:, 0]
+        return (new_logits, kc, dkc, pos + count), (toks, count)
+
+    (final_logits, cache, dcache, _), (tokens, counts) = jax.lax.scan(
+        body, (logits0, cache, dcache, pos0), None, length=n_passes
+    )
+    return (
+        tokens.transpose(1, 0, 2),
+        counts.T,
+        final_logits,
+        cache,
+        dcache,
     )
 
 

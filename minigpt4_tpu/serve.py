@@ -271,12 +271,9 @@ def start_server(model_path, llm_path, host="127.0.0.1", port=8000,
                  continuous: bool = False, max_batch: int = 8,
                  park_idle: bool = False, paged_pages: int | None = None,
                  **engine_kwargs) -> ThreadingHTTPServer:
-    if paged_pages and continuous and engine_kwargs.get("speculative_k", 0) > 1:
-        # paged lanes take single-position writes only; speculative verify
-        # spans (S=k) can cross a page edge, so the batcher would silently
-        # fall back to dense slots while the pool burns HBM — reject instead
-        raise ValueError("--paged-pages with --continuous requires "
-                         "speculation off (--speculative-k 0)")
+    # paged + speculative compose: verify spans route through the page
+    # tables (spans crossing a page edge split inside llama._layer), so the
+    # batcher keeps speculation under paging — no dense fallback needed
     pool = SessionPool(model_path, llm_path, session_ctx=session_ctx,
                        paged_pool_pages=paged_pages, **engine_kwargs)
     srv = _Server(pool, batch_window_s=batch_window_s, continuous=continuous,
@@ -342,6 +339,13 @@ def main():
         "AND batched (--batch-window-ms) greedy decode",
     )
     ap.add_argument(
+        "--draft-llm", default=None, metavar="PATH",
+        help="ggml llama file of a SMALLER draft model sharing the main "
+        "model's tokenizer: greedy single-stream decode is then drafted by "
+        "it and block-verified by the main model (token-identical output; "
+        "unlike n-gram lookup, a trained drafter accelerates novel text)",
+    )
+    ap.add_argument(
         "--tp", type=int, default=1,
         help="tensor-parallel devices for the decoder (shard_map over a "
         "(dp, tp) mesh; greedy output is identical to single-chip)",
@@ -362,6 +366,7 @@ def main():
                          park_idle=args.park_idle,
                          paged_pages=args.paged_pages or None,
                          speculative_k=args.speculative_k,
+                         draft_llm_path=args.draft_llm,
                          cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
                          smooth_scales=args.smooth_scales,
                          tp=args.tp)

@@ -464,3 +464,239 @@ def test_continuous_admission_failure_frees_pages(paged_pool):
     finally:
         cb.close()
     s.close()
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding over the page pool: verify spans (S = k_spec) may
+# cross a 128-position page edge; llama._layer splits them into two blended
+# window writes.  Contract: paged speculative output is token-identical to
+# the dense speculative path (which is itself token-identical to plain
+# greedy — test_speculative.py).
+# ---------------------------------------------------------------------------
+
+def _tiny_cfg():
+    from minigpt4_tpu.models.llama import LlamaConfig
+
+    return LlamaConfig(n_vocab=96, n_embd=64, n_head=2, n_layer=2, n_rot=32,
+                       n_ff=128, n_ctx=256)
+
+
+def _tiny_params(cfg, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    d, ff, v, L = cfg.n_embd, cfg.n_ff, cfg.n_vocab, cfg.n_layer
+
+    def lin(k, n):
+        return {"w": jnp.asarray(rng.normal(0, 0.08, (L, k, n)), jnp.float32)}
+
+    return {
+        "tok_embeddings": jnp.asarray(rng.normal(0, 0.5, (v, d)), jnp.float32),
+        "norm": jnp.ones((d,), jnp.float32),
+        "output": {"w": jnp.asarray(rng.normal(0, 0.3, (d, v)), jnp.float32)},
+        "layers": {
+            "attention_norm": jnp.ones((L, d), jnp.float32),
+            "ffn_norm": jnp.ones((L, d), jnp.float32),
+            "wq": lin(d, d), "wk": lin(d, d), "wv": lin(d, d),
+            "wo": lin(d, d), "w1": lin(d, ff), "w2": lin(ff, d),
+            "w3": lin(d, ff),
+        },
+    }
+
+
+@pytest.mark.parametrize("pos", [32, 119, 123, 127])
+def test_paged_span_write_page_edge(pos):
+    """A multi-token (verify-span) paged write lands identically to the
+    dense cache write — including spans that straddle the 128-position page
+    edge (pos 123/127 with s=9), end exactly at it (119), or sit inside one
+    page (32)."""
+    import jax.numpy as jnp
+    from minigpt4_tpu.engine.paged import PAGE, PagedKVPool
+    from minigpt4_tpu.models import llama as llama_mod
+
+    cfg = _tiny_cfg()
+    params = _tiny_params(cfg)
+    s = 9
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, cfg.n_vocab, pos).astype(np.int32)
+    span_toks = rng.integers(0, cfg.n_vocab, s).astype(np.int32)
+
+    # dense reference: prefill then the span
+    cache = llama_mod.init_cache(cfg)
+    emb = llama_mod.embed_tokens(params, jnp.asarray(prompt)[None])
+    _, cache = llama_mod.forward(params, cache, emb, jnp.int32(0), cfg)
+    emb_s = llama_mod.embed_tokens(params, jnp.asarray(span_toks)[None])
+    want_logits, cache = llama_mod.forward(
+        params, cache, emb_s, jnp.asarray([pos], jnp.int32), cfg,
+        all_logits=True)
+
+    # paged: admit the prefilled cache into pool pages, run the same span
+    cache2 = llama_mod.init_cache(cfg)
+    _, cache2 = llama_mod.forward(params, cache2, emb, jnp.int32(0), cfg)
+    pool = PagedKVPool(cfg, n_pages=4, capacity=cfg.n_ctx, dtype=jnp.float32)
+    pages = pool.extend(pool.admit(cache2, pos), pos + s)
+    pt = jnp.asarray(pool.table_row(pages))[None]
+    got_logits, poolkv = llama_mod.forward(
+        params, {"k": pool.k, "v": pool.v}, emb_s,
+        jnp.asarray([pos], jnp.int32), cfg, all_logits=True,
+        page_table=pt)
+    pool.k, pool.v = poolkv["k"], poolkv["v"]
+
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(want_logits),
+                               rtol=2e-4, atol=2e-4)
+    dense_back = pool.evict(pages, cfg.n_ctx)
+    for kv in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(dense_back[kv][:, :, :, : pos + s]),
+            np.asarray(cache[kv][:, :, :, : pos + s]), rtol=2e-4, atol=2e-4)
+
+
+def test_paged_spec_loop_matches_dense():
+    """speculative_decode_loop over page pools == the dense loop: same
+    tokens, counts, and final logits, with lane cursors chosen so verify
+    spans cross page edges mid-run."""
+    import jax.numpy as jnp
+    from minigpt4_tpu.engine.paged import PagedKVPool
+    from minigpt4_tpu.models import llama as llama_mod
+
+    cfg = _tiny_cfg()
+    params = _tiny_params(cfg)
+    rng = np.random.default_rng(2)
+    k_spec, n_passes = 4, 6  # up to 24 positions: crosses edges from 110+
+    prompts = [
+        rng.integers(0, cfg.n_vocab, 118).astype(np.int32),
+        rng.integers(0, cfg.n_vocab, 97).astype(np.int32),
+    ]
+    b = len(prompts)
+
+    def prefill_lane(p):
+        cache = llama_mod.init_cache(cfg)
+        emb = llama_mod.embed_tokens(params, jnp.asarray(p)[None])
+        logits, cache = llama_mod.forward(params, cache, emb, jnp.int32(0), cfg)
+        return logits, cache
+
+    lanes = [prefill_lane(p) for p in prompts]
+    logits0 = jnp.concatenate([l for l, _ in lanes])
+    pos0 = jnp.asarray([len(p) for p in prompts], jnp.int32)
+    hist_np = np.full((b, cfg.n_ctx), -1, np.int32)
+    for i, p in enumerate(prompts):
+        hist_np[i, : len(p)] = p
+    hist = jnp.asarray(hist_np)
+
+    dense = {
+        kv: jnp.concatenate([c[kv] for _, c in lanes], axis=1)
+        for kv in ("k", "v")
+    }
+    want_t, want_c, want_l, _, want_h = llama_mod.speculative_decode_loop(
+        params, dense, logits0, pos0, hist, n_passes, k_spec, cfg)
+
+    pool = PagedKVPool(cfg, n_pages=6, capacity=cfg.n_ctx, dtype=jnp.float32)
+    span = n_passes * k_spec
+    lane_pages = []
+    for i, (_, c) in enumerate(lanes):
+        pages = pool.admit(c, len(prompts[i]))
+        lane_pages.append(pool.extend(pages, len(prompts[i]) + span))
+    pt = jnp.asarray(np.stack([pool.table_row(p) for p in lane_pages]))
+    got_t, got_c, got_l, poolkv, got_h = llama_mod.speculative_decode_loop(
+        params, {"k": pool.k, "v": pool.v}, logits0, pos0, hist,
+        n_passes, k_spec, cfg, page_table=pt)
+    pool.k, pool.v = poolkv["k"], poolkv["v"]
+
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_h), np.asarray(want_h))
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def spec_paged_pool(tmp_path_factory):
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("spec_paged"))
+    p = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32,
+                    paged_pool_pages=8, speculative_k=4)
+    yield p
+    p.close()
+
+
+@pytest.fixture(scope="module")
+def spec_dense_pool(tmp_path_factory):
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("spec_dense"))
+    p = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32,
+                    speculative_k=4)
+    yield p
+    p.close()
+
+
+def test_paged_spec_batch_matches_dense(spec_paged_pool, spec_dense_pool):
+    """Greedy batched generation under a speculative engine rides the page
+    pool (no dense fallback) and emits exactly the dense spec path's
+    tokens; all pages return to the free list."""
+    prompts = ["one two one two one", "three four three four"]
+    free0 = spec_paged_pool.paged_pool.free_pages
+    got, gs, gstate = _batch_run(spec_paged_pool, prompts, limit=20,
+                                 decode_chunk=8)
+    want, ws, wstate = _batch_run(spec_dense_pool, prompts, limit=20,
+                                  decode_chunk=8)
+    assert got == want
+    assert gstate == wstate
+    assert spec_paged_pool.paged_pool.free_pages == free0
+    # follow-up turns continue identically (gather preserved the KV the
+    # accepted spans wrote, including any page-edge crossings)
+    for g, w in zip(gs, ws):
+        spec_paged_pool.begin_chat(g, "more?")
+        spec_dense_pool.begin_chat(w, "more?")
+        a = "".join(g.generate(limit=6, params=GREEDY))
+        b = "".join(w.generate(limit=6, params=GREEDY))
+        assert a == b
+    for s in gs + ws:
+        s.close()
+
+
+def test_paged_spec_crosses_page_edge(spec_paged_pool, spec_dense_pool):
+    """A lane prefilled to just under the page edge speculates across it:
+    verify spans straddle the 128-position boundary and the output still
+    matches dense speculation."""
+    prompt = "grow " * 20  # ~120 positions: first spec span crosses
+    g = spec_paged_pool.new_session()
+    spec_paged_pool.begin_chat(g, prompt)
+    assert 100 < g.n_past < 128
+    got = spec_paged_pool.generate_batch([g], limit=40, params=GREEDY,
+                                         decode_chunk=8)
+    assert g.n_past > 128
+    w = spec_dense_pool.new_session()
+    spec_dense_pool.begin_chat(w, prompt)
+    want = spec_dense_pool.generate_batch([w], limit=40, params=GREEDY,
+                                          decode_chunk=8)
+    assert got == want
+    g.close()
+    w.close()
+
+
+def test_paged_spec_continuous_matches_dense(spec_paged_pool, spec_dense_pool):
+    """The ContinuousBatcher keeps speculation under paging (spec engines
+    no longer force dense mode) and emits the dense batcher's tokens."""
+    from minigpt4_tpu.engine.sessions import ContinuousBatcher
+
+    def run(pool):
+        sessions = []
+        for q in ("one two one two", "three four three"):
+            s = pool.new_session()
+            pool.begin_chat(s, q)
+            sessions.append(s)
+        cb = ContinuousBatcher(pool, max_batch=4, decode_chunk=4)
+        try:
+            outs = [cb.submit(s, 10, GREEDY) for s in sessions]
+            texts = [_drain(cb, o) for o in outs]
+        finally:
+            cb.close()
+        for s in sessions:
+            s.close()
+        return texts, cb
+
+    got, cb_p = run(spec_paged_pool)
+    assert cb_p.paged
+    assert spec_paged_pool.paged_pool.free_pages == \
+        spec_paged_pool.paged_pool.n_pages
+    want, cb_d = run(spec_dense_pool)
+    assert not cb_d.paged
+    assert got == want

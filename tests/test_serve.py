@@ -299,12 +299,40 @@ def test_park_idle_serving(tmp_path_factory):
         httpd.pool.close()
 
 
-def test_paged_continuous_with_spec_rejected():
-    """Paged continuous serving requires speculation off (verify spans can
-    cross page edges; the batcher would silently fall back to dense slots
-    while the pool burns HBM) — rejected before any model IO."""
-    import pytest
+def test_paged_continuous_with_spec(tmp_path_factory):
+    """Paged continuous serving composes with speculation: greedy verify
+    passes run over the page pool (spans crossing a page edge split inside
+    the model), and responses match a dense speculative server."""
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("pgspec"))
 
-    with pytest.raises(ValueError, match="speculation off"):
-        start_server("nope.bin", "nope2.bin", continuous=True, paged_pages=8,
-                     speculative_k=4)
+    def post_slow(base, path, data=b""):
+        # first paged-spec dispatch cold-compiles (interpret-mode flash
+        # kernel on CPU CI): allow well past _post's default 120 s
+        req = urllib.request.Request(base + path, data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=420) as r:
+            return r.status, r.read()
+
+    def run_server(paged_pages):
+        httpd = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
+                             n_batch=32, continuous=True, paged_pages=paged_pages,
+                             speculative_k=4)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            _, body = post_slow(base, "/v1/sessions")
+            sid = json.loads(body)["session_id"]
+            _, body = post_slow(
+                base, f"/v1/sessions/{sid}/chat",
+                json.dumps({"message": "one two one", "limit": 8,
+                            "temp": 0.0}).encode(),
+            )
+            return json.loads(body)["text"]
+        finally:
+            if httpd.batcher is not None:
+                httpd.batcher.close()
+            httpd.shutdown()
+            httpd.pool.close()
+
+    got = run_server(8)
+    want = run_server(None)
+    assert got == want

@@ -549,3 +549,73 @@ def test_restore_into_parked_session(pool, tmp_path):
     assert a.state.parked is None and a.state.cache is not None
     assert "".join(a.generate(limit=4, params=SamplingParams(temp=0.0))) == want
     a.close()
+
+
+# ---------------------------------------------------------------------------
+# System-prompt prefix KV cache: fresh sessions reuse the first session's
+# computed SYSTEM_PROMPT prefill (copied, bit-identical) instead of
+# recomputing it.
+# ---------------------------------------------------------------------------
+
+def test_prefix_cache_state_bit_identical(pool):
+    """The installed prefix state (cache bytes + pending logits + token
+    history) is bit-identical to a freshly computed prefill."""
+    a = pool.new_session()
+    pool.system_prompt(a)  # first: computes + captures (miss)
+    b = pool.new_session()
+    pool.system_prompt(b)  # second: installs from the cache (hit)
+    assert pool.metrics["prefix_cache_hits"] >= 1
+    assert pool.metrics["prefix_cache_misses"] >= 1
+    n = a.n_past
+    assert n > 0 and b.n_past == n
+    assert a.state.tokens == b.state.tokens
+    for kv in ("k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(a.state.cache[kv][:, :, :, :n]).view(np.uint8),
+            np.asarray(b.state.cache[kv][:, :, :, :n]).view(np.uint8))
+    np.testing.assert_array_equal(a.state.logits, b.state.logits)
+    a.close()
+    b.close()
+
+
+def test_prefix_cache_generation_identical(pool, tmp_path_factory):
+    """End-to-end greedy generation through the prefix-cache fast path
+    matches a pool with the cache disabled."""
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("nopfx"))
+    ref = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32,
+                      prefix_cache=False)
+    try:
+        assert not ref.prefix_cache
+
+        def run(p):
+            s = p.new_session()
+            p.system_prompt(s)
+            p.begin_chat(s, "hello there")
+            toks = list(s.generate(limit=8, params=SamplingParams(temp=0.0)))
+            s.close()
+            return toks
+
+        run(pool)  # ensure the prefix is cached
+        hits0 = pool.metrics["prefix_cache_hits"]
+        got = run(pool)  # this one rides the cache
+        assert pool.metrics["prefix_cache_hits"] == hits0 + 1
+        want = run(ref)
+        assert got == want
+    finally:
+        ref.close()
+
+
+def test_prefix_cache_upload_image_flow(pool):
+    """upload_image (reset -> system_prompt -> encode) hits the prefix cache
+    on every session after the first, and the chat still works."""
+    s1 = pool.new_session()
+    s1.upload_image(_img(7))
+    hits0 = pool.metrics["prefix_cache_hits"]
+    s2 = pool.new_session()
+    s2.upload_image(_img(8))
+    assert pool.metrics["prefix_cache_hits"] == hits0 + 1
+    s2.ask("what is it?")
+    toks = list(s2.generate(limit=4, params=SamplingParams(temp=0.0)))
+    assert s2.n_past > 0
+    s1.close()
+    s2.close()

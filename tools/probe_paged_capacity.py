@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--quant-mode", default="w8a8")
     ap.add_argument("--cache-dtype", choices=["bf16", "f8"], default="f8")
+    ap.add_argument("--spec-k", type=int, default=0, metavar="K",
+                    help="measure paged SPECULATIVE serving instead: greedy "
+                         "verify passes of width K over the pool, with "
+                         "cyclic per-lane histories (drafts saturate, so the "
+                         "aggregate is the mechanism's upper bound; the "
+                         "pass cost is the hardware truth).  Cursors start "
+                         "K positions before a page edge so verify spans "
+                         "CROSS pages every step.")
     args = ap.parse_args()
 
     import jax
@@ -60,47 +68,98 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(params["layers"]))
 
     ppl = args.pages_per_lane
-    start_pos = (ppl - 1) * PAGE  # cursors mid-way into the last held page
+    spec_k, passes = args.spec_k, 2
+    if spec_k:
+        # cursors K before a page edge: every verify span straddles pages
+        start_pos = ppl * PAGE - spec_k
+        ppl_alloc = ppl + -(-passes * spec_k // PAGE)  # room for the spans
+    else:
+        start_pos = (ppl - 1) * PAGE  # cursors mid-way into the last held page
+        ppl_alloc = ppl
     for lanes in [int(x) for x in args.lanes.split(",")]:
         try:
             # zero pool contents (the constructor's default): decode cost
             # does not depend on KV values, and k/v must stay DISTINCT
             # buffers (both are donated per dispatch)
-            pool = PagedKVPool(bcfg, lanes * ppl, bcfg.n_ctx, dtype=cache_dtype)
-            lane_pages = [pool.alloc(ppl) for _ in range(lanes)]
+            pool = PagedKVPool(bcfg, lanes * ppl_alloc, bcfg.n_ctx,
+                               dtype=cache_dtype)
+            lane_pages = [pool.alloc(ppl_alloc) for _ in range(lanes)]
             pt = jnp.asarray(np.stack([pool.table_row(p) for p in lane_pages]))
             logits = jnp.zeros((lanes, bcfg.n_vocab), jnp.float32)
-            pdl = jax.jit(
-                lambda p, pool_kv, t, l0, pos0, k: llama_mod.decode_loop(
-                    p, pool_kv, l0, pos0, args.chunk, k,
-                    DeviceSamplingConfig(temp=0.0), bcfg, page_table=t,
-                ),
-                donate_argnums=(1,),
-            )
             pos = jnp.full((lanes,), start_pos, jnp.int32)
             k2 = jax.random.PRNGKey(1)
-            toks, logits, poolkv = pdl(params, {"k": pool.k, "v": pool.v},
-                                       pt, logits, pos, k2)
-            pool.k, pool.v = poolkv["k"], poolkv["v"]
-            np.asarray(toks)  # compile + sync
-            t0 = time.perf_counter()
-            n = 0
-            for _ in range(args.steps):
+            dense_mb = (2 * lanes * bcfg.n_layer * bcfg.n_head * bcfg.n_ctx
+                        * bcfg.head_dim * jnp.dtype(cache_dtype).itemsize / 1e6)
+            line = {
+                "lanes": lanes,
+                "pool_mb": round(2 * pool.k.nbytes / 1e6, 1),
+                "dense_reservation_mb": round(dense_mb, 1),
+            }
+            if spec_k:
+                # cyclic histories: n-gram drafts saturate acceptance, so
+                # the measured aggregate is the paged-spec UPPER BOUND at
+                # this lane count (pass cost is workload-independent)
+                hist_np = np.full((lanes, bcfg.n_ctx), -1, np.int32)
+                hist_np[:, :start_pos] = np.tile(
+                    np.arange(8, dtype=np.int32),
+                    (lanes, -(-start_pos // 8)))[:, :start_pos]
+                hist = jnp.asarray(hist_np)
+                psl = jax.jit(
+                    lambda p, pool_kv, t, l0, pos0, h: (
+                        llama_mod.speculative_decode_loop(
+                            p, pool_kv, l0, pos0, h, passes, spec_k, bcfg,
+                            page_table=t)
+                    ),
+                    donate_argnums=(1,),
+                )
+                toks, cnt, logits, poolkv, hist = psl(
+                    params, {"k": pool.k, "v": pool.v}, pt, logits, pos, hist)
+                pool.k, pool.v = poolkv["k"], poolkv["v"]
+                np.asarray(toks)  # compile + sync
+                t0 = time.perf_counter()
+                n_tok = n_pass = 0
+                for _ in range(args.steps):
+                    # fixed cursors (state reuse): timing only
+                    toks, cnt, logits, poolkv, hist = psl(
+                        params, {"k": pool.k, "v": pool.v}, pt, logits, pos,
+                        hist)
+                    pool.k, pool.v = poolkv["k"], poolkv["v"]
+                    n_tok += int(np.asarray(cnt).sum())
+                    n_pass += passes * lanes
+                dt = time.perf_counter() - t0
+                line.update({
+                    "spec_k": spec_k,
+                    "aggregate_tok_s_saturated": round(n_tok / dt, 2),
+                    "accept_per_pass": round(n_tok / n_pass, 2),
+                    "spec_pass_ms": round(dt / (args.steps * passes) * 1e3, 2),
+                })
+                del cnt, hist
+            else:
+                pdl = jax.jit(
+                    lambda p, pool_kv, t, l0, pos0, k: llama_mod.decode_loop(
+                        p, pool_kv, l0, pos0, args.chunk, k,
+                        DeviceSamplingConfig(temp=0.0), bcfg, page_table=t,
+                    ),
+                    donate_argnums=(1,),
+                )
                 toks, logits, poolkv = pdl(params, {"k": pool.k, "v": pool.v},
                                            pt, logits, pos, k2)
                 pool.k, pool.v = poolkv["k"], poolkv["v"]
-                np.asarray(toks)
-                n += args.chunk
-            dt = time.perf_counter() - t0
-            dense_mb = (2 * lanes * bcfg.n_layer * bcfg.n_head * bcfg.n_ctx
-                        * bcfg.head_dim * jnp.dtype(cache_dtype).itemsize / 1e6)
-            print(json.dumps({
-                "lanes": lanes,
-                "aggregate_tok_s": round(lanes * n / dt, 2),
-                "per_lane_tok_s": round(n / dt, 2),
-                "pool_mb": round(2 * pool.k.nbytes / 1e6, 1),
-                "dense_reservation_mb": round(dense_mb, 1),
-            }), flush=True)
+                np.asarray(toks)  # compile + sync
+                t0 = time.perf_counter()
+                n = 0
+                for _ in range(args.steps):
+                    toks, logits, poolkv = pdl(params, {"k": pool.k, "v": pool.v},
+                                               pt, logits, pos, k2)
+                    pool.k, pool.v = poolkv["k"], poolkv["v"]
+                    np.asarray(toks)
+                    n += args.chunk
+                dt = time.perf_counter() - t0
+                line.update({
+                    "aggregate_tok_s": round(lanes * n / dt, 2),
+                    "per_lane_tok_s": round(n / dt, 2),
+                })
+            print(json.dumps(line), flush=True)
             del pool, poolkv, logits, toks, pt
         except Exception as e:
             print(json.dumps({"lanes": lanes,

@@ -166,7 +166,12 @@ def make_handler(srv: _Server):
             return self.rfile.read(n)
 
         def do_GET(self):
-            if self.path == "/v1/health":
+            if self.path == "/v1/models":
+                # OpenAI-compatible discovery (clients probe it before chat)
+                self._json(200, {"object": "list", "data": [{
+                    "id": "minigpt4-tpu", "object": "model",
+                    "owned_by": "minigpt4_tpu"}]})
+            elif self.path == "/v1/health":
                 body = {"ok": True, "sessions": srv.count(),
                         "metrics": dict(srv.pool.metrics),
                         "tok_s_30s": round(srv.pool.generation_rate(), 2)}
@@ -190,7 +195,162 @@ def make_handler(srv: _Server):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _oai_parse_user(self, content):
+            """OpenAI user-message content -> (text, pixels|None).  Accepts a
+            plain string or the parts array; image parts must be data: URLs
+            (base64) — this server fetches nothing."""
+            if isinstance(content, str):
+                return content, None
+            text, pixels = [], None
+            for part in content or []:
+                if part.get("type") == "text":
+                    text.append(part.get("text", ""))
+                elif part.get("type") == "image_url" and pixels is None:
+                    url = (part.get("image_url") or {}).get("url", "")
+                    if not url.startswith("data:"):
+                        raise ValueError(
+                            "image_url must be a data: URL (no egress)")
+                    import base64
+
+                    from PIL import Image
+
+                    raw = base64.b64decode(url.split(",", 1)[1])
+                    img = Image.open(io.BytesIO(raw)).convert("RGB")
+                    size = srv.pool.engine.vision_cfg.vit.image_size
+                    pixels = image_mod.preprocess(np.asarray(img), size=size)
+            return "".join(text), pixels
+
+        def _chat_completions(self):
+            """OpenAI-compatible /v1/chat/completions over an EPHEMERAL
+            session: the messages array is replayed through the reference's
+            Vicuna-v0 chat template (fixed system prompt, `Human:`/
+            `### Assistant:` turns, first image injected as the 32-slot
+            embedding), then the final user turn generates.  Stateless per
+            request — multi-turn context rides in `messages`, like any
+            OpenAI-style endpoint; the prefix cache absorbs the repeated
+            system-prompt prefill."""
+            import time as _time
+
+            req = json.loads(self._body() or b"{}")
+            messages = req.get("messages") or []
+            if not messages or messages[-1].get("role") != "user":
+                self._json(400, {"error": {
+                    "message": "messages must end with a user turn",
+                    "type": "invalid_request_error"}})
+                return
+            params = SamplingParams(
+                temp=float(req.get("temperature", 0.8)),
+                top_p=float(req.get("top_p", 0.9)),
+                top_k=int(req.get("top_k", 40)),
+            )
+            limit = int(req.get("max_tokens") or 256)
+            stream = bool(req.get("stream", False))
+            s = srv.pool.new_session()
+            try:
+                srv.pool.system_prompt(s)
+                # replay history; the first image in any user turn becomes
+                # THE image (the reference pipeline is single-image)
+                pending_img = None
+                history = messages[:-1]
+                for m in history:
+                    role, content = m.get("role"), m.get("content")
+                    if role == "user":
+                        text, px = self._oai_parse_user(content)
+                        if px is not None and pending_img is None:
+                            emb = s.encode_image(px)
+                            s.embedding = emb
+                            s.is_image_chat = True
+                            pending_img = True
+                        s.ask(text)
+                    elif role == "assistant":
+                        srv.pool._add_strings(
+                            s, content if isinstance(content, str)
+                            else "".join(p.get("text", "")
+                                         for p in (content or [])))
+                text, px = self._oai_parse_user(messages[-1].get("content"))
+                if px is not None and pending_img is None:
+                    emb = s.encode_image(px)
+                    s.embedding = emb
+                    s.is_image_chat = True
+                s.ask(text)
+                prompt_tokens = s.n_past
+
+                def token_iter():
+                    if srv.batcher is not None and params.mirostat == 0:
+                        out = srv.batcher.submit(s, limit, params)
+                        while True:
+                            tok = out.get()
+                            if tok is srv.batcher._DONE:
+                                break
+                            if isinstance(tok, Exception):
+                                raise tok
+                            yield tok
+                    else:
+                        yield from s.generate(limit=limit, params=params)
+
+                rid = f"chatcmpl-{s.session_id}-{int(_time.time())}"
+                model = req.get("model", "minigpt4-tpu")
+                if stream:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def sse(obj):
+                        data = f"data: {json.dumps(obj)}\n\n".encode()
+                        self.wfile.write(
+                            f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+                    n = 0
+                    try:
+                        for tok in token_iter():
+                            n += 1
+                            sse({"id": rid, "object": "chat.completion.chunk",
+                                 "model": model, "choices": [{
+                                     "index": 0, "delta": {"content": tok},
+                                     "finish_reason": None}]})
+                        sse({"id": rid, "object": "chat.completion.chunk",
+                             "model": model, "choices": [{
+                                 "index": 0, "delta": {},
+                                 "finish_reason":
+                                     "length" if n >= limit else "stop"}]})
+                        done = b"data: [DONE]\n\n"
+                        self.wfile.write(
+                            f"{len(done):x}\r\n".encode() + done + b"\r\n")
+                    except Exception:
+                        pass  # headers are out; terminate the stream
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
+                text_out = "".join(token_iter())
+                completion = s.n_past - prompt_tokens
+                self._json(200, {
+                    "id": rid, "object": "chat.completion",
+                    "created": int(_time.time()), "model": model,
+                    "choices": [{
+                        "index": 0,
+                        "message": {"role": "assistant", "content": text_out},
+                        "finish_reason":
+                            "length" if completion >= limit else "stop",
+                    }],
+                    "usage": {"prompt_tokens": prompt_tokens,
+                              "completion_tokens": completion,
+                              "total_tokens": s.n_past},
+                })
+            finally:
+                s.close()
+
         def do_POST(self):
+            if self.path.split("?")[0] == "/v1/chat/completions":
+                try:
+                    self._chat_completions()
+                except Exception as e:
+                    try:
+                        self._json(500, {"error": {
+                            "message": f"{type(e).__name__}: {e}",
+                            "type": "server_error"}})
+                    except Exception:
+                        pass
+                return
             if self.path == "/v1/sessions":
                 self._json(200, {"session_id": srv.create()})
                 return

@@ -336,3 +336,126 @@ def test_paged_continuous_with_spec(tmp_path_factory):
     got = run_server(8)
     want = run_server(None)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# OpenAI-compatible /v1/chat/completions (ephemeral sessions over the
+# reference's Vicuna-v0 chat template)
+# ---------------------------------------------------------------------------
+
+def test_openai_chat_completions(tmp_path_factory):
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("oai"))
+    httpd = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
+                         n_batch=32)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # model discovery
+        _, body = _get(base, "/v1/models")
+        assert json.loads(body)["data"][0]["id"] == "minigpt4-tpu"
+
+        def chat(messages, **kw):
+            _, body = _post(base, "/v1/chat/completions", json.dumps(
+                {"messages": messages, "temperature": 0.0, "max_tokens": 8,
+                 **kw}).encode())
+            return json.loads(body)
+
+        r = chat([{"role": "user", "content": "hello there"}])
+        assert r["object"] == "chat.completion"
+        assert r["choices"][0]["message"]["role"] == "assistant"
+        text1 = r["choices"][0]["message"]["content"]
+        assert isinstance(text1, str)
+        u = r["usage"]
+        assert u["prompt_tokens"] > 0
+        assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+        assert r["choices"][0]["finish_reason"] in ("stop", "length")
+
+        # stateless determinism: the same request reproduces the same text
+        r2 = chat([{"role": "user", "content": "hello there"}])
+        assert r2["choices"][0]["message"]["content"] == text1
+
+        # multi-turn replay: history changes the continuation deterministically
+        r3 = chat([
+            {"role": "user", "content": "hello there"},
+            {"role": "assistant", "content": text1},
+            {"role": "user", "content": "and then?"},
+        ])
+        assert isinstance(r3["choices"][0]["message"]["content"], str)
+
+        # ephemeral sessions must not leak
+        _, body = _get(base, "/v1/health")
+        assert json.loads(body)["sessions"] == 0
+
+        # messages must end with a user turn
+        req = urllib.request.Request(
+            base + "/v1/chat/completions",
+            data=json.dumps({"messages": [
+                {"role": "assistant", "content": "hi"}]}).encode(),
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.pool.close()
+
+
+def test_openai_chat_completions_stream_and_image(tmp_path_factory):
+    import base64
+
+    from PIL import Image
+
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("oai_s"))
+    httpd = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
+                         n_batch=32)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        buf = io.BytesIO()
+        arr = np.random.default_rng(0).integers(0, 255, (40, 40, 3),
+                                                dtype=np.uint8)
+        Image.fromarray(arr).save(buf, format="PNG")
+        data_url = ("data:image/png;base64," +
+                    base64.b64encode(buf.getvalue()).decode())
+        msgs = [{"role": "user", "content": [
+            {"type": "text", "text": "what is in the picture?"},
+            {"type": "image_url", "image_url": {"url": data_url}},
+        ]}]
+        req = urllib.request.Request(
+            base + "/v1/chat/completions",
+            data=json.dumps({"messages": msgs, "temperature": 0.0,
+                             "max_tokens": 6, "stream": True}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            events = [ln for ln in r.read().decode().split("\n\n")
+                      if ln.startswith("data: ")]
+        assert events[-1] == "data: [DONE]"
+        chunks = [json.loads(e[6:]) for e in events[:-1]]
+        assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+        # non-stream with the same image reproduces the streamed text
+        _, body = _post(base, "/v1/chat/completions", json.dumps(
+            {"messages": msgs, "temperature": 0.0, "max_tokens": 6}).encode())
+        assert json.loads(body)["choices"][0]["message"]["content"] == text
+
+        # non-data URLs are refused (no egress from the server)
+        bad = [{"role": "user", "content": [
+            {"type": "image_url",
+             "image_url": {"url": "http://example.com/x.png"}}]}]
+        req = urllib.request.Request(
+            base + "/v1/chat/completions",
+            data=json.dumps({"messages": bad}).encode(), method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+    finally:
+        httpd.shutdown()
+        httpd.pool.close()

@@ -107,6 +107,13 @@ def run_single(model: str) -> int:
         # whatever acceptance the synthetic stream produced
         line["batched_spec_tok_s_measured"] = round(
             dec["decode_tok_s_batched_spec"], 2)
+    if "draft_spec_pass_ms" in dec:
+        # draft-MODEL speculation (second small llama drafts, main verifies):
+        # pass cost + the effective rate a trained drafter at 2 accepted
+        # drafts/pass would deliver (acceptance itself needs real weights)
+        line["draft_spec_pass_ms"] = round(dec["draft_spec_pass_ms"], 2)
+        line["draft_spec_tok_s_at_accept2"] = round(
+            dec["draft_spec_tok_s_at_accept2"], 2)
     if "decode_tok_s_paged_spec" in dec:
         # paged pool x speculative verify passes (spec no longer forces
         # serving groups off the paged capacity path)

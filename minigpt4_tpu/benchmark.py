@@ -559,6 +559,79 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         out["spec_accept_realistic"] = acc_real
         out["decode_tok_s_spec_realistic"] = acc_real / (out["spec_pass_ms"] / 1e3)
 
+    # --- draft-MODEL speculation pass cost (llama.draft_speculative_decode
+    # _loop with a synthetic ~170M bf16 drafter beside the main model): k
+    # sequential draft steps + one verify pass per dispatch.  Synthetic
+    # drafter/main pairs have meaningless ACCEPTANCE (unrelated weights), so
+    # the honest numbers are the pass cost and the implied effective rate
+    # formula: tok_s(accept) = (1 + accept) / draft_spec_pass_s.  Guarded:
+    # must never sink the sections before/after it.
+    def _draft_spec_section():
+        nonlocal cache, logits
+        import dataclasses as _dc
+
+        if cfg.n_embd < 2048:  # smoke geometry: skip (drafter would dwarf it)
+            return
+        dcfg = llama_mod.LlamaConfig(
+            n_vocab=cfg.n_vocab, n_embd=1024, n_head=8, n_layer=8,
+            n_rot=128, n_ff=2816, n_ctx=cfg.n_ctx)
+        key_d = jax.random.PRNGKey(7)
+
+        def dlin(n_out, n_in, lead=(dcfg.n_layer,)):
+            nonlocal key_d
+            key_d, sub = jax.random.split(key_d)
+            return {"w": (jax.random.normal(sub, (*lead, n_in, n_out),
+                                            jnp.bfloat16) * 0.03)}
+
+        d, ff = dcfg.n_embd, dcfg.n_ff
+        dparams = {
+            "tok_embeddings": jax.random.normal(
+                jax.random.PRNGKey(8), (dcfg.n_vocab, d), jnp.bfloat16) * 0.3,
+            "norm": jnp.ones((d,), jnp.bfloat16),
+            "output": dlin(dcfg.n_vocab, d, lead=()),
+            "layers": {
+                "attention_norm": jnp.ones((dcfg.n_layer, d), jnp.bfloat16),
+                "ffn_norm": jnp.ones((dcfg.n_layer, d), jnp.bfloat16),
+                "wqkv": dlin(3 * d, d),
+                "wo": dlin(d, d),
+                "w13": dlin(2 * ff, d),
+                "w2": dlin(d, ff),
+            },
+        }
+        dcache = llama_mod.init_cache(dcfg, batch=1, dtype=jnp.bfloat16)
+        dsl = jax.jit(
+            lambda p, c, dp, dc, l0, pos0: (
+                llama_mod.draft_speculative_decode_loop(
+                    p, c, dp, dc, l0, pos0, 2, k_spec, cfg, dcfg,
+                    attn_len=cfg.n_ctx, d_attn_len=dcfg.n_ctx)
+            ),
+            donate_argnums=(1, 3),
+        )
+        pos_d = jnp.int32(min(p2 + done, cfg.n_ctx - 2 * k_spec - 1))
+        t_, c_, logits2, cache2, dcache = dsl(params, cache, dparams, dcache,
+                                              logits, pos_d)
+        cache, logits = cache2, logits2
+        sync(t_)  # compile
+        t0 = time.perf_counter()
+        n_pass = 0
+        for _ in range(3):
+            t_, c_, logits2, cache2, dcache = dsl(params, cache, dparams,
+                                                  dcache, logits, pos_d)
+            cache, logits = cache2, logits2
+            sync(t_)
+            n_pass += 2
+        dt_d = time.perf_counter() - t0
+        out["draft_spec_pass_ms"] = dt_d / n_pass * 1e3
+        # effective rate at the realistic n-gram floor's complement: what a
+        # REAL trained drafter at 2.0/4.0 accepted drafts per pass would give
+        out["draft_spec_tok_s_at_accept2"] = 3.0 / (dt_d / n_pass)
+        out["draft_spec_tok_s_at_accept4"] = 5.0 / (dt_d / n_pass)
+
+    try:
+        _draft_spec_section()
+    except Exception as e:
+        out["draft_spec_error"] = f"{type(e).__name__}: {e}"
+
     # --- batched serving decode: B sessions share every weight read, so
     # aggregate tok/s scales ~linearly at bandwidth-bound decode.  Uses the
     # serving session context (512) so B caches fit beside the weights.

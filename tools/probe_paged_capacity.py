@@ -68,11 +68,13 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(params["layers"]))
 
     ppl = args.pages_per_lane
-    spec_k, passes = args.spec_k, 2
+    spec_k, passes, runin = args.spec_k, 2, 32
     if spec_k:
-        # cursors K before a page edge: every verify span straddles pages
-        start_pos = ppl * PAGE - spec_k
-        ppl_alloc = ppl + -(-passes * spec_k // PAGE)  # room for the spans
+        # greedy run-in first (the model's own continuation seeds the n-gram
+        # history — an arbitrary seed would reject every draft), landing the
+        # cursors K before a page edge so verify spans straddle pages
+        start_pos = ppl * PAGE - spec_k - runin
+        ppl_alloc = ppl + -(-(passes * spec_k + runin) // PAGE)
     else:
         start_pos = (ppl - 1) * PAGE  # cursors mid-way into the last held page
         ppl_alloc = ppl
@@ -96,13 +98,25 @@ def main():
                 "dense_reservation_mb": round(dense_mb, 1),
             }
             if spec_k:
-                # cyclic histories: n-gram drafts saturate acceptance, so
-                # the measured aggregate is the paged-spec UPPER BOUND at
-                # this lane count (pass cost is workload-independent)
+                # greedy run-in through the paged decode loop: the model's
+                # own continuation fills the n-gram history, so acceptance
+                # reflects the stream's draftability (synthetic greedy
+                # streams go cyclic and draft well — treat the aggregate as
+                # this workload's optimistic end; spec_pass_ms is the
+                # workload-independent hardware cost)
                 hist_np = np.full((lanes, bcfg.n_ctx), -1, np.int32)
-                hist_np[:, :start_pos] = np.tile(
-                    np.arange(8, dtype=np.int32),
-                    (lanes, -(-start_pos // 8)))[:, :start_pos]
+                rdl = jax.jit(
+                    lambda p, pool_kv, t, l0, pos0, k: llama_mod.decode_loop(
+                        p, pool_kv, l0, pos0, runin, k,
+                        DeviceSamplingConfig(temp=0.0), bcfg, page_table=t,
+                    ),
+                    donate_argnums=(1,),
+                )
+                toks, logits, poolkv = rdl(params, {"k": pool.k, "v": pool.v},
+                                           pt, logits, pos, k2)
+                pool.k, pool.v = poolkv["k"], poolkv["v"]
+                hist_np[:, start_pos : start_pos + runin] = np.asarray(toks)
+                pos = pos + runin
                 hist = jnp.asarray(hist_np)
                 psl = jax.jit(
                     lambda p, pool_kv, t, l0, pos0, h: (
@@ -129,7 +143,7 @@ def main():
                 dt = time.perf_counter() - t0
                 line.update({
                     "spec_k": spec_k,
-                    "aggregate_tok_s_saturated": round(n_tok / dt, 2),
+                    "aggregate_tok_s_measured": round(n_tok / dt, 2),
                     "accept_per_pass": round(n_tok / n_pass, 2),
                     "spec_pass_ms": round(dt / (args.steps * passes) * 1e3, 2),
                 })

@@ -265,6 +265,10 @@ class DecodeState:
             self.tokens = [int(t) for t in z["tokens"]]
         else:  # older checkpoints: sentinel history (no n-gram matches)
             self.tokens = [-1] * self.n_past
+        # a pre-restore draft cache describes the OLD history: drop it (the
+        # next draft-spec dispatch rebuilds it from the restored tokens)
+        self.dcache = None
+        self.draft_past = 0
 
 
 class StepFns:
@@ -889,6 +893,8 @@ class MiniGPT4Engine:
     @n_past.setter
     def n_past(self, v: int) -> None:
         self._st.n_past = v
+        # external cursor rewinds (tests/ABI) must also rein in the drafter
+        self._st.draft_past = min(self._st.draft_past, v)
 
     @property
     def cache(self) -> dict:

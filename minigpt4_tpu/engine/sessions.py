@@ -141,6 +141,10 @@ def _detach_lane_state(st: DecodeState, ends: int, pos_now: int, cache_slice,
     del st.tokens[ends:]
     st.logits_dev = logits_row if ends == pos_now else None
     st.logits_host = None
+    # the drafter's frontier may not outrun the truncated cursor: positions
+    # above ``ends`` hold evals of the rolled-back continuation, and a later
+    # prefill writes DIFFERENT tokens there — the catch-up must re-evaluate
+    st.draft_past = min(st.draft_past, ends)
 
 
 def _reset_lane_session(st: DecodeState, cfg, cache_dtype) -> None:

@@ -223,3 +223,32 @@ class TestEngineDraft:
         with pytest.raises(ValueError, match="vocab"):
             MiniGPT4Engine(model, llm, n_ctx=256, n_batch=32,
                            draft_llm_path=bad)
+
+    def test_checkpoint_restore_with_draft(self, model_files, tmp_path):
+        """save/restore invalidates the drafter's cache (it describes the
+        pre-restore history); generation after restore matches a draft-free
+        engine following the same flow."""
+        from minigpt4_tpu.engine import MiniGPT4Engine
+
+        model, llm, draft = model_files
+
+        def run(**kw):
+            eng = MiniGPT4Engine(model, llm, n_ctx=256, n_batch=32, **kw)
+            try:
+                eng.system_prompt()
+                eng.begin_chat("checkpoint me")
+                a = list(eng.generate(limit=6, params=SamplingParams(temp=0.0)))
+                p = tmp_path / f"st{bool(kw)}.npz"
+                eng.save_state(p)
+                eng.begin_chat("diverge")  # mutate, then roll back via restore
+                list(eng.generate(limit=3, params=SamplingParams(temp=0.0)))
+                eng.restore_state(p)
+                eng.begin_chat("after restore")
+                b = list(eng.generate(limit=6, params=SamplingParams(temp=0.0)))
+                return a, b
+            finally:
+                eng.close()
+
+        want = run()
+        got = run(draft_llm_path=draft)
+        assert got == want

@@ -568,8 +568,6 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     # must never sink the sections before/after it.
     def _draft_spec_section():
         nonlocal cache, logits
-        import dataclasses as _dc
-
         if cfg.n_embd < 2048:  # smoke geometry: skip (drafter would dwarf it)
             return
         dcfg = llama_mod.LlamaConfig(
@@ -766,7 +764,11 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         del bcache, bdl, bfwd  # release the dense group before the pool
         blogits = btoks = None
         n_pg = min(n_b, 4 * chunk)
-        used = bprefill + chunk * (n_pg // chunk + 2)
+        # +96: headroom for the paged-spec section below (its compile +
+        # timed dispatches advance up to ~3 spec spans past the plain run;
+        # without it, geometries where `used` lands near a page edge dry
+        # the pool mid-spec and silently drop the metric)
+        used = bprefill + chunk * (n_pg // chunk + 2) + 96
         pool = PagedKVPool(bcfg, bsz * -(-used // PAGE), bcfg.n_ctx,
                            dtype=cache_dtype)
         lane_pages = [

@@ -271,6 +271,16 @@ class DecodeState:
         self.draft_past = 0
 
 
+def _attn_bucket(needed: int, n_ctx: int) -> int:
+    """Power-of-two attention window covering ``needed`` positions, capped
+    at the model's context (shared by StepFns and DraftFns — the two must
+    bucket consistently)."""
+    b = 128
+    while b < needed:
+        b *= 2
+    return min(b, n_ctx)
+
+
 class StepFns:
     """Jitted decoder step functions + the bucketed feeding policy for ONE
     config.  Built once per (cfg.n_ctx, ...) and shared by every
@@ -351,10 +361,7 @@ class StepFns:
         """Power-of-two attention window covering ``needed`` positions (the
         einsum prefill path reads cache[:bucket]; the flash decode kernel
         reads only live blocks regardless)."""
-        b = 128
-        while b < needed:
-            b *= 2
-        return min(b, self.cfg.n_ctx)
+        return _attn_bucket(needed, self.cfg.n_ctx)
 
     def prefill_embeds(
         self, params, st: DecodeState, embeds, n_batch: int,
@@ -518,10 +525,7 @@ class DraftFns:
                                donate_argnums=(1,))
 
     def attn_bucket(self, needed: int) -> int:
-        b = 128
-        while b < needed:
-            b *= 2
-        return min(b, self.dcfg.n_ctx)
+        return _attn_bucket(needed, self.dcfg.n_ctx)
 
 
 def _spec_passes(decode_chunk: int, k: int) -> int:
@@ -818,18 +822,25 @@ class MiniGPT4Engine:
                     "enough to replicate; sharding it buys nothing)")
             with utils.phase_timer("Draft LLM init"):
                 self._draft_file = LlamaFileReader(draft_llm_path)
-                dmode = resolve_llm_quant_mode(
-                    self._draft_file, quant_mode, jax.default_backend())
-                dparams, self.draft_cfg = llama_mod.load_params(
-                    self._draft_file, compute_dtype, n_ctx=n_ctx,
-                    quant_mode=dmode,
-                )
-                if self.draft_cfg.n_vocab != self.llm_cfg.n_vocab:
-                    raise ValueError(
-                        f"draft model vocab ({self.draft_cfg.n_vocab}) != "
-                        f"main model vocab ({self.llm_cfg.n_vocab}) — the "
-                        "drafter must share the tokenizer")
-                self.draft_params = jax.device_put(dparams)
+                try:
+                    dmode = resolve_llm_quant_mode(
+                        self._draft_file, quant_mode, jax.default_backend())
+                    dparams, self.draft_cfg = llama_mod.load_params(
+                        self._draft_file, compute_dtype, n_ctx=n_ctx,
+                        quant_mode=dmode,
+                    )
+                    if self.draft_cfg.n_vocab != self.llm_cfg.n_vocab:
+                        raise ValueError(
+                            f"draft model vocab ({self.draft_cfg.n_vocab}) != "
+                            f"main model vocab ({self.llm_cfg.n_vocab}) — the "
+                            "drafter must share the tokenizer")
+                    self.draft_params = jax.device_put(dparams)
+                except Exception:
+                    # close() is gated on draft_params; a failed load would
+                    # otherwise leak the reader's mmap for the process life
+                    self._draft_file.close()
+                    self.draft_cfg = None
+                    raise
             # verify-block width: an explicit speculative_k, else 8 (the
             # free-verify width measured on the flash decode path)
             self.draft_k = speculative_k if speculative_k > 1 else 8

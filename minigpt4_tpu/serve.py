@@ -144,6 +144,28 @@ class _Server:
         return len(self.pool._sessions)
 
 
+def _generation_tokens(srv: _Server, s, limit: int, params, park: bool = True):
+    """Drain one generation: through the request batcher when configured
+    (device sampling only — mirostat carries host state), else the
+    session's own stream; parks the session afterwards under --park-idle
+    (``park=False`` for ephemeral sessions that close right after — a
+    park would be a wasted host copy).  Shared by the session chat
+    endpoint and /v1/chat/completions."""
+    if srv.batcher is not None and params.mirostat == 0:
+        out = srv.batcher.submit(s, limit, params)
+        while True:
+            tok = out.get()
+            if tok is srv.batcher._DONE:
+                break
+            if isinstance(tok, Exception):
+                raise tok
+            yield tok
+    else:
+        yield from s.generate(limit=limit, params=params)
+    if park and srv.park_idle:
+        s.park()  # turn done: hold the KV prefix in host RAM
+
+
 def make_handler(srv: _Server):
     sess_re = re.compile(r"^/v1/sessions/(\d+)(/(image|chat))?$")
 
@@ -250,43 +272,37 @@ def make_handler(srv: _Server):
                 srv.pool.system_prompt(s)
                 # replay history; the first image in any user turn becomes
                 # THE image (the reference pipeline is single-image)
-                pending_img = None
+                have_img = False
                 history = messages[:-1]
                 for m in history:
                     role, content = m.get("role"), m.get("content")
                     if role == "user":
                         text, px = self._oai_parse_user(content)
-                        if px is not None and pending_img is None:
-                            emb = s.encode_image(px)
-                            s.embedding = emb
+                        if px is not None and not have_img:
+                            s.encode_image(px)  # stores s.embedding
                             s.is_image_chat = True
-                            pending_img = True
+                            have_img = True
                         s.ask(text)
                     elif role == "assistant":
-                        srv.pool._add_strings(
-                            s, content if isinstance(content, str)
-                            else "".join(p.get("text", "")
-                                         for p in (content or [])))
+                        # replayed replies end with the Vicuna-v0 "###"
+                        # separator the live decode leaves in the KV (the
+                        # EOS stays evaluated; only overshoot rolls back) —
+                        # without it the next "Human:" runs into the reply
+                        # and the transcript goes off-template
+                        reply = (content if isinstance(content, str)
+                                 else "".join(p.get("text", "")
+                                              for p in (content or [])))
+                        srv.pool._add_strings(s, reply + "###")
                 text, px = self._oai_parse_user(messages[-1].get("content"))
-                if px is not None and pending_img is None:
-                    emb = s.encode_image(px)
-                    s.embedding = emb
+                if px is not None and not have_img:
+                    s.encode_image(px)
                     s.is_image_chat = True
                 s.ask(text)
                 prompt_tokens = s.n_past
 
                 def token_iter():
-                    if srv.batcher is not None and params.mirostat == 0:
-                        out = srv.batcher.submit(s, limit, params)
-                        while True:
-                            tok = out.get()
-                            if tok is srv.batcher._DONE:
-                                break
-                            if isinstance(tok, Exception):
-                                raise tok
-                            yield tok
-                    else:
-                        yield from s.generate(limit=limit, params=params)
+                    return _generation_tokens(srv, s, limit, params,
+                                              park=False)
 
                 rid = f"chatcmpl-{s.session_id}-{int(_time.time())}"
                 model = req.get("model", "minigpt4-tpu")
@@ -323,7 +339,7 @@ def make_handler(srv: _Server):
                     return
                 text_out = "".join(token_iter())
                 completion = s.n_past - prompt_tokens
-                self._json(200, {
+                resp = {
                     "id": rid, "object": "chat.completion",
                     "created": int(_time.time()), "model": model,
                     "choices": [{
@@ -335,9 +351,13 @@ def make_handler(srv: _Server):
                     "usage": {"prompt_tokens": prompt_tokens,
                               "completion_tokens": completion,
                               "total_tokens": s.n_past},
-                })
+                }
             finally:
+                # close BEFORE responding: a client observing the response
+                # (e.g. polling /v1/health) must never still see the
+                # ephemeral session
                 s.close()
+            self._json(200, resp)
 
         def do_POST(self):
             if self.path.split("?")[0] == "/v1/chat/completions":
@@ -384,19 +404,8 @@ def make_handler(srv: _Server):
                 s.ask(str(req.get("message", "")))
 
                 def token_iter():
-                    if srv.batcher is not None and params.mirostat == 0:
-                        out = srv.batcher.submit(s, limit, params)
-                        while True:
-                            tok = out.get()
-                            if tok is srv.batcher._DONE:
-                                break
-                            if isinstance(tok, Exception):
-                                raise tok
-                            yield tok
-                    else:
-                        yield from s.generate(limit=limit, params=params)
-                    if srv.park_idle:
-                        s.park()  # turn done: hold the KV prefix in host RAM
+                    return _generation_tokens(srv, s, limit, params)
+
                 if "stream=1" in self.path:
                     self.send_response(200)
                     self.send_header("Content-Type", "text/plain; charset=utf-8")

@@ -147,6 +147,51 @@ def _detach_lane_state(st: DecodeState, ends: int, pos_now: int, cache_slice,
     st.draft_past = min(st.draft_past, ends)
 
 
+class _SpecGovernor:
+    """Adaptive speculation for BATCHED groups.  A batched verify pass
+    costs ~1.4x a plain step at 8 lanes (PERFORMANCE.md "speculation over
+    the page pool" decomposition) — speculation below that acceptance
+    LOSES aggregate throughput, and novel-text n-gram acceptance sits near
+    the 1.0 floor.  This tracks an EWMA of accepted tokens per lane-pass;
+    below the batch-scaled break-even the group demotes to plain chunks
+    for ``cooldown`` steps, then re-probes with one spec step (drafting is
+    workload-dependent — a conversation can become draftable mid-stream).
+    Output is token-identical either way; only throughput moves.
+
+    Single-stream speculation is ungoverned: a B=1 verify pass costs ~a
+    plain step, so it can never lose.
+    """
+
+    def __init__(self, cooldown: int = 8, break_even: float | None = None):
+        self.cooldown = cooldown
+        self.break_even = break_even  # None = batch-scaled formula
+        self.ewma: float | None = None
+        self.cool = 0
+        self.demotions = 0  # observability (surfaced via pool metrics)
+
+    def threshold(self, lanes: int) -> float:
+        if self.break_even is not None:
+            return self.break_even
+        # 1.43x pass premium measured at 8 lanes; scale ~linearly with
+        # batch (the premium is batch-times-span compute) and floor at a
+        # hair above 1 so B=1-2 effectively never demotes
+        return min(1.5, 1.0 + 0.054 * lanes)
+
+    def want_spec(self) -> bool:
+        if self.cool > 0:
+            self.cool -= 1
+            return False
+        return True
+
+    def observe(self, tokens: int, passes: int, lanes: int) -> None:
+        r = tokens / max(passes * lanes, 1)
+        self.ewma = r if self.ewma is None else 0.5 * self.ewma + 0.5 * r
+        if self.ewma < self.threshold(lanes):
+            self.cool = self.cooldown
+            self.demotions += 1
+            self.ewma = None  # fresh estimate at the next probe
+
+
 def _reset_lane_session(st: DecodeState, cfg, cache_dtype) -> None:
     """Last-resort lane recovery when its group-cache slice cannot be read
     back (device failure): the conversation prefix is gone with the group
@@ -194,6 +239,9 @@ class SessionPool:
             "tokens_generated": 0,
             "prefix_cache_hits": 0,
             "prefix_cache_misses": 0,
+            # batched groups demoted off speculation by the governor
+            # (acceptance below the batch-scaled break-even)
+            "spec_demotions": 0,
         }
         # system-prompt prefix KV reuse: every fresh session starts with the
         # identical SYSTEM_PROMPT prefill (reference flow: reset ->
@@ -513,6 +561,7 @@ class SessionPool:
                 hist_np[i, : s.n_past] = np.asarray(s.state.tokens, np.int32)
             hist = jnp.asarray(hist_np)
         bump = lambda: self._bump("tokens_generated")
+        gov = _SpecGovernor()
         try:
             while not all(done):
                 # context room is judged over ACTIVE lanes only: under spec a
@@ -522,7 +571,8 @@ class SessionPool:
                 max_pos = int(max(pos_host[i] for i in range(n) if not done[i]))
                 if max_pos + decode_chunk > n_ctx:
                     break  # an active lane is out of context: stop the group
-                spec_step = use_spec and max_pos + spec_span <= n_ctx
+                spec_step = (use_spec and max_pos + spec_span <= n_ctx
+                             and gov.want_spec())
                 span = spec_span if spec_step else decode_chunk
                 # done lanes keep advancing in their overshoot region; once
                 # a done lane's next write would clamp (pos + span > n_ctx)
@@ -553,6 +603,10 @@ class SessionPool:
                         for i in range(n)
                     ]
                     pos_host += cnt_host.sum(axis=1)
+                    act_n = sum(1 for i in range(n) if not done[i])
+                    gov.observe(int(cnt_host[[i for i in range(n)
+                                              if not done[i]]].sum()),
+                                n_passes, act_n)
                 else:
                     key, sub = jax.random.split(key)
                     with self._lock:
@@ -587,6 +641,8 @@ class SessionPool:
                     updates.extend((act[i], token) for token in deliver)
                 yield updates
         finally:
+            if use_spec and gov.demotions:
+                self._bump("spec_demotions", gov.demotions)
             # split the batch back into the sessions, rolling back overshoot
             # — also on early generator close, so session state never points
             # at the pre-batch caches.  Rolled-back sessions get their
@@ -750,12 +806,14 @@ class SessionPool:
                 hist_np[i, : s.n_past] = np.asarray(s.state.tokens, np.int32)
             hist = jnp.asarray(hist_np)
         bump = lambda: self._bump("tokens_generated")
+        gov = _SpecGovernor()
         try:
             while not all(done):
                 max_pos = int(max(pos_host[i] for i in range(n) if not done[i]))
                 if max_pos + decode_chunk > n_ctx:
                     break  # an active lane is out of context: stop the group
-                spec_step = use_spec and max_pos + spec_span <= n_ctx
+                spec_step = (use_spec and max_pos + spec_span <= n_ctx
+                             and gov.want_spec())
                 span = spec_span if spec_step else decode_chunk
                 stop = False
                 with self._lock:
@@ -824,6 +882,10 @@ class SessionPool:
                     break
                 if spec_step:
                     pos_host += cnt_host.sum(axis=1)
+                    act_n = sum(1 for i in range(n) if not done[i])
+                    gov.observe(int(cnt_host[[i for i in range(n)
+                                              if not done[i]]].sum()),
+                                n_passes, act_n)
                 else:
                     pos_host += decode_chunk
                 updates: list[tuple[int, str]] = []
@@ -836,6 +898,8 @@ class SessionPool:
                     updates.extend((act[i], token) for token in deliver)
                 yield updates
         finally:
+            if use_spec and gov.demotions:
+                self._bump("spec_demotions", gov.demotions)
             # gather every lane's pages back into a private dense cache and
             # free them — also on early generator close.  evict frees the
             # lane's pages even when its gather fails, so the except arm only
@@ -986,6 +1050,8 @@ class ContinuousBatcher:
         self._deferred_since: dict[int, float] = {}  # id(out) -> first defer
         self.config_wait_s = config_wait_s
         self._q: queue_mod.Queue = queue_mod.Queue()
+        self._gov = _SpecGovernor()  # adaptive batched speculation
+        self._gov_reported = 0  # demotions already counted into pool metrics
         self._key = jax.random.PRNGKey(pool.seed ^ 0x00C0FFEE)
         self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -1086,7 +1152,10 @@ class ContinuousBatcher:
                 break
             if self._n_active() == 0:
                 # the group drained: the next admission sets a fresh scfg
+                # and the speculation governor starts a fresh estimate
                 self._scfg = None
+                self._gov = _SpecGovernor()
+                self._gov_reported = 0
             if self._deferred:
                 # slot-waiters join the moment a lane frees (mid-flight);
                 # config-waiters join once the group drains (scfg reset
@@ -1316,9 +1385,14 @@ class ContinuousBatcher:
         act = [i for i, l in enumerate(self._lanes) if l is not None]
         max_pos = int(max(self._pos[i] for i in act))
         # a near-context-end lane demotes the STEP to plain chunks (its tail
-        # still decodes); speculation resumes once that lane leaves
+        # still decodes); speculation resumes once that lane leaves.  The
+        # governor demotes low-acceptance groups the same way (a batched
+        # verify pass costs ~1.4x a plain step; below break-even acceptance
+        # speculation loses aggregate throughput) and re-probes after its
+        # cooldown
         spec_span = self._span(scfg)
-        spec_step = self._use_spec(scfg) and max_pos + spec_span <= cfg.n_ctx
+        spec_step = (self._use_spec(scfg) and max_pos + spec_span <= cfg.n_ctx
+                     and self._gov.want_spec())
         span = spec_span if spec_step else self.decode_chunk
         if self.paged:
             from .paged import PoolExhausted
@@ -1390,6 +1464,11 @@ class ContinuousBatcher:
                 for i in act
             }
             self._pos += cnt_host.sum(axis=1)
+            self._gov.observe(int(cnt_host[act].sum()), n_passes, len(act))
+            if self._gov.demotions > self._gov_reported:
+                self.pool._bump("spec_demotions",
+                                self._gov.demotions - self._gov_reported)
+                self._gov_reported = self._gov.demotions
         elif self.paged:
             self._key, sub = jax.random.split(self._key)
             with self.pool._lock:

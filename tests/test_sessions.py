@@ -619,3 +619,63 @@ def test_prefix_cache_upload_image_flow(pool):
     assert s2.n_past > 0
     s1.close()
     s2.close()
+
+
+# ---------------------------------------------------------------------------
+# Adaptive speculation governor: batched groups demote off speculation when
+# acceptance sits below the batch-scaled break-even (a batched verify pass
+# costs ~1.4x a plain step), and re-probe after a cooldown.  Output is
+# token-identical either way.
+# ---------------------------------------------------------------------------
+
+def test_spec_governor_unit():
+    from minigpt4_tpu.engine.sessions import _SpecGovernor
+
+    g = _SpecGovernor(cooldown=3)
+    assert g.threshold(1) < 1.1 < g.threshold(8) <= 1.5
+    assert g.want_spec()
+    g.observe(tokens=8, passes=2, lanes=4)  # 1.0/pass < threshold(4)
+    assert g.demotions == 1
+    assert not g.want_spec() and not g.want_spec() and not g.want_spec()
+    assert g.want_spec()  # cooldown expired: re-probe
+    # high acceptance never demotes
+    g2 = _SpecGovernor()
+    for _ in range(10):
+        g2.observe(tokens=8 * 8 * 2, passes=2, lanes=8)
+        assert g2.want_spec()
+    assert g2.demotions == 0
+
+
+def test_spec_governor_demotes_and_stays_exact(tmp_path_factory, monkeypatch):
+    """With the break-even forced above any possible acceptance, every
+    batched spec probe demotes — the group decodes plain chunks — and the
+    emitted tokens still equal a speculation-free pool's output."""
+    from minigpt4_tpu.engine import sessions as S
+
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("gov"))
+    spec = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32,
+                       speculative_k=4)
+    plain = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=32)
+    try:
+        monkeypatch.setattr(S._SpecGovernor, "threshold",
+                            lambda self, lanes: 1e9)
+
+        def run(pool):
+            ss = []
+            for q in ("one two", "three four"):
+                s = pool.new_session()
+                pool.begin_chat(s, q)
+                ss.append(s)
+            out = pool.generate_batch(ss, limit=16, params=SamplingParams(temp=0.0),
+                                      decode_chunk=4)
+            for s in ss:
+                s.close()
+            return out
+
+        got = run(spec)
+        assert spec.metrics["spec_demotions"] >= 1
+        want = run(plain)
+        assert got == want
+    finally:
+        spec.close()
+        plain.close()

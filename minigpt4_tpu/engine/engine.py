@@ -641,6 +641,7 @@ def generate_stream(
     use_spec = speculative_k > 1 and scfg.greedy and not use_draft
     chat = ""
     emitted = 0
+    accept_ewma = None  # observed tokens/pass (scales passes per dispatch)
     while emitted < limit:
         # always decode a FULL chunk (one compile per (chunk, bucket));
         # overshoot past `limit` or EOS is rolled back via the cursor —
@@ -648,10 +649,19 @@ def generate_stream(
         token_ids = None
         if use_draft or use_spec:
             k = draft[2] if use_draft else speculative_k
+            # passes per dispatch scale with observed acceptance so a spec
+            # dispatch emits ~decode_chunk tokens: the per-dispatch host
+            # round-trip then amortizes like the plain fused chunk's (at
+            # the acceptance floor a 2-pass dispatch advances ~2 tokens
+            # but pays a full RTT).  Powers of two bound the compiles.
+            est = accept_ewma if accept_ewma is not None else float(k)
             passes = _spec_passes(decode_chunk, k)
-            # worst-case advance must stay inside the context
+            while passes < min(decode_chunk / max(est, 1.0), 16):
+                passes *= 2
+            # worst-case advance must stay inside the context (halving keeps
+            # the compile set to powers of two)
             while passes > 1 and st.n_past + passes * k > fns.cfg.n_ctx:
-                passes -= 1
+                passes = max(1, passes // 2)
             if st.n_past + passes * k <= fns.cfg.n_ctx:
                 with lock:
                     if use_draft:
@@ -659,6 +669,9 @@ def generate_stream(
                             fns, draft[0], params, draft[1], st, passes, k)
                     else:
                         token_ids = fns.decode_chunk_spec(params, st, passes, k)
+                r = len(token_ids) / passes
+                accept_ewma = (r if accept_ewma is None
+                               else 0.5 * accept_ewma + 0.5 * r)
             # else: no room for even one k-wide pass — plain tail chunk
         if token_ids is None:
             n = decode_chunk

@@ -183,6 +183,23 @@ class _SpecGovernor:
             return False
         return True
 
+    def passes_for(self, decode_chunk: int, k: int) -> int:
+        """Verify passes per dispatch, scaled to the OBSERVED acceptance so
+        a spec dispatch emits ~decode_chunk tokens: per-dispatch overhead
+        (host round-trip — ~38 ms on tunneled backends) then amortizes like
+        the plain fused chunk's, instead of over the 2 tokens a floor-
+        acceptance 2-pass dispatch advances.  Device-side a verify pass
+        costs ~a plain step (PERFORMANCE.md), so with enough passes per
+        dispatch speculation approaches free even at the acceptance floor.
+        Powers of two only (each distinct count is one extra compile,
+        served by the persistent cache): 2..16."""
+        est = self.ewma if self.ewma is not None else float(k)
+        want = decode_chunk / max(est, 1.0)
+        p = 2
+        while p < min(want, 16):
+            p *= 2
+        return p
+
     def observe(self, tokens: int, passes: int, lanes: int) -> None:
         r = tokens / max(passes * lanes, 1)
         self.ewma = r if self.ewma is None else 0.5 * self.ewma + 0.5 * r
@@ -496,11 +513,6 @@ class SessionPool:
         n_ctx = self.fns.cfg.n_ctx
         k_spec = self.engine.speculative_k
         use_spec = k_spec > 1 and scfg.greedy
-        if use_spec:
-            from .engine import _spec_passes
-
-            n_passes = _spec_passes(decode_chunk, k_spec)
-            spec_span = n_passes * k_spec  # worst-case per-lane advance
         # only sessions with room for at least one plain chunk join the batch
         # (near-context-end sessions decode plain chunks even under spec)
         act = [i for i, s in enumerate(sessions) if s.n_past + decode_chunk <= n_ctx]
@@ -571,6 +583,15 @@ class SessionPool:
                 max_pos = int(max(pos_host[i] for i in range(n) if not done[i]))
                 if max_pos + decode_chunk > n_ctx:
                     break  # an active lane is out of context: stop the group
+                if use_spec:
+                    # passes per dispatch scale with observed acceptance so
+                    # a spec dispatch emits ~decode_chunk tokens (amortizing
+                    # the host round-trip like the plain chunk); shrink back
+                    # toward the context end (worst-case advance must fit)
+                    n_passes = gov.passes_for(decode_chunk, k_spec)
+                    while n_passes > 2 and max_pos + n_passes * k_spec > n_ctx:
+                        n_passes //= 2
+                    spec_span = n_passes * k_spec
                 spec_step = (use_spec and max_pos + spec_span <= n_ctx
                              and gov.want_spec())
                 span = spec_span if spec_step else decode_chunk
@@ -776,11 +797,6 @@ class SessionPool:
         n_ctx = min(self.fns.cfg.n_ctx, pool.capacity)
         k_spec = self.engine.speculative_k
         use_spec = k_spec > 1 and scfg.greedy
-        if use_spec:
-            from .engine import _spec_passes
-
-            n_passes = _spec_passes(decode_chunk, k_spec)
-            spec_span = n_passes * k_spec  # worst-case per-lane advance
         with self._lock:
             # formerly-parked lanes carry host logits (admit_host skipped
             # the ensure_device that would have re-uploaded them)
@@ -812,6 +828,13 @@ class SessionPool:
                 max_pos = int(max(pos_host[i] for i in range(n) if not done[i]))
                 if max_pos + decode_chunk > n_ctx:
                     break  # an active lane is out of context: stop the group
+                if use_spec:
+                    # acceptance-scaled passes per dispatch (see the dense
+                    # arm); shrink toward the context end
+                    n_passes = gov.passes_for(decode_chunk, k_spec)
+                    while n_passes > 2 and max_pos + n_passes * k_spec > n_ctx:
+                        n_passes //= 2
+                    spec_span = n_passes * k_spec
                 spec_step = (use_spec and max_pos + spec_span <= n_ctx
                              and gov.want_spec())
                 span = spec_span if spec_step else decode_chunk
@@ -1364,12 +1387,19 @@ class ContinuousBatcher:
     def _use_spec(self, scfg) -> bool:
         return self.pool.engine.speculative_k > 1 and scfg.greedy
 
-    def _span(self, scfg) -> int:
-        from .engine import _spec_passes
+    def _spec_passes_now(self, max_pos: int) -> int:
+        """Acceptance-scaled verify passes per dispatch (see
+        _SpecGovernor.passes_for), shrunk toward the context end."""
+        k = self.pool.engine.speculative_k
+        n_passes = self._gov.passes_for(self.decode_chunk, k)
+        while n_passes > 2 and max_pos + n_passes * k > self.fns.cfg.n_ctx:
+            n_passes //= 2
+        return n_passes
 
+    def _span(self, scfg, max_pos: int) -> int:
         k = self.pool.engine.speculative_k
         if self._use_spec(scfg):
-            return _spec_passes(self.decode_chunk, k) * k
+            return self._spec_passes_now(max_pos) * k
         return self.decode_chunk
 
     def _step(self) -> None:
@@ -1390,7 +1420,7 @@ class ContinuousBatcher:
         # verify pass costs ~1.4x a plain step; below break-even acceptance
         # speculation loses aggregate throughput) and re-probes after its
         # cooldown
-        spec_span = self._span(scfg)
+        spec_span = self._span(scfg, max_pos)
         spec_step = (self._use_spec(scfg) and max_pos + spec_span <= cfg.n_ctx
                      and self._gov.want_spec())
         span = spec_span if spec_step else self.decode_chunk
@@ -1428,10 +1458,8 @@ class ContinuousBatcher:
             bucket = self.fns.attn_bucket(max_pos + span)
         pos_dev = jnp.asarray(self._pos, jnp.int32)
         if spec_step:
-            from .engine import _spec_passes
-
             k = self.pool.engine.speculative_k
-            n_passes = _spec_passes(self.decode_chunk, k)
+            n_passes = spec_span // k  # the span this step was provisioned for
             with self.pool._lock:
                 if self.paged:
                     ppool = self.pool.paged_pool

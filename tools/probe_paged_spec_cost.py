@@ -83,7 +83,8 @@ def main():
                 fn()
                 acc[name].append(time.perf_counter() - t0)
         for name, ts in acc.items():
-            per = PASSES if "spec" in name else CHUNK
+            per = (8 if name.endswith("8")
+                   else PASSES if "spec" in name else CHUNK)
             out[name + "_ms"] = round(min(ts) / per * 1e3, 2)
 
     # --- phase 1: dense group (freed before the pool allocates — both
@@ -93,6 +94,11 @@ def main():
         p, c, l0, pos0, CHUNK, k, scfg, bcfg), donate_argnums=(1,))
     dsp = jax.jit(lambda p, c, l0, pos0, h: llama_mod.speculative_decode_loop(
         p, c, l0, pos0, h, PASSES, K, bcfg, attn_len=bcfg.n_ctx),
+        donate_argnums=(1,))
+    # 8-pass dispatch: isolates how much of the per-pass cost is the
+    # per-dispatch overhead (host RTT) amortized over only 2 passes
+    dsp8 = jax.jit(lambda p, c, l0, pos0, h: llama_mod.speculative_decode_loop(
+        p, c, l0, pos0, h, 8, K, bcfg, attn_len=bcfg.n_ctx),
         donate_argnums=(1,))
     state = {"dc": dcache}
 
@@ -105,7 +111,13 @@ def main():
                                       pos_cross, hist0)
         np.asarray(t)
 
-    measure([("dense_plain", a_dense_plain), ("dense_spec", b_dense_spec)])
+    def b8_dense_spec8():
+        t, c, l, state["dc"], h = dsp8(params, state["dc"], logits0,
+                                       pos_cross, hist0)
+        np.asarray(t)
+
+    measure([("dense_plain", a_dense_plain), ("dense_spec", b_dense_spec),
+             ("dense_spec8", b8_dense_spec8)])
     del dcache
     state.clear()
 

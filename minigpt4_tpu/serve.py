@@ -508,6 +508,12 @@ def main():
         "AND batched (--batch-window-ms) greedy decode",
     )
     ap.add_argument(
+        "--no-prefix-cache", action="store_true",
+        help="disable the system-prompt prefix KV cache (fresh sessions "
+        "then recompute the SYSTEM_PROMPT prefill instead of installing "
+        "the cached bit-identical copy)",
+    )
+    ap.add_argument(
         "--draft-llm", default=None, metavar="PATH",
         help="ggml llama file of a SMALLER draft model sharing the main "
         "model's tokenizer: greedy single-stream decode is then drafted by "
@@ -535,6 +541,7 @@ def main():
                          park_idle=args.park_idle,
                          paged_pages=args.paged_pages or None,
                          speculative_k=args.speculative_k,
+                         prefix_cache=not args.no_prefix_cache,
                          draft_llm_path=args.draft_llm,
                          cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
                          smooth_scales=args.smooth_scales,

@@ -679,3 +679,23 @@ def test_spec_governor_demotes_and_stays_exact(tmp_path_factory, monkeypatch):
     finally:
         spec.close()
         plain.close()
+
+
+def test_spec_governor_pass_scaling():
+    """Passes per dispatch scale inversely with observed acceptance (a spec
+    dispatch should emit ~decode_chunk tokens), bounded to powers of two in
+    [2, 16]."""
+    from minigpt4_tpu.engine.sessions import _SpecGovernor
+
+    g = _SpecGovernor()
+    assert g.passes_for(16, 8) == 2  # optimistic start: est = k
+    g.ewma = 8.0                     # saturated acceptance
+    assert g.passes_for(16, 8) == 2
+    g.ewma = 4.0
+    assert g.passes_for(16, 8) == 4
+    g.ewma = 1.0                     # floor: want 16 passes
+    assert g.passes_for(16, 8) == 16
+    g.ewma = 0.5                     # clamp: never above 16
+    assert g.passes_for(16, 8) == 16
+    g.ewma = 2.0
+    assert g.passes_for(16, 4) == 8

@@ -72,6 +72,12 @@ def parse_args():
         "--save-scales); exact-fold activation-grid steering",
     )
     p.add_argument(
+        "--ctx-shift", action="store_true",
+        help="llama.cpp-style context shift: when the chat fills n_ctx, "
+        "drop the oldest turns after the system-prompt/image prefix and "
+        "slide the KV cache instead of erroring (unbounded chat length)",
+    )
+    p.add_argument(
         "--warmup", action="store_true",
         help="precompile the common prefill buckets / decode chunks / image "
         "encoder before the session (multi-minute first compiles on "
@@ -93,6 +99,7 @@ def main():
         draft_llm_path=args.draft_llm,
         cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
         smooth_scales=args.smooth_scales,
+        context_shift=args.ctx_shift,
         tp=args.tp,
     )
     if args.warmup:

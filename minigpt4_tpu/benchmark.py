@@ -399,6 +399,42 @@ def word_tokenize(text: str) -> np.ndarray:
     return np.asarray(out, np.int32)
 
 
+def chip_state_probe(n: int = 8192, short: int = 8, long: int = 40) -> float:
+    """Effective GB/s of an XLA dense bf16 matvec chain — the chip-state
+    calibration that rides along in BENCH.  The shared dev chip's sustained
+    rate swings 3-4x between sessions with the SAME binaries (PERFORMANCE.md
+    "shared-chip state variance"); decode tok/s is bytes/rate, so this
+    number lets any tok/s line be read against the bandwidth the chip
+    actually offered when it was measured.  Slope method: time chains of
+    ``short`` and ``long`` dependent matvecs inside one jit each and take
+    the difference — the host<->device round-trip constant (~38 ms on
+    tunneled backends) cancels."""
+    w = jnp.asarray(
+        np.random.default_rng(3).normal(0, 0.01, (n, n)).astype(np.float32),
+        jnp.bfloat16,
+    )
+    x0 = jnp.ones((1, n), jnp.bfloat16)
+
+    def chain_s(k: int) -> float:
+        f = jax.jit(
+            lambda x, w: jax.lax.fori_loop(
+                0, k,
+                lambda _, x: jnp.dot(x, w, preferred_element_type=jnp.bfloat16),
+                x,
+            )
+        )
+        np.asarray(f(x0, w))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(x0, w))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = chain_s(long) - chain_s(short)
+    return float(2 * n * n * (long - short) / max(dt, 1e-9) / 1e9)
+
+
 def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
                  dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
                  quant_mode: str = "auto", quick: bool = False,
@@ -437,6 +473,26 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     logits, cache = fwd(params, cache, e, jnp.int32(0))
     sync(logits)
     ttft_warm = time.perf_counter() - t0
+
+    # --- long-prompt prefill throughput at the reference's n_batch default
+    # of 512 (/root/reference/examples/main.cpp:128-141): the rate one
+    # chunked-eval dispatch achieves on a long prompt.  M=512 is already
+    # kernel-gate-compiled, so the extra compile here is the XLA glue only.
+    pf512 = None
+    if prefill_len < 512 and cfg.n_ctx >= 1024:
+        t512 = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, 512), dtype=np.int64))
+        e512 = embed(params, t512)
+        logits, cache = fwd(params, cache, e512, jnp.int32(0))
+        sync(logits)  # compile
+        t0 = time.perf_counter()
+        logits, cache = fwd(params, cache, e512, jnp.int32(0))
+        sync(logits)
+        pf512 = time.perf_counter() - t0
+        # restore the short-prefill state the decode sections start from
+        # (cache positions >= prefill_len keep 512-run values but attention
+        # masks them: only [0, cursor) is ever read)
+        logits, cache = fwd(params, cache, e, jnp.int32(0))
+        sync(logits)
 
     # --- decode (the strict per-token end-chat ABI path, as the engine now
     # runs it: greedy sample ON DEVICE, queue the fused embed+forward step,
@@ -498,6 +554,9 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         "build_s": build_s,
         "prefill_len": prefill_len,
     }
+    if pf512 is not None:
+        out["prefill512_ms"] = pf512 * 1e3
+        out["prefill_tok_s"] = 512 / pf512
     if quick:  # fused decode only (the w8a8 rider measurement)
         return out
 
@@ -888,10 +947,29 @@ def bench_encode(llama_embed: int = 5120, dtype=jnp.bfloat16, iters: int = 10) -
         t0 = time.perf_counter()
         out = np.asarray(fn(params, pixels))  # includes the [32, D] download
         times.append(time.perf_counter() - t0)
-    return {
+    res = {
         "encode_ms_p50": float(np.median(times) * 1e3),
         "encode_ms_first": first * 1e3,
     }
+    # --- batched encode (serving: B images in one dispatch — the ViT/
+    # Q-Former graph is batch-polymorphic, so a multi-image upload burst
+    # amortizes the weight read like batched decode does).  Guarded: the
+    # single-image p50 is the BASELINE.md metric and must never be lost.
+    try:
+        bsz = 8
+        pix_b = jnp.asarray(rng.normal(0, 1, (bsz, 3, 224, 224)).astype(np.float32))
+        np.asarray(fn(params, pix_b))  # compile
+        tb = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(fn(params, pix_b))
+            tb.append(time.perf_counter() - t0)
+        res["encode_batch"] = bsz
+        res["encode_batch_ms_p50"] = float(np.median(tb) * 1e3)
+        res["encode_imgs_s"] = bsz / float(np.median(tb))
+    except Exception as e:
+        res["encode_batch_error"] = f"{type(e).__name__}: {e}"
+    return res
 
 
 def main():

@@ -130,6 +130,9 @@ class DecodeState:
         # injected embedding rows) — the n-gram history speculative decode
         # drafts from; invariant: len(tokens) == n_past
         self.tokens: list[int] = []
+        # context-shift keep marker: positions [0, n_keep) — the system
+        # prompt + image prefix — survive every shift (llama.cpp's n_keep)
+        self.n_keep = 0
         # host-side copy of the cache while parked (see :meth:`park`)
         self.parked: dict | None = None
         # draft-model speculative decoding (engine.DraftFns): the drafter's
@@ -157,6 +160,7 @@ class DecodeState:
         self.parked = None
         self.dcache = None
         self.draft_past = 0
+        self.n_keep = 0
 
     def park(self) -> None:
         """Move the KV cache off the device, trimmed to the consumed prefix,
@@ -234,6 +238,7 @@ class DecodeState:
                     if self.logits_dev is not None else np.zeros(1, np.float32)),
             rng_key=np.asarray(self.rng_key),
             tokens=np.asarray(self.tokens, np.int64),
+            n_keep=np.int64(self.n_keep),
         )
 
     def restore(self, path) -> None:
@@ -265,6 +270,7 @@ class DecodeState:
             self.tokens = [int(t) for t in z["tokens"]]
         else:  # older checkpoints: sentinel history (no n-gram matches)
             self.tokens = [-1] * self.n_past
+        self.n_keep = int(z["n_keep"]) if "n_keep" in z.files else 0
         # a pre-restore draft cache describes the OLD history: drop it (the
         # next draft-spec dispatch rebuilds it from the restored tokens)
         self.dcache = None
@@ -356,6 +362,14 @@ class StepFns:
         # on-device sample for the strict per-token path: downloads one
         # token id (4 B) instead of the full [V] f32 logits per step
         self.sample = jax.jit(_sample, static_argnums=(2,))
+        # llama.cpp-style context shift (llama.shift_kv_cache): traced
+        # keep/drop/n_past scalars — one compilation serves every shift
+        self.shift_cache = jax.jit(
+            lambda c, keep, drop, n_past: llama_mod.shift_kv_cache(
+                c, keep, drop, n_past, cfg
+            ),
+            donate_argnums=(0,),
+        )
 
     def attn_bucket(self, needed: int) -> int:
         """Power-of-two attention window covering ``needed`` positions (the
@@ -601,6 +615,7 @@ def generate_stream(
     dispatch_lock=None,
     speculative_k: int = 0,
     draft: tuple | None = None,
+    ctx_shift=None,
 ):
     """Streaming fused-chunk decode with the reference's EOS logic
     (MiniGPT4ChatBot.generate, minigpt4_library.py:609-657) — shared by the
@@ -643,6 +658,11 @@ def generate_stream(
     emitted = 0
     accept_ewma = None  # observed tokens/pass (scales passes per dispatch)
     while emitted < limit:
+        # context shift (``ctx_shift`` = engine.ctx_shift when enabled):
+        # free room before the context fills instead of truncating/stopping
+        if ctx_shift is not None and st.n_past + decode_chunk > fns.cfg.n_ctx:
+            with lock:
+                ctx_shift(st, decode_chunk)
         # always decode a FULL chunk (one compile per (chunk, bucket));
         # overshoot past `limit` or EOS is rolled back via the cursor —
         # positions >= n_past are unreachable by the causal mask
@@ -720,6 +740,7 @@ class MiniGPT4Engine:
         speculative_k: int = 0,
         draft_llm_path: str | Path | None = None,
         smooth_scales: str | Path | dict | None = None,
+        context_shift: bool = False,
         tp: int = 1,
         dp: int = 1,
     ):
@@ -751,6 +772,11 @@ class MiniGPT4Engine:
                 f"verify-block limit ({llama_mod.FLASH_DECODE_MAX_S})"
             )
         self.speculative_k = speculative_k
+        # llama.cpp-style context shift: when the context fills, drop the
+        # oldest non-keep turns and slide the cache (llama.shift_kv_cache)
+        # instead of raising/stopping.  Off by default — the reference's
+        # behavior at overflow is an error, and strict parity keeps that.
+        self.context_shift = context_shift
         if dp != 1:
             raise ValueError(
                 f"dp={dp}: the engine's chat/serving surface prefills at "
@@ -1002,13 +1028,51 @@ class MiniGPT4Engine:
     # decoder feeding
     # ------------------------------------------------------------------
 
+    def ctx_shift(self, st: DecodeState, need: int = 0) -> int:
+        """llama.cpp-style context shift on ``st``: free room for ``need``
+        more positions by dropping the oldest tokens after the keep prefix
+        ([0, st.n_keep) — system prompt + image) and sliding the cache down
+        with K re-rotation (llama.shift_kv_cache).  Drops at least half the
+        non-keep region so shifts stay rare.  Returns positions dropped
+        (0 = nothing shiftable: n_keep covers the whole context, or the
+        cache is not resident).  Greedy continuation after a shift treats
+        surviving tokens exactly at their new positions; the one
+        approximation (shared with llama.cpp's context shift) is that
+        surviving K/V values were originally computed while the dropped
+        tokens were attendable."""
+        if st.cache is None:
+            return 0  # parked / riding a batch: not shiftable here
+        n_ctx = st.cache["k"].shape[3]  # the state's own geometry (sessions
+        # use a smaller session_ctx than the engine cursor)
+        keep = min(st.n_keep, st.n_past)
+        free = n_ctx - st.n_past
+        drop = max(need - free, (st.n_past - keep) // 2)
+        drop = min(drop, st.n_past - keep)
+        if drop <= 0:
+            return 0
+        st.cache = self._fns.shift_cache(
+            st.cache, jnp.int32(keep), jnp.int32(drop), jnp.int32(st.n_past)
+        )
+        del st.tokens[keep : keep + drop]
+        st.n_past -= drop
+        # the drafter's cache rows past keep describe old positions: rewind
+        # its frontier; the next draft-spec dispatch re-prefills from tokens
+        st.draft_past = min(st.draft_past, keep)
+        return drop
+
+    def _maybe_shift(self, st: DecodeState, need: int) -> None:
+        if self.context_shift and st.n_past + need > self._fns.cfg.n_ctx:
+            self.ctx_shift(st, need)
+
     def _prefill_embeds(self, embeds: jnp.ndarray) -> None:
         """Feed [1, S, D] embeddings through the decoder in n_batch chunks,
         with power-of-two bucket padding per chunk."""
+        self._maybe_shift(self._st, embeds.shape[1])
         self._fns.prefill_embeds(self.llm_params, self._st, embeds, self.n_batch)
 
     def add_tokens(self, tokens: list[int]) -> None:
         """llama_eval in n_batch chunks (add_tokens, minigpt4.cpp:2365-2382)."""
+        self._maybe_shift(self._st, len(tokens))
         self._fns.add_tokens(self.llm_params, self._st, tokens, self.n_batch)
 
     def add_strings(self, s: str) -> None:
@@ -1056,6 +1120,8 @@ class MiniGPT4Engine:
 
     def system_prompt(self) -> None:
         self.add_strings(SYSTEM_PROMPT)
+        # context-shift keep marker: the system prompt always survives
+        self._st.n_keep = self._st.n_past
 
     def begin_chat_image(self, embedding: np.ndarray, question: str) -> None:
         # The reference validates against 32*4096 / 32*5120 and truncates to
@@ -1073,6 +1139,10 @@ class MiniGPT4Engine:
         self.add_strings("Human: <Img>")
         self.add_embedding(emb[:expect])
         self.add_strings("</Img> ")
+        # context-shift keep marker: the image prefix (system prompt +
+        # "<Img>" + 32 embedding rows + "</Img> ") survives every shift —
+        # only conversation turns after it are evictable
+        self._st.n_keep = self._st.n_past
         self.add_strings(question)
         self.add_strings("### Assistant:")
 
@@ -1106,6 +1176,7 @@ class MiniGPT4Engine:
         from .device_sampling import DeviceSamplingConfig
 
         st = self._st
+        self._maybe_shift(st, 1)
         if st.n_past + 1 > self.llm_cfg.n_ctx:
             raise ValueError(
                 f"context overflow: n_past {st.n_past} + 1 > {self.llm_cfg.n_ctx}"
@@ -1185,6 +1256,7 @@ class MiniGPT4Engine:
             limit, params, decode_chunk,
             speculative_k=k,
             draft=(dfns, self.draft_params, self.draft_k) if dfns else None,
+            ctx_shift=self.ctx_shift if self.context_shift else None,
         )
 
     def _generate_stepwise(self, limit: int, params: SamplingParams):

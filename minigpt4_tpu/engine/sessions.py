@@ -341,6 +341,9 @@ class SessionPool:
     def _add_tokens(self, s: ChatSession, tokens: list[int]) -> None:
         with self._lock:
             s.state.ensure_device()  # transparent unpark of idled sessions
+            if (self.engine.context_shift
+                    and s.state.n_past + len(tokens) > self.fns.cfg.n_ctx):
+                self.engine.ctx_shift(s.state, len(tokens))
             self.metrics["tokens_prefilled"] += len(tokens)  # under self._lock
             self.fns.add_tokens(
                 self.engine.llm_params, s.state, tokens, self.engine.n_batch
@@ -397,16 +400,22 @@ class SessionPool:
     def system_prompt(self, s: ChatSession) -> None:
         self._prefill_cached(
             s, self.engine.tokenizer.tokenize(SYSTEM_PROMPT, add_bos=True))
+        s.state.n_keep = s.state.n_past  # context-shift keep marker
 
     def begin_chat_image(self, s: ChatSession, embedding: np.ndarray, q: str) -> None:
         emb = np.asarray(embedding, np.float32).reshape(1, -1, self.engine.llm_cfg.n_embd)
         self._add_strings(s, "Human: <Img>")
         with self._lock:
             s.state.ensure_device()
+            if (self.engine.context_shift
+                    and s.state.n_past + emb.shape[1] > self.fns.cfg.n_ctx):
+                self.engine.ctx_shift(s.state, emb.shape[1])
             self.fns.prefill_embeds(
                 self.engine.llm_params, s.state, jnp.asarray(emb), self.engine.n_batch
             )
         self._add_strings(s, "</Img> ")
+        # context-shift keep marker: the image prefix survives every shift
+        s.state.n_keep = s.state.n_past
         self._add_strings(s, q)
         self._add_strings(s, "### Assistant:")
 
@@ -422,6 +431,10 @@ class SessionPool:
             # mirostat state lives on host: strict per-token path
             chat = ""
             for _ in range(limit):
+                if (self.engine.context_shift
+                        and s.n_past + 1 > self.fns.cfg.n_ctx):
+                    with self._lock:
+                        self.engine.ctx_shift(s.state, 1)
                 if s.last_logits is None or s.n_past >= self.fns.cfg.n_ctx:
                     return
                 tid = s.sampler.sample(s.last_logits, params)
@@ -443,6 +456,7 @@ class SessionPool:
             speculative_k=self.engine.speculative_k,
             draft=(dfns, self.engine.draft_params, self.engine.draft_k)
             if dfns else None,
+            ctx_shift=self.engine.ctx_shift if self.engine.context_shift else None,
         ):
             self._bump("tokens_generated")
             yield token

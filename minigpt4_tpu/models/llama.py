@@ -94,6 +94,44 @@ def rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jn
     return out.reshape(b, h, s, dh).astype(x.dtype)
 
 
+def shift_kv_cache(cache: dict, keep, drop, n_past, cfg: LlamaConfig) -> dict:
+    """llama.cpp-style context shift (the kv_cache_seq_rm + seq_add/K-shift
+    pattern): drop cache positions [keep, keep+drop), slide
+    [keep+drop, n_past) down to [keep, n_past-drop), and re-rotate the moved
+    K rows by -drop so their stored RoPE matches their new absolute
+    positions.  V rows are position-independent and just move.
+
+    The rotation is exact algebra: RoPE angles are linear in position, so a
+    K row rotated at position p then by -drop equals RoPE at p-drop to fp
+    rounding — after the shift, attention treats every surviving token
+    exactly at its new position.  The (shared-with-llama.cpp) approximation
+    is historical: surviving K/V *values* were computed while the dropped
+    tokens were still attendable.  For a 1-layer model even that vanishes
+    (layer-0 K/V depend only on the own token), which the tests exploit.
+
+    ``keep``/``drop``/``n_past`` are traced scalars — ONE compilation serves
+    every shift.  Cost: one full-cache gather + rewrite (~4 ms at 13B/bf16,
+    and shifts are rare).  On sub-f32 cache dtypes the moved K rows pass
+    through one extra quantize (f32 rotate -> cast back); e4m3's ~6%
+    mantissa noise dominates that.  Dense caches only — paged lanes evict
+    whole pages instead (engine/paged.py)."""
+    k, v = cache["k"], cache["v"]  # [L, B, H, C, Dh]
+    C = k.shape[3]
+    idx = jnp.arange(C, dtype=jnp.int32)
+    src = jnp.where(idx < keep, idx, jnp.minimum(idx + drop, C - 1))
+    k = jnp.take(k, src, axis=3)
+    v = jnp.take(v, src, axis=3)
+    L, B, H, _, Dh = k.shape
+    kr = rope_interleaved(
+        k.reshape(L * B, H, C, Dh),
+        jnp.broadcast_to(-jnp.asarray(drop, jnp.int32), (C,)),
+        cfg.rope_theta,
+    ).reshape(k.shape)
+    moved = (idx >= keep) & (idx < n_past - drop)
+    k = jnp.where(moved[None, None, None, :, None], kr, k)
+    return {"k": k, "v": v}
+
+
 # XLA-flash prefill attention: above this span the einsum path would
 # materialize [B, H, S, span] f32 scores in HBM (670 MB per layer at
 # S=512, span=2048); the blockwise scan keeps per-step scores block-sized

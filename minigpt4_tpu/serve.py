@@ -508,6 +508,15 @@ def main():
         "AND batched (--batch-window-ms) greedy decode",
     )
     ap.add_argument(
+        "--ctx-shift", action="store_true",
+        help="llama.cpp-style context shift: when a session's context fills, "
+        "drop its oldest turns after the system-prompt/image prefix and "
+        "slide the KV cache (K rows re-rotated to their new positions) "
+        "instead of stopping — conversations become unbounded in length. "
+        "Applies to single-session decode; batched groups stop at the "
+        "context end as before",
+    )
+    ap.add_argument(
         "--no-prefix-cache", action="store_true",
         help="disable the system-prompt prefix KV cache (fresh sessions "
         "then recompute the SYSTEM_PROMPT prefill instead of installing "
@@ -542,6 +551,7 @@ def main():
                          paged_pages=args.paged_pages or None,
                          speculative_k=args.speculative_k,
                          prefix_cache=not args.no_prefix_cache,
+                         context_shift=args.ctx_shift,
                          draft_llm_path=args.draft_llm,
                          cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
                          smooth_scales=args.smooth_scales,

@@ -9,6 +9,19 @@ stays host-side (it carries float state across calls and is rarely used).
 
 All steps operate on a descending sort of the logits once per token —
 jnp.sort over a 32k vocab is microseconds on TPU.
+
+Two forms of the same chain:
+
+* :func:`sample_token` takes a STATIC :class:`DeviceSamplingConfig` —
+  disabled stages compile away entirely.  This is the greedy/benchmark
+  path (greedy is a bare argmax).
+* :func:`sample_token_dyn` takes the parameters as TRACED scalars and
+  runs every stage with ``where``-guards, so ONE compiled executable
+  serves every sampling configuration (a static config recompiles the
+  fused decode loop per distinct (temp, top_k, ...) tuple — minutes per
+  webui slider tweak on remote-compile backends) and batched serving can
+  mix per-lane configs inside one dispatch (:func:`lane_rows`).
+  For identical parameters and keys the two forms pick identical tokens.
 """
 
 from __future__ import annotations
@@ -79,3 +92,74 @@ def sample_token(logits: jnp.ndarray, key: jnp.ndarray, cfg: DeviceSamplingConfi
     scaled = jnp.where(keep, sl / cfg.temp, -jnp.inf)
     idx = jax.random.categorical(key, scaled)
     return order[idx].astype(jnp.int32)
+
+
+def lane_rows(params_list) -> dict:
+    """Per-lane dynamic sampling parameters as a pytree of [B] arrays —
+    the traced-argument form of :class:`DeviceSamplingConfig`, one row per
+    lane.  Accepts anything with temp/top_k/top_p/tfs_z/typical_p fields
+    (SamplingParams or DeviceSamplingConfig)."""
+    return {
+        "temp": jnp.asarray([p.temp for p in params_list], jnp.float32),
+        "top_k": jnp.asarray([p.top_k for p in params_list], jnp.int32),
+        "top_p": jnp.asarray([p.top_p for p in params_list], jnp.float32),
+        "tfs_z": jnp.asarray([p.tfs_z for p in params_list], jnp.float32),
+        "typical_p": jnp.asarray(
+            [p.typical_p for p in params_list], jnp.float32),
+    }
+
+
+def sample_token_dyn(logits: jnp.ndarray, key: jnp.ndarray, temp, top_k,
+                     top_p, tfs_z, typical_p) -> jnp.ndarray:
+    """:func:`sample_token` with every parameter a TRACED scalar: the full
+    chain always runs, disabled stages neutralize via ``where`` (top_k <= 0
+    or >= V, tfs_z/typical_p/top_p >= 1 keep everything; temp <= 0 selects
+    the argmax).  Same truncation semantics — for equal parameters and keys
+    this picks the same token as the static form.  Cost: ~3 sorts of [V]
+    per token, microseconds against a 13B weight read."""
+    v = logits.shape[-1]
+    ar = jnp.arange(v)
+    order = jnp.argsort(-logits)  # descending, stable: order[0] == argmax
+    sl = logits[order]
+    probs = jax.nn.softmax(sl)
+
+    k_eff = jnp.where(top_k > 0, top_k, v)
+    keep = ar < k_eff
+
+    # tail-free (guarded: tfs_z >= 1 keeps everything)
+    fd = jnp.abs(jnp.diff(probs, n=2))
+    s = fd.sum()
+    fd = jnp.where(s > 0, fd / s, 1.0 / (v - 2))
+    n_keep_t = jnp.maximum(jnp.searchsorted(jnp.cumsum(fd), tfs_z) + 1, 1)
+    keep = keep & (ar < jnp.where(tfs_z < 1.0, n_keep_t, v))
+
+    # locally-typical (guarded)
+    eps = 1e-12
+    surprise = -jnp.log(probs + eps)
+    entropy = jnp.sum(probs * surprise)
+    t_order = jnp.argsort(jnp.abs(surprise - entropy))
+    t_cum = jnp.cumsum(probs[t_order])
+    t_keep_n = jnp.maximum(jnp.searchsorted(t_cum, typical_p) + 1, 1)
+    t_rank = jnp.argsort(t_order)
+    keep = keep & (t_rank < jnp.where(typical_p < 1.0, t_keep_n, v))
+
+    # top-p over the kept, renormalized prefix (guarded)
+    kp = jnp.where(keep, probs, 0.0)
+    kp = kp / jnp.maximum(kp.sum(), 1e-12)
+    n_keep_p = jnp.maximum(jnp.searchsorted(jnp.cumsum(kp), top_p) + 1, 1)
+    keep = keep & (ar < jnp.where(top_p < 1.0, n_keep_p, v))
+
+    keep = keep.at[0].set(True)  # min_keep = 1
+    safe_temp = jnp.where(temp > 0.0, temp, 1.0)  # greedy discards the draw
+    scaled = jnp.where(keep, sl / safe_temp, -jnp.inf)
+    idx = jax.random.categorical(key, scaled)
+    return jnp.where(temp <= 0.0, order[0], order[idx]).astype(jnp.int32)
+
+
+def sample_rows(logits: jnp.ndarray, keys: jnp.ndarray, rows: dict) -> jnp.ndarray:
+    """Batched dynamic sampling: logits [B, V], keys [B, 2], rows from
+    :func:`lane_rows` -> token ids [B] (each lane under its own config)."""
+    return jax.vmap(sample_token_dyn)(
+        logits, keys, rows["temp"], rows["top_k"], rows["top_p"],
+        rows["tfs_z"], rows["typical_p"],
+    )

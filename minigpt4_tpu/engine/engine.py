@@ -319,6 +319,17 @@ class StepFns:
             static_argnums=(5, 6, 7),
             donate_argnums=(1,),
         )
+        # dynamic-sampling twin: the config is a TRACED pytree of per-lane
+        # parameter arrays (device_sampling.lane_rows) — one executable
+        # serves every sampling configuration (the static form recompiles
+        # per distinct config) and batched lanes mix configs in one dispatch
+        self.decode_loop_dyn = jax.jit(
+            lambda p, c, l0, pos0, key, rows, n, attn_len: llama_mod.decode_loop(
+                p, c, l0, pos0, n, key, rows, cfg, attn_len=attn_len
+            ),
+            static_argnums=(6, 7),
+            donate_argnums=(1,),
+        )
         self.spec_loop = jax.jit(
             lambda p, c, l0, pos0, hist, n, k, attn_len: llama_mod.speculative_decode_loop(
                 p, c, l0, pos0, hist, n, k, cfg, attn_len=attn_len
@@ -335,6 +346,13 @@ class StepFns:
                 p, pool, l0, pos0, n, key, scfg, cfg, page_table=pt
             ),
             static_argnums=(6, 7),
+            donate_argnums=(1,),
+        )
+        self.paged_decode_loop_dyn = jax.jit(
+            lambda p, pool, pt, l0, pos0, key, rows, n: llama_mod.decode_loop(
+                p, pool, l0, pos0, n, key, rows, cfg, page_table=pt
+            ),
+            static_argnums=(7,),
             donate_argnums=(1,),
         )
         # paged + speculative: greedy verify passes over the page pool —
@@ -362,6 +380,20 @@ class StepFns:
         # on-device sample for the strict per-token path: downloads one
         # token id (4 B) instead of the full [V] f32 logits per step
         self.sample = jax.jit(_sample, static_argnums=(2,))
+
+        def _sample_dyn(logits, key, rows):
+            from .device_sampling import sample_token_dyn
+
+            key, sub = jax.random.split(key)
+            tok = sample_token_dyn(
+                logits, sub, rows["temp"][0], rows["top_k"][0],
+                rows["top_p"][0], rows["tfs_z"][0], rows["typical_p"][0],
+            )
+            return tok, key
+
+        # traced-config twin (one compile for every non-greedy config; the
+        # per-token ABI path otherwise recompiles per sampling-knob tuple)
+        self.sample_dyn = jax.jit(_sample_dyn)
         # llama.cpp-style context shift (llama.shift_kv_cache): traced
         # keep/drop/n_past scalars — one compilation serves every shift
         self.shift_cache = jax.jit(
@@ -443,9 +475,12 @@ class StepFns:
 
     def decode_chunk(self, params, st: DecodeState, n: int, scfg) -> np.ndarray:
         """Fused on-device decode of ``n`` tokens (ONE dispatch, one small
-        download); updates the cursor/pending logits.  Returns token ids."""
+        download); updates the cursor/pending logits.  Returns token ids.
+        ``scfg``: static DeviceSamplingConfig or a lane_rows dict (dynamic —
+        one compile for every sampling config)."""
+        loop = self.decode_loop_dyn if isinstance(scfg, dict) else self.decode_loop
         st.rng_key, sub = jax.random.split(st.rng_key)
-        tokens, final_logits, st.cache = self.decode_loop(
+        tokens, final_logits, st.cache = loop(
             params, st.cache, st.logits_dev[None], jnp.int32(st.n_past),
             sub, scfg, n, self.attn_bucket(st.n_past + n),
         )
@@ -643,17 +678,25 @@ def generate_stream(
     """
     import contextlib
 
-    from .device_sampling import DeviceSamplingConfig
+    from .device_sampling import DeviceSamplingConfig, lane_rows
 
     scfg = DeviceSamplingConfig(
         temp=sparams.temp, top_k=sparams.top_k, top_p=sparams.top_p,
         tfs_z=sparams.tfs_z, typical_p=sparams.typical_p,
     )
+    greedy = scfg.greedy
+    if not greedy:
+        # traced per-lane parameters: one decode-loop compile serves every
+        # sampling configuration (the static config form recompiles the
+        # fused loop per distinct knob tuple — minutes per webui slider
+        # tweak on remote-compile backends).  Greedy keeps the static form
+        # (bare argmax; also the speculative-verify contract).
+        scfg = lane_rows([sparams])
     lock = dispatch_lock if dispatch_lock is not None else contextlib.nullcontext()
     if st.logits_dev is None:
         return  # nothing evaluated yet: empty stream, like the per-token path
-    use_draft = draft is not None and scfg.greedy
-    use_spec = speculative_k > 1 and scfg.greedy and not use_draft
+    use_draft = draft is not None and greedy
+    use_spec = speculative_k > 1 and greedy and not use_draft
     chat = ""
     emitted = 0
     accept_ewma = None  # observed tokens/pass (scales passes per dispatch)
@@ -1173,7 +1216,7 @@ class MiniGPT4Engine:
         return token
 
     def _end_chat_device(self, params: SamplingParams) -> str:
-        from .device_sampling import DeviceSamplingConfig
+        from .device_sampling import DeviceSamplingConfig, lane_rows
 
         st = self._st
         self._maybe_shift(st, 1)
@@ -1181,11 +1224,14 @@ class MiniGPT4Engine:
             raise ValueError(
                 f"context overflow: n_past {st.n_past} + 1 > {self.llm_cfg.n_ctx}"
             )
-        scfg = DeviceSamplingConfig(
-            temp=params.temp, top_k=params.top_k, top_p=params.top_p,
-            tfs_z=params.tfs_z, typical_p=params.typical_p,
-        )
-        tid_dev, st.rng_key = self._fns.sample(st.logits_dev, st.rng_key, scfg)
+        if params.temp <= 0:  # greedy: static argmax fast path
+            scfg = DeviceSamplingConfig(temp=0.0)
+            tid_dev, st.rng_key = self._fns.sample(
+                st.logits_dev, st.rng_key, scfg)
+        else:
+            # traced config: one compile for every non-greedy knob tuple
+            tid_dev, st.rng_key = self._fns.sample_dyn(
+                st.logits_dev, st.rng_key, lane_rows([params]))
         # queue the eval BEFORE fetching the id: the 4-byte download then
         # rides alongside the decode step instead of serializing with it
         logits, st.cache = self._fns.decode_step(

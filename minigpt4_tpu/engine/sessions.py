@@ -479,7 +479,7 @@ class SessionPool:
         self,
         sessions: list[ChatSession],
         limit: int | list[int] = 256,
-        params: SamplingParams | None = None,
+        params: SamplingParams | list[SamplingParams] | None = None,
         decode_chunk: int = 16,
     ):
         """Decode several prepared sessions TOGETHER: their caches stack on
@@ -506,27 +506,36 @@ class SessionPool:
         weight-read a step costs is shared by the batch AND multiplied by
         per-lane acceptance — output stays token-identical to plain greedy.
 
+        ``params`` may be a LIST (one per session): lanes then sample under
+        their own configs inside the same dispatch (the traced-parameter
+        sampler, device_sampling.lane_rows) — requests never wait for a
+        config-matched group.  All-greedy groups keep the static argmax
+        path (and with it speculation); any non-greedy lane runs the group
+        on the dynamic sampler, compiled ONCE for every config mix.
+
         Yields, once per decode chunk, a list of (session_index, token)
         pairs in the same order per-session generation would emit them.
         """
-        from .device_sampling import DeviceSamplingConfig
+        from .device_sampling import DeviceSamplingConfig, lane_rows
 
-        params = params or SamplingParams()
-        if params.mirostat != 0:
+        if isinstance(params, (list, tuple)):
+            if len(params) != len(sessions):
+                raise ValueError(
+                    f"params list ({len(params)}) != sessions ({len(sessions)})"
+                )
+            plist_all = [p or SamplingParams() for p in params]
+        else:
+            plist_all = [params or SamplingParams()] * len(sessions)
+        if any(p.mirostat != 0 for p in plist_all):
             raise ValueError("generate_batch uses device sampling (no mirostat)")
         if any(
             s.state.logits_dev is None and s.state.logits_host is None
             for s in sessions
         ):
             raise ValueError("every session needs a prepared prompt (ask/prefill)")
-        scfg = DeviceSamplingConfig(
-            temp=params.temp, top_k=params.top_k, top_p=params.top_p,
-            tfs_z=params.tfs_z, typical_p=params.typical_p,
-        )
         limits_all = [limit] * len(sessions) if isinstance(limit, int) else list(limit)
         n_ctx = self.fns.cfg.n_ctx
         k_spec = self.engine.speculative_k
-        use_spec = k_spec > 1 and scfg.greedy
         # only sessions with room for at least one plain chunk join the batch
         # (near-context-end sessions decode plain chunks even under spec)
         act = [i for i, s in enumerate(sessions) if s.n_past + decode_chunk <= n_ctx]
@@ -534,6 +543,13 @@ class SessionPool:
             return
         batch = [sessions[i] for i in act]
         n = len(batch)
+        plist = [plist_all[i] for i in act]
+        all_greedy = all(p.temp <= 0 for p in plist)
+        # all-greedy groups: static argmax config (enables speculation);
+        # otherwise per-lane traced rows — one compile per group SIZE, not
+        # per config, and lanes mix configs freely
+        scfg = DeviceSamplingConfig(temp=0.0) if all_greedy else lane_rows(plist)
+        use_spec = k_spec > 1 and all_greedy
         if self.paged_pool is not None:
             # paged-KV group (engine/paged.py): admission scatters each
             # lane's consumed prefix into shared pool pages instead of
@@ -644,8 +660,10 @@ class SessionPool:
                                 n_passes, act_n)
                 else:
                     key, sub = jax.random.split(key)
+                    loop = (self.fns.decode_loop_dyn if isinstance(scfg, dict)
+                            else self.fns.decode_loop)
                     with self._lock:
-                        tokens, logits, cache = self.fns.decode_loop(
+                        tokens, logits, cache = loop(
                             self.engine.llm_params, cache, logits,
                             jnp.asarray(pos_host, jnp.int32), sub, scfg,
                             decode_chunk, self.fns.attn_bucket(max_pos + decode_chunk),
@@ -810,7 +828,9 @@ class SessionPool:
         n = len(batch)
         n_ctx = min(self.fns.cfg.n_ctx, pool.capacity)
         k_spec = self.engine.speculative_k
-        use_spec = k_spec > 1 and scfg.greedy
+        # scfg is the static greedy config (all-greedy groups, spec-capable)
+        # or a lane_rows dict (mixed/non-greedy: dynamic sampler, no spec)
+        use_spec = k_spec > 1 and not isinstance(scfg, dict)
         with self._lock:
             # formerly-parked lanes carry host logits (admit_host skipped
             # the ensure_device that would have re-uploaded them)
@@ -889,7 +909,10 @@ class SessionPool:
                                 ]
                             else:
                                 key, sub = jax.random.split(key)
-                                tokens, logits, poolkv = self.fns.paged_decode_loop(
+                                ploop = (self.fns.paged_decode_loop_dyn
+                                         if isinstance(scfg, dict)
+                                         else self.fns.paged_decode_loop)
+                                tokens, logits, poolkv = ploop(
                                     self.engine.llm_params,
                                     {"k": pool.k, "v": pool.v},
                                     jnp.asarray(pt_np), logits,
@@ -1000,11 +1023,14 @@ class ContinuousBatcher:
     delivered token once pages free (vLLM-style preemption reframed for
     XLA static shapes).
 
-    All in-flight requests share one device sampling config (a static
-    compile arg); a request with a different config waits until the worker
-    drains.  Requests enter via :meth:`submit`, which returns a queue of
-    str tokens terminated by ``_DONE`` (same protocol as the serve-layer
-    window batcher).
+    Lanes sample under their OWN configs inside one dispatch (the traced
+    per-lane sampler, device_sampling.lane_rows) — mixed-config requests
+    batch together instead of waiting for a config-matched group.
+    All-greedy steps keep the static argmax path (and speculation); a
+    non-greedy lane switches the step to the dynamic sampler, compiled
+    once for every config mix.  Requests enter via :meth:`submit`, which
+    returns a queue of str tokens terminated by ``_DONE`` (same protocol
+    as the serve-layer window batcher).
 
     The reference has no serving story at all (single global cursor,
     minigpt4.cpp:2521); SURVEY.md §5's "TPU-native serving" is this file.
@@ -1014,7 +1040,7 @@ class ContinuousBatcher:
     _STOP = object()
 
     def __init__(self, pool: SessionPool, max_batch: int = 8,
-                 decode_chunk: int = 16, config_wait_s: float = 5.0):
+                 decode_chunk: int = 16):
         import queue as queue_mod
 
         self.pool = pool
@@ -1080,12 +1106,11 @@ class ContinuousBatcher:
         self._logits = jnp.zeros((self.B, V), jnp.float32)
         self._hist = jnp.full((self.B, C), -1, jnp.int32)
         self._pos = np.zeros(self.B, np.int64)
-        # per-slot host state; None = free
+        # per-slot host state; None = free (each lane carries its OWN
+        # sampling params; mixed configs share a dispatch via lane_rows)
         self._lanes: list[dict | None] = [None] * self.B
-        self._scfg = None  # the in-flight group's shared sampling config
-        self._deferred: list[tuple] = []  # waiting for a slot / scfg drain
+        self._deferred: list[tuple] = []  # waiting for a free slot / pages
         self._deferred_since: dict[int, float] = {}  # id(out) -> first defer
-        self.config_wait_s = config_wait_s
         self._q: queue_mod.Queue = queue_mod.Queue()
         self._gov = _SpecGovernor()  # adaptive batched speculation
         self._gov_reported = 0  # demotions already counted into pool metrics
@@ -1120,32 +1145,9 @@ class ContinuousBatcher:
     def _n_active(self) -> int:
         return sum(l is not None for l in self._lanes)
 
-    def _scfg_of(self, params: SamplingParams):
-        from .device_sampling import DeviceSamplingConfig
-
-        return DeviceSamplingConfig(
-            temp=params.temp, top_k=params.top_k, top_p=params.top_p,
-            tfs_z=params.tfs_z, typical_p=params.typical_p,
-        )
-
     def _defer(self, item) -> None:
         self._deferred_since.setdefault(id(item[3]), time.monotonic())
         self._deferred.append(item)
-
-    def _has_aged_config_waiter(self) -> bool:
-        """True once any config-mismatched waiter has waited past
-        ``config_wait_s``; new same-config admissions then pause so the
-        running group drains instead of starving the waiter forever."""
-        if self._scfg is None:
-            return False
-        now = time.monotonic()
-        for it in self._deferred:  # items may carry a 5th (resume) element
-            p, o = it[2], it[3]
-            ts = self._deferred_since.get(id(o))
-            if ts is not None and now - ts > self.config_wait_s:
-                if self._scfg_of(p) != self._scfg:
-                    return True
-        return False
 
     def _run(self) -> None:
         import queue as queue_mod
@@ -1188,16 +1190,14 @@ class ContinuousBatcher:
                         it[3].put(self._DONE)
                 break
             if self._n_active() == 0:
-                # the group drained: the next admission sets a fresh scfg
-                # and the speculation governor starts a fresh estimate
-                self._scfg = None
+                # the group drained: the speculation governor starts a
+                # fresh acceptance estimate for the next one
                 self._gov = _SpecGovernor()
                 self._gov_reported = 0
             if self._deferred:
-                # slot-waiters join the moment a lane frees (mid-flight);
-                # config-waiters join once the group drains (scfg reset
-                # above).  Still-blocked items re-defer — bounded, one try
-                # per item per iteration.
+                # slot/page-waiters join the moment a lane frees
+                # (mid-flight).  Still-blocked items re-defer — bounded,
+                # one try per item per iteration.
                 deferred, self._deferred = self._deferred, []
                 deferred.sort(
                     key=lambda it: self._deferred_since.get(id(it[3]), 0.0)
@@ -1216,7 +1216,6 @@ class ContinuousBatcher:
                 for i, lane in enumerate(self._lanes):
                     if lane is not None:
                         self._abort_lane(i, e)
-                self._scfg = None
 
     def _abort_lane(self, slot: int, err: Exception | None) -> None:
         """Detach a lane after a failure/shutdown, leaving its SESSION in a
@@ -1266,7 +1265,6 @@ class ContinuousBatcher:
         session, limit, params, out = item[:4]
         resume = item[4] if len(item) > 4 else None
         try:
-            scfg = self._scfg_of(params)
             prepared = (session.state.logits_dev is not None
                         or (session.state.parked is not None
                             and session.state.logits_host is not None))
@@ -1276,14 +1274,6 @@ class ContinuousBatcher:
                     "sampling (no mirostat)"))
                 out.put(self._DONE)
                 self._deferred_since.pop(id(out), None)
-                return
-            if self._scfg is not None and scfg != self._scfg:
-                self._defer(item)
-                return
-            if self._scfg is not None and self._has_aged_config_waiter():
-                # an overdue config-waiter exists: stop feeding the current
-                # group so it drains and the waiter can set a fresh scfg
-                self._defer(item)
                 return
             try:
                 slot = self._lanes.index(None)
@@ -1356,7 +1346,6 @@ class ContinuousBatcher:
             # session's private cache here keeps per-lane HBM at 1x cache
             # (210 MB/lane at 13B/f8/512 ctx) instead of 2x for the whole ride
             session.state.cache = None
-            self._scfg = scfg
             self._deferred_since.pop(id(out), None)
             self._pos[slot] = session.n_past
             lane = {
@@ -1398,8 +1387,8 @@ class ContinuousBatcher:
             lane["out"].put(self._DONE)
         return True
 
-    def _use_spec(self, scfg) -> bool:
-        return self.pool.engine.speculative_k > 1 and scfg.greedy
+    def _spec_capable(self) -> bool:
+        return self.pool.engine.speculative_k > 1
 
     def _spec_passes_now(self, max_pos: int) -> int:
         """Acceptance-scaled verify passes per dispatch (see
@@ -1410,14 +1399,14 @@ class ContinuousBatcher:
             n_passes //= 2
         return n_passes
 
-    def _span(self, scfg, max_pos: int) -> int:
-        k = self.pool.engine.speculative_k
-        if self._use_spec(scfg):
-            return self._spec_passes_now(max_pos) * k
+    def _span(self, can_spec: bool, max_pos: int) -> int:
+        if can_spec:
+            return self._spec_passes_now(max_pos) * self.pool.engine.speculative_k
         return self.decode_chunk
 
     def _step(self) -> None:
-        scfg = self._scfg
+        from .device_sampling import DeviceSamplingConfig, lane_rows
+
         cfg = self.fns.cfg
         # lanes without room for even a plain chunk leave BEFORE the
         # dispatch (per-lane, not group-stop: the others keep decoding)
@@ -1428,14 +1417,28 @@ class ContinuousBatcher:
             return
         act = [i for i, l in enumerate(self._lanes) if l is not None]
         max_pos = int(max(self._pos[i] for i in act))
+        # every lane samples under its OWN params; all-greedy steps keep the
+        # static argmax config (and the speculative path), any non-greedy
+        # lane switches the step to the per-lane dynamic sampler (one
+        # compile for every config mix; spec needs greedy verify so it
+        # pauses until the non-greedy lane leaves)
+        all_greedy = all(self._lanes[i]["params"].temp <= 0 for i in act)
+        if all_greedy:
+            scfg = DeviceSamplingConfig(temp=0.0)
+        else:
+            idle = SamplingParams(temp=0.0)  # free slots: cheap argmax rows
+            scfg = lane_rows([
+                l["params"] if l is not None else idle for l in self._lanes
+            ])
         # a near-context-end lane demotes the STEP to plain chunks (its tail
         # still decodes); speculation resumes once that lane leaves.  The
         # governor demotes low-acceptance groups the same way (a batched
         # verify pass costs ~1.4x a plain step; below break-even acceptance
         # speculation loses aggregate throughput) and re-probes after its
         # cooldown
-        spec_span = self._span(scfg, max_pos)
-        spec_step = (self._use_spec(scfg) and max_pos + spec_span <= cfg.n_ctx
+        can_spec = self._spec_capable() and all_greedy
+        spec_span = self._span(can_spec, max_pos)
+        spec_step = (can_spec and max_pos + spec_span <= cfg.n_ctx
                      and self._gov.want_spec())
         span = spec_span if spec_step else self.decode_chunk
         if self.paged:
@@ -1513,10 +1516,12 @@ class ContinuousBatcher:
                 self._gov_reported = self._gov.demotions
         elif self.paged:
             self._key, sub = jax.random.split(self._key)
+            ploop = (self.fns.paged_decode_loop if all_greedy
+                     else self.fns.paged_decode_loop_dyn)
             with self.pool._lock:
                 ppool = self.pool.paged_pool
                 try:
-                    tokens, self._logits, poolkv = self.fns.paged_decode_loop(
+                    tokens, self._logits, poolkv = ploop(
                         self.pool.engine.llm_params,
                         {"k": ppool.k, "v": ppool.v},
                         jnp.asarray(self._pt_np), self._logits,
@@ -1524,7 +1529,7 @@ class ContinuousBatcher:
                     )
                     ppool.k, ppool.v = poolkv["k"], poolkv["v"]
                     tok_host = np.asarray(tokens)
-                    if self._use_spec(scfg):
+                    if self._spec_capable():
                         # keep the device n-gram history coherent across
                         # demoted plain-chunk steps (see the dense arm below)
                         idx = self._pos[:, None] + np.arange(self.decode_chunk)
@@ -1542,13 +1547,15 @@ class ContinuousBatcher:
             self._pos += self.decode_chunk
         else:
             self._key, sub = jax.random.split(self._key)
+            loop = (self.fns.decode_loop if all_greedy
+                    else self.fns.decode_loop_dyn)
             with self.pool._lock:
-                tokens, self._logits, self._cache = self.fns.decode_loop(
+                tokens, self._logits, self._cache = loop(
                     self.pool.engine.llm_params, self._cache, self._logits,
                     pos_dev, sub, scfg, self.decode_chunk, bucket,
                 )
                 tok_host = np.asarray(tokens)
-                if self._use_spec(scfg):
+                if self._spec_capable():
                     # keep the device n-gram history coherent across demoted
                     # plain-chunk steps — unwritten gaps below a surviving
                     # lane's cursor collapse drafting to ~1 tok/pass once

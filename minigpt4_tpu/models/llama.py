@@ -598,17 +598,27 @@ def decode_loop(
     previous eval; emitted token i is sampled *before* its own eval, and the
     returned final logits correspond to the last evaluated token.
 
+    ``scfg`` is either a static DeviceSamplingConfig (compile-time chain;
+    greedy compiles to a bare argmax) or a dict of per-lane [B] parameter
+    arrays (engine/device_sampling.lane_rows) — the traced form, where ONE
+    executable serves every sampling configuration and each lane samples
+    under its own parameters.
+
     Returns (tokens [B, n_steps], final_logits [B, V], cache).
     """
-    from ..engine.device_sampling import sample_token
+    from ..engine.device_sampling import sample_rows, sample_token
 
     b = logits0.shape[0]
+    dyn = isinstance(scfg, dict)  # per-lane traced params (lane_rows)
 
     # scan carries (logits, cache, position)
     def body(carry, step_key):
         logits, kc, pos = carry
         keys = jax.random.split(step_key, b)
-        tok = jax.vmap(lambda l, k: sample_token(l, k, scfg))(logits, keys)
+        if dyn:
+            tok = sample_rows(logits, keys, scfg)
+        else:
+            tok = jax.vmap(lambda l, k: sample_token(l, k, scfg))(logits, keys)
         emb = embed_tokens(params, tok[:, None])
         new_logits, kc = forward(params, kc, emb, pos, cfg, attn_len=attn_len,
                                  use_flash=use_flash, tp_axis=tp_axis,

@@ -77,22 +77,36 @@ class _Batcher:
                     group.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            # only identical sampler configs may share a batched decode; the
-            # rest re-queue for their own group
-            params = group[0][2]
-            same = [g for g in group if g[2] == params]
-            for g in group:
-                if g[2] != params:
-                    self._q.put(g)
-            self._decode_group(same, params)
+            # mixed sampler configs share one batched decode (per-lane
+            # traced sampling, device_sampling.lane_rows); only mirostat
+            # is host-stateful and decodes per-session
+            mirostat = [g for g in group if g[2].mirostat != 0]
+            rest = [g for g in group if g[2].mirostat == 0]
+            if rest:
+                self._decode_group(rest)
+            for g in mirostat:
+                self._decode_single(g)
 
-    def _decode_group(self, group, params) -> None:
+    def _decode_single(self, req) -> None:
+        session, limit, params, out = req
+        try:
+            for token in self.pool.generate(session, limit, params):
+                out.put(token)
+        except Exception as e:
+            import sys
+
+            print(f"[serve] mirostat decode failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            out.put(e)
+        out.put(self._DONE)
+
+    def _decode_group(self, group) -> None:
         sessions = [g[0] for g in group]
         limits = [g[1] for g in group]
         outs = [g[3] for g in group]
         try:
             for updates in self.pool.generate_batch_stream(
-                sessions, limit=limits, params=params
+                sessions, limit=limits, params=[g[2] for g in group]
             ):
                 for i, token in updates:
                     outs[i].put(token)

@@ -416,23 +416,27 @@ def test_parked_sessions_admit_from_host(paged_pool, dense_pool):
     assert calls == []  # the host fast path never touched ensure_device
 
 
-def test_aged_config_waiter_tolerates_resume_items(paged_pool):
-    """Deferred 5-tuple resume items (preemption) must not break the
-    config-waiter aging scan that unpacks deferred entries."""
-    import queue
-
+def test_paged_continuous_mixed_configs_batch_together(paged_pool):
+    """Per-lane sampling configs (device_sampling.lane_rows) share one
+    paged dispatch: a greedy and a stochastic request run concurrently —
+    neither waits for a config-matched group — and both complete with
+    coherent sessions."""
     from minigpt4_tpu.engine.sessions import ContinuousBatcher
 
     cb = ContinuousBatcher(paged_pool, max_batch=2, decode_chunk=4)
     try:
-        cb._scfg = cb._scfg_of(GREEDY)
-        out = queue.Queue()
-        lane = {"chat": "", "emitted": 0, "limit": 5}
-        cb._deferred.append((None, 5, SamplingParams(temp=0.7), out, lane))
-        cb._deferred_since[id(out)] = -1e9  # long overdue, mismatched config
-        assert cb._has_aged_config_waiter() is True  # and no ValueError
-        cb._deferred.clear()
-        cb._deferred_since.clear()
+        subs = []
+        for q, p in (("one two", GREEDY), ("three", SamplingParams(temp=0.7))):
+            s = paged_pool.new_session()
+            paged_pool.begin_chat(s, q)
+            subs.append((s, cb.submit(s, 6, p)))
+        texts = [_drain(cb, out) for _, out in subs]
+        assert all(isinstance(t, str) for t in texts)
+        for s, _ in subs:
+            assert len(s.state.tokens) == s.n_past
+            s.close()
+        pool = paged_pool.paged_pool
+        assert pool.free_pages == pool.n_pages  # nothing leaked
     finally:
         cb.close()
 

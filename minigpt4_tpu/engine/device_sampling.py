@@ -94,12 +94,18 @@ def sample_token(logits: jnp.ndarray, key: jnp.ndarray, cfg: DeviceSamplingConfi
     return order[idx].astype(jnp.int32)
 
 
-def lane_rows(params_list) -> dict:
+def lane_rows(params_list, n_vocab: int | None = None) -> dict:
     """Per-lane dynamic sampling parameters as a pytree of [B] arrays —
     the traced-argument form of :class:`DeviceSamplingConfig`, one row per
     lane.  Accepts anything with temp/top_k/top_p/tfs_z/typical_p fields
-    (SamplingParams or DeviceSamplingConfig)."""
-    return {
+    (SamplingParams or DeviceSamplingConfig).
+
+    When any lane carries a ``logit_bias`` (the OpenAI knob: additive
+    per-token-id offsets) the rows gain a dense [B, V] ``bias`` plane
+    (zeros elsewhere) — ``n_vocab`` is then required."""
+    import numpy as np
+
+    rows = {
         "temp": jnp.asarray([p.temp for p in params_list], jnp.float32),
         "top_k": jnp.asarray([p.top_k for p in params_list], jnp.int32),
         "top_p": jnp.asarray([p.top_p for p in params_list], jnp.float32),
@@ -107,16 +113,31 @@ def lane_rows(params_list) -> dict:
         "typical_p": jnp.asarray(
             [p.typical_p for p in params_list], jnp.float32),
     }
+    if any(getattr(p, "logit_bias", None) for p in params_list):
+        if n_vocab is None:
+            raise ValueError("logit_bias rows need n_vocab")
+        bias = np.zeros((len(params_list), n_vocab), np.float32)
+        for i, p in enumerate(params_list):
+            for tid, b in (getattr(p, "logit_bias", None) or {}).items():
+                tid = int(tid)
+                if 0 <= tid < n_vocab:
+                    bias[i, tid] = float(b)
+        rows["bias"] = jnp.asarray(bias)
+    return rows
 
 
 def sample_token_dyn(logits: jnp.ndarray, key: jnp.ndarray, temp, top_k,
-                     top_p, tfs_z, typical_p) -> jnp.ndarray:
+                     top_p, tfs_z, typical_p, bias=None) -> jnp.ndarray:
     """:func:`sample_token` with every parameter a TRACED scalar: the full
     chain always runs, disabled stages neutralize via ``where`` (top_k <= 0
     or >= V, tfs_z/typical_p/top_p >= 1 keep everything; temp <= 0 selects
     the argmax).  Same truncation semantics — for equal parameters and keys
-    this picks the same token as the static form.  Cost: ~3 sorts of [V]
-    per token, microseconds against a 13B weight read."""
+    this picks the same token as the static form.  ``bias`` ([V], optional)
+    adds per-id logit offsets before the chain (OpenAI logit_bias; greedy
+    then argmaxes the biased logits).  Cost: ~3 sorts of [V] per token,
+    microseconds against a 13B weight read."""
+    if bias is not None:
+        logits = logits + bias
     v = logits.shape[-1]
     ar = jnp.arange(v)
     order = jnp.argsort(-logits)  # descending, stable: order[0] == argmax
@@ -158,8 +179,10 @@ def sample_token_dyn(logits: jnp.ndarray, key: jnp.ndarray, temp, top_k,
 
 def sample_rows(logits: jnp.ndarray, keys: jnp.ndarray, rows: dict) -> jnp.ndarray:
     """Batched dynamic sampling: logits [B, V], keys [B, 2], rows from
-    :func:`lane_rows` -> token ids [B] (each lane under its own config)."""
-    return jax.vmap(sample_token_dyn)(
-        logits, keys, rows["temp"], rows["top_k"], rows["top_p"],
-        rows["tfs_z"], rows["typical_p"],
-    )
+    :func:`lane_rows` -> token ids [B] (each lane under its own config,
+    including its own optional logit-bias plane)."""
+    args = (logits, keys, rows["temp"], rows["top_k"], rows["top_p"],
+            rows["tfs_z"], rows["typical_p"])
+    if "bias" in rows:
+        return jax.vmap(sample_token_dyn)(*args, rows["bias"])
+    return jax.vmap(sample_token_dyn)(*args)

@@ -388,6 +388,7 @@ class StepFns:
             tok = sample_token_dyn(
                 logits, sub, rows["temp"][0], rows["top_k"][0],
                 rows["top_p"][0], rows["tfs_z"][0], rows["typical_p"][0],
+                bias=rows["bias"][0] if "bias" in rows else None,
             )
             return tok, key
 
@@ -684,14 +685,16 @@ def generate_stream(
         temp=sparams.temp, top_k=sparams.top_k, top_p=sparams.top_p,
         tfs_z=sparams.tfs_z, typical_p=sparams.typical_p,
     )
-    greedy = scfg.greedy
+    # a logit_bias forces the dynamic path even at temp<=0 (greedy must
+    # argmax the BIASED logits; the static/speculative paths argmax raw)
+    greedy = scfg.greedy and not sparams.logit_bias
     if not greedy:
         # traced per-lane parameters: one decode-loop compile serves every
         # sampling configuration (the static config form recompiles the
         # fused loop per distinct knob tuple — minutes per webui slider
         # tweak on remote-compile backends).  Greedy keeps the static form
         # (bare argmax; also the speculative-verify contract).
-        scfg = lane_rows([sparams])
+        scfg = lane_rows([sparams], n_vocab=fns.cfg.n_vocab)
     lock = dispatch_lock if dispatch_lock is not None else contextlib.nullcontext()
     if st.logits_dev is None:
         return  # nothing evaluated yet: empty stream, like the per-token path
@@ -1224,14 +1227,16 @@ class MiniGPT4Engine:
             raise ValueError(
                 f"context overflow: n_past {st.n_past} + 1 > {self.llm_cfg.n_ctx}"
             )
-        if params.temp <= 0:  # greedy: static argmax fast path
+        if params.temp <= 0 and not params.logit_bias:
+            # greedy: static argmax fast path
             scfg = DeviceSamplingConfig(temp=0.0)
             tid_dev, st.rng_key = self._fns.sample(
                 st.logits_dev, st.rng_key, scfg)
         else:
             # traced config: one compile for every non-greedy knob tuple
             tid_dev, st.rng_key = self._fns.sample_dyn(
-                st.logits_dev, st.rng_key, lane_rows([params]))
+                st.logits_dev, st.rng_key,
+                lane_rows([params], n_vocab=self.llm_cfg.n_vocab))
         # queue the eval BEFORE fetching the id: the 4-byte download then
         # rides alongside the decode step instead of serializing with it
         logits, st.cache = self._fns.decode_step(

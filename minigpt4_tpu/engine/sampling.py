@@ -39,6 +39,11 @@ class SamplingParams:
     mirostat_tau: float = 5.0
     mirostat_eta: float = 1.0
     penalize_nl: bool = True
+    # additive per-token-id logit offsets (the OpenAI ``logit_bias`` knob —
+    # an extension over the reference's sampler surface).  Applied BEFORE
+    # the whole chain, on host and device alike; greedy with a bias picks
+    # the argmax of the biased logits.
+    logit_bias: dict | None = None
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:
@@ -117,6 +122,12 @@ class Sampler:
         newline_id: int = 13,
     ) -> int:
         logits = np.asarray(logits, np.float32).copy()
+
+        if params.logit_bias:
+            for tid, b in params.logit_bias.items():
+                tid = int(tid)
+                if 0 <= tid < logits.size:
+                    logits[tid] += float(b)
 
         if apply_repeat_penalty and last_tokens and params.repeat_penalty != 1.0:
             recent = np.unique(np.asarray(last_tokens[-params.repeat_last_n :], np.int64))

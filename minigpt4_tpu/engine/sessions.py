@@ -544,11 +544,12 @@ class SessionPool:
         batch = [sessions[i] for i in act]
         n = len(batch)
         plist = [plist_all[i] for i in act]
-        all_greedy = all(p.temp <= 0 for p in plist)
+        all_greedy = all(p.temp <= 0 and not p.logit_bias for p in plist)
         # all-greedy groups: static argmax config (enables speculation);
         # otherwise per-lane traced rows — one compile per group SIZE, not
         # per config, and lanes mix configs freely
-        scfg = DeviceSamplingConfig(temp=0.0) if all_greedy else lane_rows(plist)
+        scfg = (DeviceSamplingConfig(temp=0.0) if all_greedy
+                else lane_rows(plist, n_vocab=self.fns.cfg.n_vocab))
         use_spec = k_spec > 1 and all_greedy
         if self.paged_pool is not None:
             # paged-KV group (engine/paged.py): admission scatters each
@@ -1422,14 +1423,17 @@ class ContinuousBatcher:
         # lane switches the step to the per-lane dynamic sampler (one
         # compile for every config mix; spec needs greedy verify so it
         # pauses until the non-greedy lane leaves)
-        all_greedy = all(self._lanes[i]["params"].temp <= 0 for i in act)
+        all_greedy = all(self._lanes[i]["params"].temp <= 0
+                         and not self._lanes[i]["params"].logit_bias
+                         for i in act)
         if all_greedy:
             scfg = DeviceSamplingConfig(temp=0.0)
         else:
             idle = SamplingParams(temp=0.0)  # free slots: cheap argmax rows
-            scfg = lane_rows([
-                l["params"] if l is not None else idle for l in self._lanes
-            ])
+            scfg = lane_rows(
+                [l["params"] if l is not None else idle for l in self._lanes],
+                n_vocab=cfg.n_vocab,
+            )
         # a near-context-end lane demotes the STEP to plain chunks (its tail
         # still decodes); speculation resumes once that lane leaves.  The
         # governor demotes low-acceptance groups the same way (a batched

@@ -158,6 +158,102 @@ class _Server:
         return len(self.pool._sessions)
 
 
+class _StopFilter:
+    """OpenAI ``stop``-sequence truncation over a token stream.
+
+    Feed decoded token strings; emitted text never contains any stop
+    sequence and generation ends the moment one completes.  A tail of
+    ``max(len(stop)) - 1`` characters is held back until it can no longer
+    begin a stop match (sequences may straddle token boundaries)."""
+
+    def __init__(self, stops: list[str]):
+        self.stops = [s for s in stops if s]
+        self._hold = max((len(s) for s in self.stops), default=1) - 1
+        self._buf = ""
+        self.stopped = False
+
+    def feed(self, token: str) -> str:
+        """Returns the text safe to emit for this token ('' is common while
+        the tail is held back); sets ``stopped`` when a sequence completed."""
+        if not self.stops:
+            return token
+        self._buf += token
+        cut = min((i for s in self.stops
+                   if (i := self._buf.find(s)) >= 0), default=-1)
+        if cut >= 0:
+            self.stopped = True
+            out, self._buf = self._buf[:cut], ""
+            return out
+        emit = len(self._buf) - self._hold
+        if emit <= 0:
+            return ""
+        out, self._buf = self._buf[:emit], self._buf[emit:]
+        return out
+
+    def flush(self) -> str:
+        """Emit the held-back tail once the stream ends without a stop."""
+        out, self._buf = self._buf, ""
+        return out if not self.stopped else ""
+
+
+def _host_generate(srv: _Server, s, limit: int, params,
+                   logprobs_top: int | None = None,
+                   presence: float = 0.0, frequency: float = 0.0):
+    """Per-token HOST-sampled generation for the OpenAI features the fused
+    device loop doesn't carry: ``logprobs`` (needs the [V] distribution per
+    step) and presence/frequency penalties (logits depend on the generated
+    histogram).  Same per-token flow as the reference's own chat loop
+    (minigpt4_library.py:609-657) and the pool's mirostat branch; EOS rules
+    match generate_stream.  Yields (token_str, logprob, top_logprobs) where
+    top_logprobs is a list of (token_str, logprob) or None."""
+    from .engine.engine import MiniGPT4Engine as E
+
+    pool = srv.pool
+    nobias = params
+    if params.logit_bias:
+        import dataclasses
+
+        nobias = dataclasses.replace(params, logit_bias=None)
+    counts: dict[int, int] = {}
+    chat = ""
+    for _ in range(limit):
+        if s.last_logits is None or s.n_past >= pool.fns.cfg.n_ctx:
+            return
+        logits = np.asarray(s.last_logits, np.float32).copy()
+        for tid, b in (params.logit_bias or {}).items():
+            tid = int(tid)
+            if 0 <= tid < logits.size:
+                logits[tid] += float(b)
+        lp_dist = None
+        if logprobs_top is not None:
+            x = logits - logits.max()
+            lp_dist = x - np.log(np.exp(x).sum())
+        penalized = logits
+        if counts and (presence or frequency):
+            penalized = logits.copy()
+            for tid, c in counts.items():
+                penalized[tid] -= presence + frequency * c
+        tid = s.sampler.sample(penalized, nobias)
+        counts[tid] = counts.get(tid, 0) + 1
+        token = pool.engine.tokenizer.id_to_str(tid)
+        pool._add_tokens(s, [tid])
+        chat += token
+        if E.contains_eos_token(token):
+            continue
+        if E.is_eos(chat):
+            return
+        if lp_dist is not None:
+            k = max(int(logprobs_top), 0)
+            tops = []
+            if k:
+                order = np.argsort(-lp_dist, kind="stable")[:k]
+                tops = [(pool.engine.tokenizer.id_to_str(int(t)),
+                         float(lp_dist[t])) for t in order]
+            yield token, float(lp_dist[tid]), tops
+        else:
+            yield token, None, None
+
+
 def _generation_tokens(srv: _Server, s, limit: int, params, park: bool = True):
     """Drain one generation: through the request batcher when configured
     (device sampling only — mirostat carries host state), else the
@@ -274,11 +370,23 @@ def make_handler(srv: _Server):
                     "message": "messages must end with a user turn",
                     "type": "invalid_request_error"}})
                 return
+            lb = {int(k): float(v)
+                  for k, v in (req.get("logit_bias") or {}).items()}
             params = SamplingParams(
                 temp=float(req.get("temperature", 0.8)),
                 top_p=float(req.get("top_p", 0.9)),
                 top_k=int(req.get("top_k", 40)),
+                mirostat=int(req.get("mirostat", 0)),
+                logit_bias=lb or None,
             )
+            stops = req.get("stop")
+            stops = ([stops] if isinstance(stops, str)
+                     else list(stops or []))[:8]
+            seed = req.get("seed")
+            presence = float(req.get("presence_penalty") or 0.0)
+            frequency = float(req.get("frequency_penalty") or 0.0)
+            want_lp = bool(req.get("logprobs"))
+            top_lp = int(req.get("top_logprobs") or 0)
             limit = int(req.get("max_tokens") or 256)
             stream = bool(req.get("stream", False))
             s = srv.pool.new_session()
@@ -313,10 +421,35 @@ def make_handler(srv: _Server):
                     s.is_image_chat = True
                 s.ask(text)
                 prompt_tokens = s.n_past
+                if seed is not None:
+                    # deterministic request: reseed both samplers (host
+                    # chain and the device PRNG the fused loop draws from)
+                    import jax as _jax
+
+                    s.sampler.reset(int(seed))
+                    s.state.rng_key = _jax.random.PRNGKey(int(seed))
+                # logprobs need the per-step [V] distribution and presence/
+                # frequency penalties depend on the generated histogram:
+                # both route through the per-token host path (the same loop
+                # every reference client runs); everything else rides the
+                # fused device loop
+                host = (want_lp or presence != 0.0 or frequency != 0.0
+                        or params.mirostat != 0)
 
                 def token_iter():
-                    return _generation_tokens(srv, s, limit, params,
-                                              park=False)
+                    if host:
+                        yield from _host_generate(
+                            srv, s, limit, params,
+                            logprobs_top=top_lp if want_lp else None,
+                            presence=presence, frequency=frequency)
+                    else:
+                        for tok in _generation_tokens(srv, s, limit, params,
+                                                      park=False):
+                            yield tok, None, None
+
+                def lp_entry(tok, lp, tops):
+                    return {"token": tok, "logprob": lp, "top_logprobs": [
+                        {"token": t, "logprob": v} for t, v in (tops or [])]}
 
                 rid = f"chatcmpl-{s.session_id}-{int(_time.time())}"
                 model = req.get("model", "minigpt4-tpu")
@@ -331,19 +464,37 @@ def make_handler(srv: _Server):
                         self.wfile.write(
                             f"{len(data):x}\r\n".encode() + data + b"\r\n")
 
+                    def chunk(delta, entry=None, finish=None):
+                        c = {"index": 0, "delta": delta,
+                             "finish_reason": finish}
+                        if want_lp:
+                            c["logprobs"] = (
+                                {"content": [entry]} if entry else None)
+                        return {"id": rid,
+                                "object": "chat.completion.chunk",
+                                "model": model, "choices": [c]}
+
+                    sf = _StopFilter(stops)
                     n = 0
                     try:
-                        for tok in token_iter():
+                        for tok, lp, tops in token_iter():
                             n += 1
-                            sse({"id": rid, "object": "chat.completion.chunk",
-                                 "model": model, "choices": [{
-                                     "index": 0, "delta": {"content": tok},
-                                     "finish_reason": None}]})
-                        sse({"id": rid, "object": "chat.completion.chunk",
-                             "model": model, "choices": [{
-                                 "index": 0, "delta": {},
-                                 "finish_reason":
-                                     "length" if n >= limit else "stop"}]})
+                            text = sf.feed(tok)
+                            if sf.stopped:
+                                if text:
+                                    sse(chunk({"content": text}))
+                                break
+                            if text or want_lp:
+                                sse(chunk(
+                                    {"content": text} if text else {},
+                                    lp_entry(tok, lp, tops)
+                                    if want_lp else None))
+                        tail = sf.flush()
+                        if tail:
+                            sse(chunk({"content": tail}))
+                        finish = ("stop" if sf.stopped
+                                  else "length" if n >= limit else "stop")
+                        sse(chunk({}, finish=finish))
                         done = b"data: [DONE]\n\n"
                         self.wfile.write(
                             f"{len(done):x}\r\n".encode() + done + b"\r\n")
@@ -351,17 +502,33 @@ def make_handler(srv: _Server):
                         pass  # headers are out; terminate the stream
                     self.wfile.write(b"0\r\n\r\n")
                     return
-                text_out = "".join(token_iter())
+                sf = _StopFilter(stops)
+                parts, entries, n = [], [], 0
+                for tok, lp, tops in token_iter():
+                    n += 1
+                    text = sf.feed(tok)
+                    if text:
+                        parts.append(text)
+                    if sf.stopped:
+                        break
+                    if want_lp:
+                        entries.append(lp_entry(tok, lp, tops))
+                parts.append(sf.flush())
+                text_out = "".join(parts)
                 completion = s.n_past - prompt_tokens
+                finish = ("stop" if sf.stopped
+                          else "length" if n >= limit else "stop")
+                choice = {
+                    "index": 0,
+                    "message": {"role": "assistant", "content": text_out},
+                    "finish_reason": finish,
+                }
+                if want_lp:
+                    choice["logprobs"] = {"content": entries}
                 resp = {
                     "id": rid, "object": "chat.completion",
                     "created": int(_time.time()), "model": model,
-                    "choices": [{
-                        "index": 0,
-                        "message": {"role": "assistant", "content": text_out},
-                        "finish_reason":
-                            "length" if completion >= limit else "stop",
-                    }],
+                    "choices": [choice],
                     "usage": {"prompt_tokens": prompt_tokens,
                               "completion_tokens": completion,
                               "total_tokens": s.n_past},
@@ -409,11 +576,20 @@ def make_handler(srv: _Server):
                     self._json(200, {"ok": True})
                     return
                 req = json.loads(self._body() or b"{}")
+                lb = {int(k): float(v)
+                      for k, v in (req.get("logit_bias") or {}).items()}
                 params = SamplingParams(
                     temp=float(req.get("temp", 0.8)),
                     top_k=int(req.get("top_k", 40)),
                     top_p=float(req.get("top_p", 0.9)),
+                    mirostat=int(req.get("mirostat", 0)),
+                    logit_bias=lb or None,
                 )
+                if req.get("seed") is not None:
+                    import jax as _jax
+
+                    s.sampler.reset(int(req["seed"]))
+                    s.state.rng_key = _jax.random.PRNGKey(int(req["seed"]))
                 limit = int(req.get("limit", 256))
                 s.ask(str(req.get("message", "")))
 

@@ -217,3 +217,22 @@ def test_continuous_mixed_configs_concurrent(pool):
         sb.close()
     finally:
         cb.close()
+
+
+def test_logit_bias_rows_force_token():
+    """lane_rows builds a dense per-lane bias plane; greedy rows argmax the
+    BIASED logits (the OpenAI logit_bias contract)."""
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(0, 3, (2, 64)).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    rows = lane_rows(
+        [SamplingParams(temp=0.0, logit_bias={7: 1000.0}),
+         SamplingParams(temp=0.0)],  # unbiased lane rides zero rows
+        n_vocab=64,
+    )
+    assert rows["bias"].shape == (2, 64)
+    toks = np.asarray(sample_rows(logits, keys, rows))
+    assert toks[0] == 7
+    assert toks[1] == int(jnp.argmax(logits[1]))
+    with pytest.raises(ValueError, match="n_vocab"):
+        lane_rows([SamplingParams(logit_bias={1: 1.0})])

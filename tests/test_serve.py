@@ -459,3 +459,109 @@ def test_openai_chat_completions_stream_and_image(tmp_path_factory):
     finally:
         httpd.shutdown()
         httpd.pool.close()
+
+
+def test_stop_filter_straddles_token_boundaries():
+    """Stop sequences split across tokens are caught; held-back tails flush
+    when no stop ever completes."""
+    from minigpt4_tpu.serve import _StopFilter
+
+    sf = _StopFilter(["XY"])
+    assert sf.feed("aX") == "a"        # tail 'X' held back
+    assert sf.feed("Yb") == ""         # 'XY' completed across the boundary
+    assert sf.stopped
+    assert sf.flush() == ""            # nothing after a stop
+
+    sf = _StopFilter(["QQ"])
+    assert sf.feed("ab") == "a"
+    assert sf.feed("c") == "b"
+    assert sf.flush() == "c" and not sf.stopped
+
+    sf = _StopFilter([])               # no stops: pass-through
+    assert sf.feed("xyz") == "xyz" and sf.flush() == ""
+
+
+def test_openai_stop_seed_bias_logprobs_penalties(tmp_path_factory):
+    """The OpenAI knobs beyond the round-1 surface: stop sequences
+    (truncation + finish_reason), seed (deterministic stochastic sampling),
+    logit_bias (device-applied; greedy argmaxes the biased logits),
+    logprobs/top_logprobs (host per-token path, greedy-identical tokens)
+    and presence/frequency penalties (host path)."""
+    model, llm = build_tiny_models(tmp_path_factory.mktemp("oai_p"))
+    httpd = start_server(model, llm, port=0, session_ctx=256, n_ctx=256,
+                         n_batch=32)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        def chat(**kw):
+            _, body = _post(base, "/v1/chat/completions", json.dumps(
+                {"messages": [{"role": "user", "content": "hello there"}],
+                 "max_tokens": 8, **kw}).encode())
+            return json.loads(body)
+
+        r0 = chat(temperature=0.0)
+        text0 = r0["choices"][0]["message"]["content"]
+        assert isinstance(text0, str) and text0
+
+        # --- stop: a substring of the greedy text truncates the reply
+        stop = text0[1:3] if len(text0) >= 3 else text0
+        r = chat(temperature=0.0, stop=stop)
+        t = r["choices"][0]["message"]["content"]
+        assert stop not in t
+        assert text0.startswith(t)
+        assert r["choices"][0]["finish_reason"] == "stop"
+        # streamed variant produces the same truncated text
+        req = urllib.request.Request(
+            base + "/v1/chat/completions",
+            data=json.dumps({"messages": [
+                {"role": "user", "content": "hello there"}],
+                "temperature": 0.0, "max_tokens": 8, "stop": stop,
+                "stream": True}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            events = [ln for ln in resp.read().decode().split("\n\n")
+                      if ln.startswith("data: ") and ln != "data: [DONE]"]
+        chunks = [json.loads(e[6:]) for e in events]
+        streamed = "".join(c["choices"][0]["delta"].get("content", "")
+                           for c in chunks)
+        assert streamed == t
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+
+        # --- seed: identical seeded stochastic requests reproduce exactly
+        a = chat(temperature=0.9, seed=7)
+        b = chat(temperature=0.9, seed=7)
+        assert (a["choices"][0]["message"]["content"]
+                == b["choices"][0]["message"]["content"])
+
+        # --- logit_bias: a huge bias at temp 0 forces that token every step
+        tokenizer = httpd.pool.engine.tokenizer
+        tid = next(i for i in range(8, 256)
+                   if (t := tokenizer.id_to_str(i))
+                   and "#" not in t and t != "</s>")
+        r = chat(temperature=0.0, max_tokens=4,
+                 logit_bias={str(tid): 1000.0})
+        assert (r["choices"][0]["message"]["content"]
+                == tokenizer.id_to_str(tid) * 4)
+
+        # --- logprobs: host path, token-identical to device greedy, entries
+        # carry the chosen logprob and sorted top alternatives
+        r = chat(temperature=0.0, logprobs=True, top_logprobs=3)
+        assert r["choices"][0]["message"]["content"] == text0
+        entries = r["choices"][0]["logprobs"]["content"]
+        assert entries
+        for e in entries:
+            assert e["logprob"] <= 1e-6
+            assert len(e["top_logprobs"]) == 3
+            # greedy: the chosen token IS the top-1 alternative
+            assert e["top_logprobs"][0]["token"] == e["token"]
+            assert e["top_logprobs"][0]["logprob"] >= e["top_logprobs"][1]["logprob"]
+
+        # --- presence/frequency penalties run (host path) and complete
+        r = chat(temperature=0.0, presence_penalty=1.5, frequency_penalty=0.5)
+        assert isinstance(r["choices"][0]["message"]["content"], str)
+
+        # ephemeral sessions never leak, whichever path served
+        _, body = _get(base, "/v1/health")
+        assert json.loads(body)["sessions"] == 0
+    finally:
+        httpd.shutdown()
+        httpd.pool.close()

@@ -1283,9 +1283,19 @@ class ContinuousBatcher:
                 return
             cfg = self.fns.cfg
             if session.n_past + self.decode_chunk > cfg.n_ctx:
-                out.put(self._DONE)  # no room for a single chunk: empty stream
-                self._deferred_since.pop(id(out), None)
-                return
+                # no room for a single chunk: under context shift, slide the
+                # session's cache down first (llama.cpp K-shift) so the
+                # stream continues past the context end; otherwise the
+                # stream is empty, matching the strict-overflow default
+                if self.pool.engine.context_shift:
+                    with self.pool._lock:
+                        session.state.ensure_device()
+                        self.pool.engine.ctx_shift(session.state,
+                                                   self.decode_chunk)
+                if session.n_past + self.decode_chunk > cfg.n_ctx:
+                    out.put(self._DONE)
+                    self._deferred_since.pop(id(out), None)
+                    return
             hist_row = np.full((cfg.n_ctx,), -1, np.int32)
             hist_row[: session.n_past] = np.asarray(session.state.tokens, np.int32)
             with self.pool._lock:
@@ -1410,10 +1420,31 @@ class ContinuousBatcher:
 
         cfg = self.fns.cfg
         # lanes without room for even a plain chunk leave BEFORE the
-        # dispatch (per-lane, not group-stop: the others keep decoding)
+        # dispatch (per-lane, not group-stop: the others keep decoding).
+        # Under context shift an unfinished lane instead detaches, slides
+        # its cache down (llama.cpp K-shift) and re-queues as a resume item
+        # — its stream continues past the context end (unbounded serving
+        # chats, same contract as the single-session path)
         for i, lane in enumerate(self._lanes):
             if lane is not None and self._pos[i] + self.decode_chunk > cfg.n_ctx:
-                self._finalize(i)
+                if (self.pool.engine.context_shift
+                        and lane["emitted"] < lane["limit"]):
+                    if self._finalize(i, resume=True):
+                        with self.pool._lock:
+                            dropped = self.pool.engine.ctx_shift(
+                                lane["session"].state, self.decode_chunk)
+                        if dropped > 0:
+                            self._defer((lane["session"], lane["limit"],
+                                         lane["params"], lane["out"], lane))
+                            continue
+                        # nothing shiftable (keep prefix fills the context)
+                        lane["out"].put(self._DONE)
+                    else:
+                        lane["out"].put(RuntimeError(
+                            "context-shift detach failed; session reset"))
+                        lane["out"].put(self._DONE)
+                else:
+                    self._finalize(i)
         if self._n_active() == 0:
             return
         act = [i for i, l in enumerate(self._lanes) if l is not None]

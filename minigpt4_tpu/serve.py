@@ -703,8 +703,9 @@ def main():
         "drop its oldest turns after the system-prompt/image prefix and "
         "slide the KV cache (K rows re-rotated to their new positions) "
         "instead of stopping — conversations become unbounded in length. "
-        "Applies to single-session decode; batched groups stop at the "
-        "context end as before",
+        "Applies to single-session decode and --continuous lanes (a full "
+        "lane detaches, shifts, and resumes); window-batched groups still "
+        "stop at the context end",
     )
     ap.add_argument(
         "--no-prefix-cache", action="store_true",

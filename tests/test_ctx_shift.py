@@ -270,3 +270,48 @@ def test_disabled_by_default(tmp_path_factory):
                 eng.end_chat(SamplingParams(temp=0.5))
     finally:
         eng.close()
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_continuous_batcher_shifts(tmp_path_factory, paged):
+    """ContinuousBatcher + context_shift: a lane reaching the context end
+    detaches, slides its cache down (K-shift) and RESUMES — the stream
+    continues past the boundary instead of ending early.  Works in both
+    dense-slot and paged-pool modes (the detach path evicts pages to a
+    dense cache, shifts it, and re-admission scatters it back)."""
+    from minigpt4_tpu.engine import SamplingParams
+    from minigpt4_tpu.engine.sessions import ContinuousBatcher, SessionPool
+
+    model, llm = build_tiny_models(
+        tmp_path_factory.mktemp(f"cbshift{int(paged)}"))
+    pool = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=16,
+                       context_shift=True,
+                       paged_pool_pages=8 if paged else None)
+    cb = ContinuousBatcher(pool, max_batch=2, decode_chunk=8)
+    try:
+        s = pool.new_session()
+        pool.system_prompt(s)
+        keep = s.state.n_keep
+        assert keep > 0
+        kept = list(s.state.tokens[:keep])
+        pool.begin_chat(s, "tell me more")
+        room = 256 - s.n_past
+        out = cb.submit(s, room + 48, SamplingParams(temp=0.9))
+        got = 0
+        while True:
+            t = out.get(timeout=600)
+            if t is cb._DONE:
+                break
+            if isinstance(t, Exception):
+                raise t
+            got += 1
+        # cursor never overflowed, keep prefix survived, state coherent
+        assert s.n_past <= 256
+        assert len(s.state.tokens) == s.n_past
+        assert list(s.state.tokens[:keep]) == kept
+        if got < room + 8:
+            pytest.skip(f"EOS before the context boundary (got {got})")
+        s.close()
+    finally:
+        cb.close()
+        pool.close()

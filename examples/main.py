@@ -49,8 +49,9 @@ def parse_args():
     p.add_argument("--penalize_nl", type=int, default=1)
     p.add_argument(
         "--speculative-k", type=int, default=0,
-        help="greedy speculative decoding verify width (0 = off; greedy "
-        "output is token-identical, just faster)",
+        help="speculative decoding verify width (0 = off): greedy output "
+        "is token-identical; sampled output runs speculative sampling "
+        "(distribution-identical) — both just faster",
     )
     p.add_argument(
         "--draft-llm", default=None, metavar="PATH",

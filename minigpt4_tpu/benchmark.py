@@ -618,6 +618,58 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         out["spec_accept_realistic"] = acc_real
         out["decode_tok_s_spec_realistic"] = acc_real / (out["spec_pass_ms"] / 1e3)
 
+    # --- stochastic (SAMPLED) speculation pass cost: speculative sampling
+    # over the same n-gram drafts (llama.stochastic_speculative_decode_loop,
+    # temp 0.8 / top-k 40 / top-p 0.95 rows).  The verify pass reads the
+    # weights once either way, so the pass cost should match the greedy
+    # spec pass within the chain-sort overhead (microseconds); acceptance is
+    # workload-dependent exactly like the greedy path.  Guarded: must never
+    # sink the sections before/after it.
+    def _stoch_spec_section():
+        nonlocal cache, logits
+        from .engine.device_sampling import lane_rows
+        from .engine.sampling import SamplingParams
+
+        if sp_passes < 1:
+            return
+        rows = lane_rows(
+            [SamplingParams(temp=0.8, top_k=40, top_p=0.95)],
+            n_vocab=cfg.n_vocab)
+        sspec = jax.jit(
+            lambda p, c, l0, pos0, hist, ban, keys, rows_, k, attn_len: (
+                llama_mod.stochastic_speculative_decode_loop(
+                    p, c, l0, pos0, hist, ban, keys, rows_, k, cfg,
+                    attn_len=attn_len)
+            ),
+            static_argnums=(8, 9),
+            donate_argnums=(1,),
+        )
+        ban = jnp.asarray([-1], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(7), sp_passes)
+        ts, cs, lg, c2, hd, ban = sspec(
+            params, cache, logits, jnp.int32(pos_sp), hist_d, ban, keys,
+            rows, k_spec, cfg.n_ctx,
+        )
+        sync(ts)  # compile
+        cache, logits = c2, lg
+        t0 = time.perf_counter()
+        n_tok = n_pass = 0
+        for _ in range(3):
+            ts, cs, logits, cache, hd, ban = sspec(
+                params, cache, logits, jnp.int32(pos_sp), hd, ban, keys,
+                rows, k_spec, cfg.n_ctx,
+            )
+            n_tok += int(sync(cs).sum())
+            n_pass += sp_passes
+        dt = time.perf_counter() - t0
+        out["spec_stoch_pass_ms"] = dt / n_pass * 1e3
+        out["spec_stoch_accept_per_pass"] = n_tok / n_pass
+
+    try:
+        _stoch_spec_section()
+    except Exception as e:  # noqa: BLE001 — section-resilient tail
+        out["spec_stoch_error"] = f"{type(e).__name__}: {e}"
+
     # --- draft-MODEL speculation pass cost (llama.draft_speculative_decode
     # _loop with a synthetic ~170M bf16 drafter beside the main model): k
     # sequential draft steps + one verify pass per dispatch.  Synthetic

@@ -126,16 +126,14 @@ def lane_rows(params_list, n_vocab: int | None = None) -> dict:
     return rows
 
 
-def sample_token_dyn(logits: jnp.ndarray, key: jnp.ndarray, temp, top_k,
-                     top_p, tfs_z, typical_p, bias=None) -> jnp.ndarray:
-    """:func:`sample_token` with every parameter a TRACED scalar: the full
-    chain always runs, disabled stages neutralize via ``where`` (top_k <= 0
-    or >= V, tfs_z/typical_p/top_p >= 1 keep everything; temp <= 0 selects
-    the argmax).  Same truncation semantics — for equal parameters and keys
-    this picks the same token as the static form.  ``bias`` ([V], optional)
-    adds per-id logit offsets before the chain (OpenAI logit_bias; greedy
-    then argmaxes the biased logits).  Cost: ~3 sorts of [V] per token,
-    microseconds against a 13B weight read."""
+def _chain_sorted(logits: jnp.ndarray, temp, top_k, top_p, tfs_z,
+                  typical_p, bias=None):
+    """Shared core of the traced-parameter chain: returns
+    ``(order, scaled)`` where ``order`` is the descending sort permutation
+    of the (biased) logits and ``scaled`` the temperature-scaled,
+    chain-masked logits in SORTED space (``-inf`` at truncated positions).
+    ``softmax(scaled)`` is the chain's sampling distribution for temp > 0;
+    ``order[0]`` is the greedy pick."""
     if bias is not None:
         logits = logits + bias
     v = logits.shape[-1]
@@ -173,8 +171,78 @@ def sample_token_dyn(logits: jnp.ndarray, key: jnp.ndarray, temp, top_k,
     keep = keep.at[0].set(True)  # min_keep = 1
     safe_temp = jnp.where(temp > 0.0, temp, 1.0)  # greedy discards the draw
     scaled = jnp.where(keep, sl / safe_temp, -jnp.inf)
+    return order, scaled
+
+
+def sample_token_dyn(logits: jnp.ndarray, key: jnp.ndarray, temp, top_k,
+                     top_p, tfs_z, typical_p, bias=None) -> jnp.ndarray:
+    """:func:`sample_token` with every parameter a TRACED scalar: the full
+    chain always runs, disabled stages neutralize via ``where`` (top_k <= 0
+    or >= V, tfs_z/typical_p/top_p >= 1 keep everything; temp <= 0 selects
+    the argmax).  Same truncation semantics — for equal parameters and keys
+    this picks the same token as the static form.  ``bias`` ([V], optional)
+    adds per-id logit offsets before the chain (OpenAI logit_bias; greedy
+    then argmaxes the biased logits).  Cost: ~3 sorts of [V] per token,
+    microseconds against a 13B weight read."""
+    order, scaled = _chain_sorted(logits, temp, top_k, top_p, tfs_z,
+                                  typical_p, bias)
     idx = jax.random.categorical(key, scaled)
     return jnp.where(temp <= 0.0, order[0], order[idx]).astype(jnp.int32)
+
+
+def chain_logits_dyn(logits: jnp.ndarray, temp, top_k, top_p, tfs_z,
+                     typical_p, bias=None) -> jnp.ndarray:
+    """The traced chain as a DISTRIBUTION instead of a draw: vocab-space
+    post-chain scaled logits ``z`` with ``softmax(z)`` equal to the
+    distribution :func:`sample_token_dyn` draws from (temp > 0; truncated
+    ids are ``-inf``).  This is what stochastic speculative decoding needs —
+    per-token target probabilities for the accept test and a maskable base
+    for the residual resample (models/llama.stochastic_speculative_
+    decode_loop)."""
+    v = logits.shape[-1]
+    order, scaled = _chain_sorted(logits, temp, top_k, top_p, tfs_z,
+                                  typical_p, bias)
+    return jnp.full((v,), -jnp.inf, scaled.dtype).at[order].set(scaled)
+
+
+def _greedy_pick(logits: jnp.ndarray, bias=None) -> jnp.ndarray:
+    return jnp.argmax(logits if bias is None else logits + bias,
+                      axis=-1).astype(jnp.int32)
+
+
+def sample_res_rows(logits: jnp.ndarray, ban: jnp.ndarray, keys: jnp.ndarray,
+                    rows: dict) -> jnp.ndarray:
+    """Residual-aware batched sample: logits [B, V], ban [B] (a token id to
+    EXCLUDE, -1 = none), keys [B, 2], rows from :func:`lane_rows` -> [B].
+
+    This is speculative sampling's rejection resample for a deterministic
+    (point-mass) draft: on rejecting draft d at probability p(d), exactness
+    requires the next token drawn from norm(p with d zeroed) — zeroing d
+    AFTER the chain mask, so truncation membership is unchanged.  Greedy
+    lanes ignore the ban: rejection there means d != argmax already, so the
+    argmax is the residual's argmax too.  The (measure-zero, numerically
+    ~p(d)=1) case where banning d empties the support falls back to the
+    unbanned distribution."""
+    v = logits.shape[-1]
+    ar = jnp.arange(v)
+
+    def one(lg, bn, key, temp, tk, tp, tz, typ, bias=None):
+        # sample in SORTED space exactly like sample_token_dyn: with bn = -1
+        # this makes the IDENTICAL draw for the same key, so ban-aware loops
+        # are token-identical to the classic dynamic loops when no ban is
+        # pending (the batched static-vs-dynamic identity contract)
+        order, scaled = _chain_sorted(lg, temp, tk, tp, tz, typ, bias)
+        rank = jnp.where(bn >= 0, jnp.argmax(order == bn), -1)
+        zb = jnp.where(ar == rank, -jnp.inf, scaled)
+        zb = jnp.where(jnp.max(zb) == -jnp.inf, scaled, zb)
+        idx = jax.random.categorical(key, zb)
+        return jnp.where(temp <= 0.0, order[0], order[idx]).astype(jnp.int32)
+
+    args = (logits, ban, keys, rows["temp"], rows["top_k"], rows["top_p"],
+            rows["tfs_z"], rows["typical_p"])
+    if "bias" in rows:
+        return jax.vmap(one)(*args, rows["bias"])
+    return jax.vmap(one)(*args)
 
 
 def sample_rows(logits: jnp.ndarray, keys: jnp.ndarray, rows: dict) -> jnp.ndarray:

@@ -142,6 +142,14 @@ class DecodeState:
         # before the next draft-spec dispatch.
         self.dcache: dict | None = None
         self.draft_past = 0
+        # stochastic speculation's carried residual exclusion: the token id
+        # the NEXT sample from the pending logits must exclude (the last
+        # dispatch's rejected draft; -1 = none).  Exactness of speculative
+        # sampling requires the rejection resample to come from the residual
+        # distribution — llama.stochastic_speculative_decode_loop threads it
+        # between dispatches, StepFns.resolve_ban consumes it before any
+        # plain-path sample from the same logits.
+        self.spec_ban = -1
 
     @property
     def logits(self) -> np.ndarray | None:
@@ -161,6 +169,7 @@ class DecodeState:
         self.dcache = None
         self.draft_past = 0
         self.n_keep = 0
+        self.spec_ban = -1
 
     def park(self) -> None:
         """Move the KV cache off the device, trimmed to the consumed prefix,
@@ -239,6 +248,7 @@ class DecodeState:
             rng_key=np.asarray(self.rng_key),
             tokens=np.asarray(self.tokens, np.int64),
             n_keep=np.int64(self.n_keep),
+            spec_ban=np.int64(self.spec_ban),
         )
 
     def restore(self, path) -> None:
@@ -271,6 +281,7 @@ class DecodeState:
         else:  # older checkpoints: sentinel history (no n-gram matches)
             self.tokens = [-1] * self.n_past
         self.n_keep = int(z["n_keep"]) if "n_keep" in z.files else 0
+        self.spec_ban = int(z["spec_ban"]) if "spec_ban" in z.files else -1
         # a pre-restore draft cache describes the OLD history: drop it (the
         # next draft-spec dispatch rebuilds it from the restored tokens)
         self.dcache = None
@@ -335,6 +346,60 @@ class StepFns:
                 p, c, l0, pos0, hist, n, k, cfg, attn_len=attn_len
             ),
             static_argnums=(5, 6, 7),
+            donate_argnums=(1,),
+        )
+        # SAMPLED speculation (speculative sampling with a point-mass n-gram
+        # proposal, llama.stochastic_speculative_decode_loop): the sampling
+        # config is the traced per-lane pytree, so one executable serves
+        # every temperature/top-k/top-p configuration; emitted tokens are
+        # distributionally EXACT vs the plain sampled loop (greedy lanes
+        # reduce to the argmax-verify rule).  Pass count is static via the
+        # keys shape.
+        self.spec_loop_stoch = jax.jit(
+            lambda p, c, l0, pos0, hist, ban, keys, rows, k, attn_len: (
+                llama_mod.stochastic_speculative_decode_loop(
+                    p, c, l0, pos0, hist, ban, keys, rows, k, cfg,
+                    attn_len=attn_len
+                )
+            ),
+            static_argnums=(8, 9),
+            donate_argnums=(1,),
+        )
+        from .device_sampling import sample_res_rows as _srr
+
+        # residual-aware single sample (consumes a carried spec ban)
+        self.sample_res = jax.jit(_srr)
+        # ban-aware plain loop: a stochastic-spec group demoted to plain
+        # chunks (governor) must still resample carried rejections from the
+        # residual — the ban applies to the first step only
+        self.decode_loop_dyn_ban = jax.jit(
+            lambda p, c, l0, pos0, key, rows, ban, n, attn_len: (
+                llama_mod.decode_loop(
+                    p, c, l0, pos0, n, key, rows, cfg, attn_len=attn_len,
+                    ban0=ban,
+                )
+            ),
+            static_argnums=(7, 8),
+            donate_argnums=(1,),
+        )
+        self.paged_decode_loop_dyn_ban = jax.jit(
+            lambda p, pool, pt, l0, pos0, key, rows, ban, n: (
+                llama_mod.decode_loop(
+                    p, pool, l0, pos0, n, key, rows, cfg, page_table=pt,
+                    ban0=ban,
+                )
+            ),
+            static_argnums=(8,),
+            donate_argnums=(1,),
+        )
+        self.paged_spec_loop_stoch = jax.jit(
+            lambda p, pool, pt, l0, pos0, hist, ban, keys, rows, k: (
+                llama_mod.stochastic_speculative_decode_loop(
+                    p, pool, l0, pos0, hist, ban, keys, rows, k, cfg,
+                    page_table=pt,
+                )
+            ),
+            static_argnums=(9,),
             donate_argnums=(1,),
         )
         # paged-KV serving decode: the cache argument holds the shared page
@@ -451,6 +516,7 @@ class StepFns:
         # per turn
         st.logits_dev = logits[0]
         st.logits_host = None
+        st.spec_ban = -1  # fresh pending logits: any carried ban is dead
 
     def add_tokens(self, params, st: DecodeState, tokens: list[int], n_batch: int) -> None:
         """llama_eval in n_batch chunks (add_tokens, minigpt4.cpp:2365-2382)."""
@@ -467,6 +533,7 @@ class StepFns:
             st.tokens.append(int(tokens[0]))
             st.logits_dev = logits[0]
             st.logits_host = None
+            st.spec_ban = -1
             return
         arr = jnp.asarray(np.asarray(tokens, np.int32)[None])
         self.prefill_embeds(
@@ -490,6 +557,7 @@ class StepFns:
         st.tokens.extend(int(t) for t in token_ids)
         st.logits_dev = final_logits[0]
         st.logits_host = None
+        st.spec_ban = -1
         return token_ids
 
     def decode_chunk_spec(self, params, st: DecodeState, n_passes: int,
@@ -516,7 +584,60 @@ class StepFns:
         st.tokens.extend(int(t) for t in emitted)
         st.logits_dev = final_logits[0]
         st.logits_host = None
+        st.spec_ban = -1
         return emitted
+
+    def decode_chunk_spec_stoch(self, params, st: DecodeState, n_passes: int,
+                                k_spec: int, rows: dict) -> np.ndarray:
+        """SAMPLED speculative decode: ``n_passes`` verify passes of width
+        ``k_spec`` in ONE dispatch (llama.stochastic_speculative_decode_loop)
+        under the per-lane traced sampling config ``rows``.  Emitted tokens
+        are distributionally exact vs the plain sampled chunk; the residual
+        ban carries across dispatches through ``st.spec_ban``."""
+        c = self.cfg.n_ctx
+        hist = np.full((1, c), -1, np.int32)
+        hist[0, : st.n_past] = np.asarray(st.tokens, np.int32)
+        st.rng_key, sub = jax.random.split(st.rng_key)
+        keys = jax.random.split(sub, n_passes)
+        tokens, counts, final_logits, st.cache, _, ban = self.spec_loop_stoch(
+            params, st.cache, st.logits_dev[None], jnp.int32(st.n_past),
+            jnp.asarray(hist), jnp.asarray([st.spec_ban], jnp.int32),
+            keys, rows, k_spec,
+            self.attn_bucket(st.n_past + n_passes * k_spec),
+        )
+        tok_host = np.asarray(tokens[0])  # [n_passes, k]
+        cnt_host = np.asarray(counts[0])  # [n_passes]
+        emitted = np.concatenate(
+            [tok_host[i, : cnt_host[i]] for i in range(n_passes)]
+        )
+        st.n_past += int(cnt_host.sum())
+        st.tokens.extend(int(t) for t in emitted)
+        st.logits_dev = final_logits[0]
+        st.logits_host = None
+        st.spec_ban = int(np.asarray(ban[0]))
+        return emitted
+
+    def resolve_ban(self, params, st: DecodeState, rows: dict) -> np.ndarray:
+        """Consume a carried residual ban before a NON-speculative path
+        samples from the same pending logits: draw one token from the
+        post-chain distribution with the rejected draft excluded (the exact
+        residual), evaluate it (sample-then-eval), clear the ban."""
+        st.rng_key, sub = jax.random.split(st.rng_key)
+        tid_dev = self.sample_res(
+            st.logits_dev[None], jnp.asarray([st.spec_ban], jnp.int32),
+            jax.random.split(sub, 1), rows,
+        )
+        logits, st.cache = self.decode_step(
+            params, st.cache, tid_dev.reshape(1, 1), jnp.int32(st.n_past),
+            self.attn_bucket(st.n_past + 1),
+        )
+        st.n_past += 1
+        st.logits_dev = logits[0]
+        st.logits_host = None
+        tid = int(np.asarray(tid_dev[0]))
+        st.tokens.append(tid)
+        st.spec_ban = -1
+        return np.asarray([tid], np.int32)
 
 
 def _rollback(st: DecodeState, n: int) -> None:
@@ -530,6 +651,7 @@ def _rollback(st: DecodeState, n: int) -> None:
         del st.tokens[st.n_past :]
         st.logits_dev = None
         st.logits_host = None
+        st.spec_ban = -1  # the ban belonged to the invalidated logits
         # the draft frontier may not outrun the cursor (positions above it
         # are stale and must be re-evaluated by the next catch-up)
         st.draft_past = min(st.draft_past, st.n_past)
@@ -664,12 +786,15 @@ def generate_stream(
     ``dispatch_lock`` (if given) is held around each device dispatch so
     concurrent sessions interleave at chunk granularity.
 
-    ``speculative_k`` > 1 enables greedy speculative decoding (n-gram
-    prompt-lookup drafting + on-device block verification,
-    llama.speculative_decode_loop) when the sampling mode is greedy: output
-    is token-for-token identical to the plain path, at 1x-kx the speed
-    (bandwidth-bound decode reads the weights once per verify pass of up to
-    k tokens).  Non-greedy sampling ignores the flag.
+    ``speculative_k`` > 1 enables speculative decoding (n-gram prompt-lookup
+    drafting + on-device block verification): greedy streams verify by
+    argmax (llama.speculative_decode_loop) and are token-for-token identical
+    to the plain path; sampled streams run SPECULATIVE SAMPLING
+    (llama.stochastic_speculative_decode_loop) — accept each draft with its
+    post-chain target probability, resample rejections from the exact
+    residual — so the emitted distribution equals plain sampling's while
+    bandwidth-bound decode still reads the weights once per verify pass of
+    up to k tokens.
 
     ``draft`` = (DraftFns, draft_params, k): greedy chunks are instead
     drafted by a second, smaller llama model and block-verified
@@ -700,6 +825,11 @@ def generate_stream(
         return  # nothing evaluated yet: empty stream, like the per-token path
     use_draft = draft is not None and greedy
     use_spec = speculative_k > 1 and greedy and not use_draft
+    # SAMPLED speculation (speculative sampling, exact): non-greedy streams
+    # speculate through llama.stochastic_speculative_decode_loop — emitted
+    # tokens are distributionally identical to the plain sampled chunks
+    # (draft-model drafting stays greedy-only for now)
+    use_spec_stoch = speculative_k > 1 and not greedy and draft is None
     chat = ""
     emitted = 0
     accept_ewma = None  # observed tokens/pass (scales passes per dispatch)
@@ -713,7 +843,7 @@ def generate_stream(
         # overshoot past `limit` or EOS is rolled back via the cursor —
         # positions >= n_past are unreachable by the causal mask
         token_ids = None
-        if use_draft or use_spec:
+        if use_draft or use_spec or use_spec_stoch:
             k = draft[2] if use_draft else speculative_k
             # passes per dispatch scale with observed acceptance so a spec
             # dispatch emits ~decode_chunk tokens: the per-dispatch host
@@ -733,20 +863,32 @@ def generate_stream(
                     if use_draft:
                         token_ids = _draft_chunk(
                             fns, draft[0], params, draft[1], st, passes, k)
-                    else:
+                    elif use_spec:
                         token_ids = fns.decode_chunk_spec(params, st, passes, k)
+                    else:
+                        token_ids = fns.decode_chunk_spec_stoch(
+                            params, st, passes, k, scfg)
                 r = len(token_ids) / passes
                 accept_ewma = (r if accept_ewma is None
                                else 0.5 * accept_ewma + 0.5 * r)
             # else: no room for even one k-wide pass — plain tail chunk
         if token_ids is None:
-            n = decode_chunk
-            if st.n_past + n > fns.cfg.n_ctx:
-                n = fns.cfg.n_ctx - st.n_past
-                if n <= 0:
+            if st.spec_ban >= 0:
+                # a stochastic-spec dispatch left a residual exclusion on
+                # the pending logits; the plain chunk's first sample would
+                # ignore it — consume it exactly (one token) first
+                if st.n_past + 1 > fns.cfg.n_ctx:
                     return
-            with lock:
-                token_ids = fns.decode_chunk(params, st, n, scfg)
+                with lock:
+                    token_ids = fns.resolve_ban(params, st, scfg)
+            else:
+                n = decode_chunk
+                if st.n_past + n > fns.cfg.n_ctx:
+                    n = fns.cfg.n_ctx - st.n_past
+                    if n <= 0:
+                        return
+                with lock:
+                    token_ids = fns.decode_chunk(params, st, n, scfg)
         # both paths return sequentially-evaluated tokens: the EOS scan and
         # tail rollback below are path-independent
         for j, tid in enumerate(token_ids):
@@ -1213,6 +1355,10 @@ class MiniGPT4Engine:
         params = params or SamplingParams()
         if params.mirostat == 0 and self._st.logits_dev is not None:
             return self._end_chat_device(params)
+        # host path (mirostat): a carried stochastic-spec residual exclusion
+        # is dropped — mirostat's adaptive truncation defines its own
+        # distribution, so the residual of the device chain does not apply
+        self._st.spec_ban = -1
         tid = self.sample_token(params)
         token = self.id_to_token(tid)
         self.add_tokens([tid])
@@ -1227,7 +1373,19 @@ class MiniGPT4Engine:
             raise ValueError(
                 f"context overflow: n_past {st.n_past} + 1 > {self.llm_cfg.n_ctx}"
             )
-        if params.temp <= 0 and not params.logit_bias:
+        if st.spec_ban >= 0:
+            # a stochastic-speculative dispatch left a residual exclusion on
+            # these pending logits: the next sample must exclude the
+            # rejected draft (exact speculative-sampling residual)
+            st.rng_key, sub = jax.random.split(st.rng_key)
+            tid_dev = self._fns.sample_res(
+                st.logits_dev[None],
+                jnp.asarray([st.spec_ban], jnp.int32),
+                jax.random.split(sub, 1),
+                lane_rows([params], n_vocab=self.llm_cfg.n_vocab),
+            )[0]
+            st.spec_ban = -1
+        elif params.temp <= 0 and not params.logit_bias:
             # greedy: static argmax fast path
             scfg = DeviceSamplingConfig(temp=0.0)
             tid_dev, st.rng_key = self._fns.sample(

@@ -499,19 +499,23 @@ class SessionPool:
         (callers size session_ctx so this is the rare path).  Device
         sampling only (no mirostat).
 
-        When the pool's engine has ``speculative_k`` > 1 and sampling is
-        greedy, each step runs batched speculative verify passes instead
-        (llama.speculative_decode_loop): every lane drafts from its own
-        token history and advances by its own accepted count, so the
-        weight-read a step costs is shared by the batch AND multiplied by
-        per-lane acceptance — output stays token-identical to plain greedy.
+        When the pool's engine has ``speculative_k`` > 1, each step runs
+        batched speculative verify passes instead: every lane drafts from
+        its own token history and advances by its own accepted count, so
+        the weight-read a step costs is shared by the batch AND multiplied
+        by per-lane acceptance.  All-greedy groups verify by argmax
+        (llama.speculative_decode_loop — token-identical to plain greedy);
+        mixed/sampled groups run speculative SAMPLING
+        (llama.stochastic_speculative_decode_loop — drafts accepted at
+        their post-chain target probability, rejections resampled from the
+        exact residual, so the emitted distribution equals plain sampling).
 
         ``params`` may be a LIST (one per session): lanes then sample under
         their own configs inside the same dispatch (the traced-parameter
         sampler, device_sampling.lane_rows) — requests never wait for a
         config-matched group.  All-greedy groups keep the static argmax
-        path (and with it speculation); any non-greedy lane runs the group
-        on the dynamic sampler, compiled ONCE for every config mix.
+        path; any non-greedy lane runs the group on the dynamic sampler,
+        compiled ONCE for every config mix.
 
         Yields, once per decode chunk, a list of (session_index, token)
         pairs in the same order per-session generation would emit them.
@@ -550,7 +554,13 @@ class SessionPool:
         # per config, and lanes mix configs freely
         scfg = (DeviceSamplingConfig(temp=0.0) if all_greedy
                 else lane_rows(plist, n_vocab=self.fns.cfg.n_vocab))
-        use_spec = k_spec > 1 and all_greedy
+        # speculation serves BOTH modes: all-greedy groups verify by argmax
+        # (token-identical, spec_loop); mixed/sampled groups run speculative
+        # SAMPLING (spec_loop_stoch — accept drafts at their post-chain
+        # target probability, resample rejections from the exact residual,
+        # distribution identical to the plain sampled chunks)
+        use_spec = k_spec > 1
+        spec_stoch = use_spec and not all_greedy
         if self.paged_pool is not None:
             # paged-KV group (engine/paged.py): admission scatters each
             # lane's consumed prefix into shared pool pages instead of
@@ -603,6 +613,11 @@ class SessionPool:
             for i, s in enumerate(batch):
                 hist_np[i, : s.n_past] = np.asarray(s.state.tokens, np.int32)
             hist = jnp.asarray(hist_np)
+        # per-lane residual exclusion (dynamic groups): sessions may join
+        # carrying a ban from an earlier stochastic-spec dispatch, and the
+        # stochastic loop threads new ones between steps
+        ban = (jnp.asarray([s.state.spec_ban for s in batch], jnp.int32)
+               if isinstance(scfg, dict) else None)
         bump = lambda: self._bump("tokens_generated")
         gov = _SpecGovernor()
         try:
@@ -640,12 +655,23 @@ class SessionPool:
                     break
                 if spec_step:
                     with self._lock:
-                        tokens, counts, logits, cache, hist = self.fns.spec_loop(
-                            self.engine.llm_params, cache, logits,
-                            jnp.asarray(pos_host, jnp.int32), hist,
-                            n_passes, k_spec,
-                            self.fns.attn_bucket(max_pos + spec_span),
-                        )
+                        if spec_stoch:
+                            key, sub = jax.random.split(key)
+                            pass_keys = jax.random.split(sub, n_passes)
+                            (tokens, counts, logits, cache, hist,
+                             ban) = self.fns.spec_loop_stoch(
+                                self.engine.llm_params, cache, logits,
+                                jnp.asarray(pos_host, jnp.int32), hist,
+                                ban, pass_keys, scfg, k_spec,
+                                self.fns.attn_bucket(max_pos + spec_span),
+                            )
+                        else:
+                            tokens, counts, logits, cache, hist = self.fns.spec_loop(
+                                self.engine.llm_params, cache, logits,
+                                jnp.asarray(pos_host, jnp.int32), hist,
+                                n_passes, k_spec,
+                                self.fns.attn_bucket(max_pos + spec_span),
+                            )
                         tok_host = np.asarray(tokens)  # [n, n_passes, k]
                         cnt_host = np.asarray(counts)  # [n, n_passes]
                     lane_tokens = [
@@ -661,14 +687,26 @@ class SessionPool:
                                 n_passes, act_n)
                 else:
                     key, sub = jax.random.split(key)
-                    loop = (self.fns.decode_loop_dyn if isinstance(scfg, dict)
-                            else self.fns.decode_loop)
                     with self._lock:
-                        tokens, logits, cache = loop(
-                            self.engine.llm_params, cache, logits,
-                            jnp.asarray(pos_host, jnp.int32), sub, scfg,
-                            decode_chunk, self.fns.attn_bucket(max_pos + decode_chunk),
-                        )
+                        if isinstance(scfg, dict):
+                            # ban-aware dynamic loop: consumes any carried
+                            # residual exclusion on the first step (with all
+                            # bans -1 the draws are identical to the classic
+                            # dynamic loop for the same key)
+                            tokens, logits, cache = self.fns.decode_loop_dyn_ban(
+                                self.engine.llm_params, cache, logits,
+                                jnp.asarray(pos_host, jnp.int32), sub, scfg,
+                                ban, decode_chunk,
+                                self.fns.attn_bucket(max_pos + decode_chunk),
+                            )
+                            ban = jnp.full((n,), -1, jnp.int32)
+                        else:
+                            tokens, logits, cache = self.fns.decode_loop(
+                                self.engine.llm_params, cache, logits,
+                                jnp.asarray(pos_host, jnp.int32), sub, scfg,
+                                decode_chunk,
+                                self.fns.attn_bucket(max_pos + decode_chunk),
+                            )
                         lane_tokens = list(np.asarray(tokens))
                         if use_spec:
                             # same hist coherence as the ContinuousBatcher:
@@ -704,12 +742,24 @@ class SessionPool:
             # continuation); the next prefill installs fresh ones.
             with self._lock:
                 err = None
+                ban_host = np.asarray(ban) if ban is not None else None
                 for i, s in enumerate(batch):
                     try:
                         _detach_lane_state(
                             s.state, lanes[i]["ends"], int(pos_host[i]),
                             {kv: cache[kv][:, i : i + 1] for kv in ("k", "v")},
                             logits[i],
+                        )
+                        # carry the lane's residual exclusion back into the
+                        # session ONLY when its pending logits survive the
+                        # detach (no overshoot rollback); otherwise — and for
+                        # greedy groups, whose pending logits are fresh — the
+                        # old session ban is dead either way
+                        s.state.spec_ban = (
+                            int(ban_host[i])
+                            if ban_host is not None
+                            and lanes[i]["ends"] == int(pos_host[i])
+                            else -1
                         )
                     except Exception as e:  # device wedged: reset the lane
                         # (its private cache was released at batch entry, so
@@ -829,9 +879,11 @@ class SessionPool:
         n = len(batch)
         n_ctx = min(self.fns.cfg.n_ctx, pool.capacity)
         k_spec = self.engine.speculative_k
-        # scfg is the static greedy config (all-greedy groups, spec-capable)
-        # or a lane_rows dict (mixed/non-greedy: dynamic sampler, no spec)
-        use_spec = k_spec > 1 and not isinstance(scfg, dict)
+        # scfg is the static greedy config (all-greedy groups: argmax-verify
+        # speculation, token-identical) or a lane_rows dict (mixed/sampled
+        # groups: speculative SAMPLING over the pool, distribution-exact)
+        use_spec = k_spec > 1
+        spec_stoch = use_spec and isinstance(scfg, dict)
         with self._lock:
             # formerly-parked lanes carry host logits (admit_host skipped
             # the ensure_device that would have re-uploaded them)
@@ -856,6 +908,9 @@ class SessionPool:
             for i, s in enumerate(batch):
                 hist_np[i, : s.n_past] = np.asarray(s.state.tokens, np.int32)
             hist = jnp.asarray(hist_np)
+        # per-lane residual exclusion (dynamic groups; see the dense arm)
+        ban = (jnp.asarray([s.state.spec_ban for s in batch], jnp.int32)
+               if isinstance(scfg, dict) else None)
         bump = lambda: self._bump("tokens_generated")
         gov = _SpecGovernor()
         try:
@@ -890,14 +945,26 @@ class SessionPool:
                     if not stop:
                         try:
                             if spec_step:
-                                (tokens, counts, logits, poolkv,
-                                 hist) = self.fns.paged_spec_loop(
-                                    self.engine.llm_params,
-                                    {"k": pool.k, "v": pool.v},
-                                    jnp.asarray(pt_np), logits,
-                                    jnp.asarray(pos_host, jnp.int32), hist,
-                                    n_passes, k_spec,
-                                )
+                                if spec_stoch:
+                                    key, sub = jax.random.split(key)
+                                    pass_keys = jax.random.split(sub, n_passes)
+                                    (tokens, counts, logits, poolkv, hist,
+                                     ban) = self.fns.paged_spec_loop_stoch(
+                                        self.engine.llm_params,
+                                        {"k": pool.k, "v": pool.v},
+                                        jnp.asarray(pt_np), logits,
+                                        jnp.asarray(pos_host, jnp.int32),
+                                        hist, ban, pass_keys, scfg, k_spec,
+                                    )
+                                else:
+                                    (tokens, counts, logits, poolkv,
+                                     hist) = self.fns.paged_spec_loop(
+                                        self.engine.llm_params,
+                                        {"k": pool.k, "v": pool.v},
+                                        jnp.asarray(pt_np), logits,
+                                        jnp.asarray(pos_host, jnp.int32), hist,
+                                        n_passes, k_spec,
+                                    )
                                 pool.k, pool.v = poolkv["k"], poolkv["v"]
                                 tok_host = np.asarray(tokens)
                                 cnt_host = np.asarray(counts)
@@ -910,16 +977,27 @@ class SessionPool:
                                 ]
                             else:
                                 key, sub = jax.random.split(key)
-                                ploop = (self.fns.paged_decode_loop_dyn
-                                         if isinstance(scfg, dict)
-                                         else self.fns.paged_decode_loop)
-                                tokens, logits, poolkv = ploop(
-                                    self.engine.llm_params,
-                                    {"k": pool.k, "v": pool.v},
-                                    jnp.asarray(pt_np), logits,
-                                    jnp.asarray(pos_host, jnp.int32),
-                                    sub, scfg, decode_chunk,
-                                )
+                                if isinstance(scfg, dict):
+                                    # ban-aware (identical draws to the
+                                    # classic dyn loop when all bans are -1)
+                                    tokens, logits, poolkv = (
+                                        self.fns.paged_decode_loop_dyn_ban(
+                                            self.engine.llm_params,
+                                            {"k": pool.k, "v": pool.v},
+                                            jnp.asarray(pt_np), logits,
+                                            jnp.asarray(pos_host, jnp.int32),
+                                            sub, scfg, ban, decode_chunk,
+                                        )
+                                    )
+                                    ban = jnp.full((n,), -1, jnp.int32)
+                                else:
+                                    tokens, logits, poolkv = self.fns.paged_decode_loop(
+                                        self.engine.llm_params,
+                                        {"k": pool.k, "v": pool.v},
+                                        jnp.asarray(pt_np), logits,
+                                        jnp.asarray(pos_host, jnp.int32),
+                                        sub, scfg, decode_chunk,
+                                    )
                                 # the dispatch donated the pool arrays: rebind
                                 pool.k, pool.v = poolkv["k"], poolkv["v"]
                                 lane_tokens = list(np.asarray(tokens))
@@ -968,6 +1046,7 @@ class SessionPool:
             # to two future lanes — paged.free rejects it anyway).
             with self._lock:
                 err = None
+                ban_host = np.asarray(ban) if ban is not None else None
                 for i, s in enumerate(batch):
                     try:
                         if pool.broken:
@@ -976,6 +1055,13 @@ class SessionPool:
                         _detach_lane_state(
                             s.state, lanes[i]["ends"], int(pos_host[i]),
                             dense, logits[i],
+                        )
+                        # residual-ban writeback (see the dense arm)
+                        s.state.spec_ban = (
+                            int(ban_host[i])
+                            if ban_host is not None
+                            and lanes[i]["ends"] == int(pos_host[i])
+                            else -1
                         )
                     except Exception as e:  # device wedged: reset the lane
                         try:
@@ -1008,12 +1094,14 @@ class ContinuousBatcher:
         :meth:`SessionPool.generate_batch_stream`;
       * idle slots decode garbage at position 0 — causally invisible to
         every live lane and overwritten by the next join;
-      * greedy groups run the batched speculative-verify path when the
-        engine has ``speculative_k`` (per-lane n-gram drafts).
+      * groups run the batched speculative-verify path when the engine has
+        ``speculative_k`` (per-lane n-gram drafts): all-greedy steps via
+        argmax verification (token-identical), mixed/sampled steps via
+        speculative SAMPLING (distribution-identical).
 
     **Paged mode** (the pool has a :class:`~minigpt4_tpu.engine.paged.
-    PagedKVPool` and speculation is off — verify spans can cross page
-    edges): lanes hold shared pool PAGES for their used positions instead
+    PagedKVPool`; verify spans crossing page edges split into blended
+    window writes): lanes hold shared pool PAGES for their used positions instead
     of slots in a preallocated stacked cache, so the batcher's HBM tracks
     live context and ``max_batch`` can exceed what dense reservations fit.
     Joins scatter into freshly allocated pages, leaves gather back to a
@@ -1027,9 +1115,10 @@ class ContinuousBatcher:
     Lanes sample under their OWN configs inside one dispatch (the traced
     per-lane sampler, device_sampling.lane_rows) — mixed-config requests
     batch together instead of waiting for a config-matched group.
-    All-greedy steps keep the static argmax path (and speculation); a
-    non-greedy lane switches the step to the dynamic sampler, compiled
-    once for every config mix.  Requests enter via :meth:`submit`, which
+    All-greedy steps keep the static argmax path; a non-greedy lane
+    switches the step to the dynamic sampler (ban-aware: speculative
+    sampling's residual exclusions thread through every dispatch),
+    compiled once for every config mix.  Requests enter via :meth:`submit`, which
     returns a queue of str tokens terminated by ``_DONE`` (same protocol
     as the serve-layer window batcher).
 
@@ -1107,6 +1196,10 @@ class ContinuousBatcher:
         self._logits = jnp.zeros((self.B, V), jnp.float32)
         self._hist = jnp.full((self.B, C), -1, jnp.int32)
         self._pos = np.zeros(self.B, np.int64)
+        # per-lane residual exclusion for stochastic speculation (the token
+        # the lane's next sample must exclude; -1 = none) — threaded through
+        # every dynamic dispatch and written back at detach
+        self._ban = np.full(self.B, -1, np.int32)
         # per-slot host state; None = free (each lane carries its OWN
         # sampling params; mixed configs share a dispatch via lane_rows)
         self._lanes: list[dict | None] = [None] * self.B
@@ -1249,6 +1342,8 @@ class ContinuousBatcher:
         if self.paged:
             self._pages[slot] = []
             self._pt_np[slot] = self.pool.paged_pool.trash_page
+        st.spec_ban = -1  # abort drops pending logits; the ban dies with them
+        self._ban[slot] = -1
         if err is not None:
             lane["out"].put(err)
         lane["out"].put(self._DONE)
@@ -1359,6 +1454,7 @@ class ContinuousBatcher:
             session.state.cache = None
             self._deferred_since.pop(id(out), None)
             self._pos[slot] = session.n_past
+            self._ban[slot] = session.state.spec_ban
             lane = {
                 "session": session, "limit": limit, "out": out,
                 "chat": "", "emitted": 0, "ends": session.n_past,
@@ -1450,10 +1546,9 @@ class ContinuousBatcher:
         act = [i for i, l in enumerate(self._lanes) if l is not None]
         max_pos = int(max(self._pos[i] for i in act))
         # every lane samples under its OWN params; all-greedy steps keep the
-        # static argmax config (and the speculative path), any non-greedy
-        # lane switches the step to the per-lane dynamic sampler (one
-        # compile for every config mix; spec needs greedy verify so it
-        # pauses until the non-greedy lane leaves)
+        # static argmax config, any non-greedy lane switches the step to the
+        # per-lane dynamic sampler (one compile for every config mix) —
+        # both forms speculate (argmax verify vs speculative sampling)
         all_greedy = all(self._lanes[i]["params"].temp <= 0
                          and not self._lanes[i]["params"].logit_bias
                          for i in act)
@@ -1470,8 +1565,10 @@ class ContinuousBatcher:
         # governor demotes low-acceptance groups the same way (a batched
         # verify pass costs ~1.4x a plain step; below break-even acceptance
         # speculation loses aggregate throughput) and re-probes after its
-        # cooldown
-        can_spec = self._spec_capable() and all_greedy
+        # cooldown.  Mixed/sampled steps speculate too — speculative
+        # SAMPLING over the per-lane rows (spec_loop_stoch): greedy lanes
+        # stay token-exact, sampled lanes distribution-exact
+        can_spec = self._spec_capable()
         spec_span = self._span(can_spec, max_pos)
         spec_step = (can_spec and max_pos + spec_span <= cfg.n_ctx
                      and self._gov.want_spec())
@@ -1512,29 +1609,53 @@ class ContinuousBatcher:
         if spec_step:
             k = self.pool.engine.speculative_k
             n_passes = spec_span // k  # the span this step was provisioned for
+            if not all_greedy:
+                self._key, sub = jax.random.split(self._key)
+                pass_keys = jax.random.split(sub, n_passes)
+                ban_dev = jnp.asarray(self._ban, jnp.int32)
             with self.pool._lock:
                 if self.paged:
                     ppool = self.pool.paged_pool
                     try:
-                        (tokens, counts, self._logits, poolkv,
-                         self._hist) = self.fns.paged_spec_loop(
-                            self.pool.engine.llm_params,
-                            {"k": ppool.k, "v": ppool.v},
-                            jnp.asarray(self._pt_np), self._logits,
-                            pos_dev, self._hist, n_passes, k,
-                        )
+                        if all_greedy:
+                            (tokens, counts, self._logits, poolkv,
+                             self._hist) = self.fns.paged_spec_loop(
+                                self.pool.engine.llm_params,
+                                {"k": ppool.k, "v": ppool.v},
+                                jnp.asarray(self._pt_np), self._logits,
+                                pos_dev, self._hist, n_passes, k,
+                            )
+                        else:
+                            (tokens, counts, self._logits, poolkv,
+                             self._hist, ban) = self.fns.paged_spec_loop_stoch(
+                                self.pool.engine.llm_params,
+                                {"k": ppool.k, "v": ppool.v},
+                                jnp.asarray(self._pt_np), self._logits,
+                                pos_dev, self._hist, ban_dev, pass_keys,
+                                scfg, k,
+                            )
+                            self._ban = np.asarray(ban).astype(np.int32)
                         ppool.k, ppool.v = poolkv["k"], poolkv["v"]
                     except Exception:
                         ppool.broken = True
                         raise
                 else:
-                    tokens, counts, self._logits, self._cache, self._hist = (
-                        self.fns.spec_loop(
-                            self.pool.engine.llm_params, self._cache,
-                            self._logits, pos_dev, self._hist, n_passes, k,
-                            bucket,
+                    if all_greedy:
+                        tokens, counts, self._logits, self._cache, self._hist = (
+                            self.fns.spec_loop(
+                                self.pool.engine.llm_params, self._cache,
+                                self._logits, pos_dev, self._hist, n_passes, k,
+                                bucket,
+                            )
                         )
-                    )
+                    else:
+                        (tokens, counts, self._logits, self._cache,
+                         self._hist, ban) = self.fns.spec_loop_stoch(
+                            self.pool.engine.llm_params, self._cache,
+                            self._logits, pos_dev, self._hist, ban_dev,
+                            pass_keys, scfg, k, bucket,
+                        )
+                        self._ban = np.asarray(ban).astype(np.int32)
                 tok_host = np.asarray(tokens)
                 cnt_host = np.asarray(counts)
             lane_tokens = {
@@ -1551,17 +1672,30 @@ class ContinuousBatcher:
                 self._gov_reported = self._gov.demotions
         elif self.paged:
             self._key, sub = jax.random.split(self._key)
-            ploop = (self.fns.paged_decode_loop if all_greedy
-                     else self.fns.paged_decode_loop_dyn)
             with self.pool._lock:
                 ppool = self.pool.paged_pool
                 try:
-                    tokens, self._logits, poolkv = ploop(
-                        self.pool.engine.llm_params,
-                        {"k": ppool.k, "v": ppool.v},
-                        jnp.asarray(self._pt_np), self._logits,
-                        pos_dev, sub, scfg, self.decode_chunk,
-                    )
+                    if all_greedy:
+                        tokens, self._logits, poolkv = self.fns.paged_decode_loop(
+                            self.pool.engine.llm_params,
+                            {"k": ppool.k, "v": ppool.v},
+                            jnp.asarray(self._pt_np), self._logits,
+                            pos_dev, sub, scfg, self.decode_chunk,
+                        )
+                    else:
+                        # ban-aware dynamic loop (identical draws to the
+                        # classic one for the same key when all bans are -1)
+                        tokens, self._logits, poolkv = (
+                            self.fns.paged_decode_loop_dyn_ban(
+                                self.pool.engine.llm_params,
+                                {"k": ppool.k, "v": ppool.v},
+                                jnp.asarray(self._pt_np), self._logits,
+                                pos_dev, sub, scfg,
+                                jnp.asarray(self._ban, jnp.int32),
+                                self.decode_chunk,
+                            )
+                        )
+                        self._ban[:] = -1
                     ppool.k, ppool.v = poolkv["k"], poolkv["v"]
                     tok_host = np.asarray(tokens)
                     if self._spec_capable():
@@ -1582,13 +1716,19 @@ class ContinuousBatcher:
             self._pos += self.decode_chunk
         else:
             self._key, sub = jax.random.split(self._key)
-            loop = (self.fns.decode_loop if all_greedy
-                    else self.fns.decode_loop_dyn)
             with self.pool._lock:
-                tokens, self._logits, self._cache = loop(
-                    self.pool.engine.llm_params, self._cache, self._logits,
-                    pos_dev, sub, scfg, self.decode_chunk, bucket,
-                )
+                if all_greedy:
+                    tokens, self._logits, self._cache = self.fns.decode_loop(
+                        self.pool.engine.llm_params, self._cache, self._logits,
+                        pos_dev, sub, scfg, self.decode_chunk, bucket,
+                    )
+                else:
+                    tokens, self._logits, self._cache = self.fns.decode_loop_dyn_ban(
+                        self.pool.engine.llm_params, self._cache, self._logits,
+                        pos_dev, sub, scfg, jnp.asarray(self._ban, jnp.int32),
+                        self.decode_chunk, bucket,
+                    )
+                    self._ban[:] = -1
                 tok_host = np.asarray(tokens)
                 if self._spec_capable():
                     # keep the device n-gram history coherent across demoted
@@ -1602,6 +1742,11 @@ class ContinuousBatcher:
                     ].set(tokens)
             lane_tokens = {i: tok_host[i] for i in act}
             self._pos += self.decode_chunk
+        if not (spec_step and not all_greedy):
+            # every non-stochastic-spec step replaces all pending logits, so
+            # any ban not produced by THIS step is dead (greedy steps ignore
+            # bans by the residual algebra; dynamic plain steps consumed them)
+            self._ban[:] = -1
         tokenizer = self.pool.engine.tokenizer
         bump = lambda: self.pool._bump("tokens_generated")
         for i in act:
@@ -1653,6 +1798,13 @@ class ContinuousBatcher:
                 logits_row = self._extract_logits(self._logits, jnp.int32(slot))
             _detach_lane_state(st, lane["ends"], int(self._pos[slot]),
                                cache_slice, logits_row)
+        if ok:
+            # residual-ban writeback: the lane's pending logits survive the
+            # detach only when nothing rolled back (ends == pos); otherwise
+            # the ban belonged to invalidated logits
+            st.spec_ban = (int(self._ban[slot])
+                           if lane["ends"] == int(self._pos[slot]) else -1)
+        self._ban[slot] = -1
         if not resume:
             if not ok:
                 # the stream's tokens were delivered, but the session reset:

@@ -578,8 +578,17 @@ def decode_loop(
     use_flash: bool = True,
     tp_axis: str | None = None,
     page_table: jnp.ndarray | None = None,
+    ban0: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Fused multi-token decode: ONE dispatch generates ``n_steps`` tokens.
+
+    ``ban0`` [B] (requires the dynamic ``scfg`` rows form): a residual
+    exclusion for the FIRST sample only — the token id a preceding
+    stochastic-speculative dispatch rejected (-1 = none).  Speculative
+    sampling's exactness requires the next draw from the same pending
+    logits to come from the residual distribution
+    (device_sampling.sample_res_rows); later steps sample fresh logits and
+    carry no ban.  ``None`` compiles the classic loop unchanged.
 
     ``page_table`` [B, MAXP]: paged-KV serving mode — ``cache`` holds the
     page pools and each lane's single-token writes route through the table
@@ -606,10 +615,13 @@ def decode_loop(
 
     Returns (tokens [B, n_steps], final_logits [B, V], cache).
     """
-    from ..engine.device_sampling import sample_rows, sample_token
+    from ..engine.device_sampling import (
+        sample_res_rows, sample_rows, sample_token)
 
     b = logits0.shape[0]
     dyn = isinstance(scfg, dict)  # per-lane traced params (lane_rows)
+    if ban0 is not None and not dyn:
+        raise ValueError("ban0 requires the dynamic (lane_rows) config")
 
     # scan carries (logits, cache, position)
     def body(carry, step_key):
@@ -626,7 +638,22 @@ def decode_loop(
         return (new_logits, kc, pos + 1), tok
 
     keys = jax.random.split(key, n_steps)
-    (final_logits, cache, _), tokens = jax.lax.scan(body, (logits0, cache, pos0), keys)
+    carry = (logits0, cache, pos0)
+    first = None
+    if ban0 is not None:
+        # peel step 0: residual-aware sample (the ban applies only to the
+        # carried pending logits; every later step samples fresh ones)
+        logits, kc, pos = carry
+        tok = sample_res_rows(
+            logits, ban0, jax.random.split(keys[0], b), scfg)
+        emb = embed_tokens(params, tok[:, None])
+        new_logits, kc = forward(params, kc, emb, pos, cfg, attn_len=attn_len,
+                                 use_flash=use_flash, tp_axis=tp_axis,
+                                 page_table=page_table)
+        carry, first, keys = (new_logits, kc, pos + 1), tok, keys[1:]
+    (final_logits, cache, _), tokens = jax.lax.scan(body, carry, keys)
+    if first is not None:
+        tokens = jnp.concatenate([first[None], tokens], axis=0)
     return tokens.T, final_logits, cache  # [B, n_steps]
 
 
@@ -762,6 +789,130 @@ def speculative_decode_loop(
         final_logits,
         cache,
         hist,
+    )
+
+
+def stochastic_speculative_decode_loop(
+    params: dict,
+    cache: dict,
+    logits0: jnp.ndarray,
+    pos0: jnp.ndarray,
+    hist: jnp.ndarray,
+    ban0: jnp.ndarray,
+    keys: jnp.ndarray,
+    rows: dict,
+    k_spec: int,
+    cfg: LlamaConfig,
+    attn_len: int | None = None,
+    use_flash: bool = True,
+    tp_axis: str | None = None,
+    page_table: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict, jnp.ndarray, jnp.ndarray]:
+    """SAMPLED speculative decode — speculative sampling (Leviathan et al. /
+    Chen et al., the algorithm llama.cpp's stochastic speculation follows)
+    specialized to a deterministic n-gram draft, so temperature/top-k/top-p
+    streams speculate too, with the emitted token distribution EXACTLY equal
+    to plain autoregressive sampling's.
+
+    The proposal for each draft position is a point mass at the n-gram
+    continuation d (:func:`_ngram_draft`).  Speculative sampling with a
+    point-mass proposal reduces to: accept d with probability p(d) — p the
+    model's post-chain sampling distribution at that position
+    (device_sampling.chain_logits_dyn, the same truncation semantics the
+    plain fused loop draws from) — and on rejection draw the replacement
+    from norm(p with d zeroed), i.e. the standard residual
+    norm(max(p - q, 0)).  The accept/residual algebra composes to exactly p
+    per position, so sampled output is distributionally indistinguishable
+    from :func:`decode_loop`; greedy lanes (temp <= 0) reduce to the
+    argmax-verify rule of :func:`speculative_decode_loop` and are
+    token-for-token identical to it.
+
+    The residual exclusion crosses pass (and dispatch) boundaries as a
+    carried BAN token: pass t0 is sampled from the pending logits with the
+    previous pass's rejected draft excluded (``ban0`` in, final ban out —
+    the engine threads it between dispatches and resolves it before any
+    non-speculative path samples from the same pending logits).
+
+    ``rows`` is the per-lane traced parameter pytree
+    (device_sampling.lane_rows): one compiled loop serves every sampling
+    configuration and batched lanes mix configs.  ``keys`` [n_passes, 2]
+    carries one PRNG key per verify pass (caller splits; the pass count is
+    static via the shape).
+
+    Returns (tokens [B, n_passes, k_spec], counts [B, n_passes],
+    final_logits [B, V], cache, hist, ban [B]).
+    """
+    from ..engine.device_sampling import (
+        _greedy_pick, chain_logits_dyn, sample_res_rows)
+
+    b = logits0.shape[0]
+    c = hist.shape[-1]
+    pos0 = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32).reshape(-1), (b,))
+    greedy_lane = rows["temp"] <= 0.0  # [B]
+    bias_rows = rows.get("bias")
+
+    def body(carry, step_key):
+        logits, ban, kc, pos, h = carry
+        k_t0, k_acc = jax.random.split(step_key)
+        # sample-then-eval: t0 drawn from the carried pending logits, with
+        # the previous pass's rejected draft excluded (the residual rule)
+        t0 = sample_res_rows(logits, ban, jax.random.split(k_t0, b), rows)
+        draft = jax.vmap(
+            lambda hh, pp, tt: _ngram_draft(hh, pp, tt, k_spec - 1, c)
+        )(h, pos, t0)  # [B, k-1]
+        toks = jnp.concatenate([t0[:, None], draft], axis=1)  # [B, k]
+        emb = embed_tokens(params, toks)
+        logits_all, kc = forward(
+            params, kc, emb, pos, cfg, all_logits=True, attn_len=attn_len,
+            use_flash=use_flash, tp_axis=tp_axis, page_table=page_table,
+        )  # [B, k, V]
+
+        # target probability of each draft token under its lane's chain
+        def lane_z(lg, temp, tk, tp, tz, typ, bias=None):
+            return jax.vmap(
+                lambda l: chain_logits_dyn(l, temp, tk, tp, tz, typ, bias)
+            )(lg)  # [k-1, V]
+
+        zargs = (logits_all[:, :-1], rows["temp"], rows["top_k"],
+                 rows["top_p"], rows["tfs_z"], rows["typical_p"])
+        z = (jax.vmap(lane_z)(*zargs, bias_rows) if bias_rows is not None
+             else jax.vmap(lane_z)(*zargs))  # [B, k-1, V]
+        p_d = jnp.take_along_axis(
+            jax.nn.softmax(z, axis=-1), draft[..., None], axis=-1
+        )[..., 0]  # [B, k-1]
+        u = jax.random.uniform(k_acc, (b, k_spec - 1))
+        g = _greedy_pick(
+            logits_all, None if bias_rows is None else bias_rows[:, None, :])
+        ok = jnp.where(greedy_lane[:, None], draft == g[:, :-1], u < p_d)
+        acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)
+        count = 1 + acc  # t0 + leading accepted drafts
+        new_logits = jnp.take_along_axis(
+            logits_all, acc[:, None, None], axis=1)[:, 0]
+        # first rejected draft (if any) is the next sample's residual ban
+        rejected = acc < (k_spec - 1)
+        new_ban = jnp.where(
+            rejected,
+            jnp.take_along_axis(
+                toks, jnp.minimum(acc + 1, k_spec - 1)[:, None], axis=1
+            )[:, 0],
+            -1,
+        ).astype(jnp.int32)
+        h = jax.vmap(
+            lambda hh, tt, pp: jax.lax.dynamic_update_slice(hh, tt, (pp,))
+        )(h, toks, pos)
+        return (new_logits, new_ban, kc, pos + count, h), (toks, count)
+
+    ban0 = jnp.broadcast_to(jnp.asarray(ban0, jnp.int32).reshape(-1), (b,))
+    (final_logits, ban, cache, _, hist), (tokens, counts) = jax.lax.scan(
+        body, (logits0, ban0, cache, pos0, hist), keys
+    )
+    return (
+        tokens.transpose(1, 0, 2),
+        counts.T,
+        final_logits,
+        cache,
+        hist,
+        ban,
     )
 
 

@@ -233,6 +233,7 @@ class SessionPool:
         seed: int = 1337,
         paged_pool_pages: int | None = None,
         prefix_cache: bool = True,
+        prefix_cache_mb: int = 512,
         **engine_kwargs,
     ):
         self.engine = MiniGPT4Engine(model_path, llm_path, seed=seed, **engine_kwargs)
@@ -260,16 +261,28 @@ class SessionPool:
             # (acceptance below the batch-scaled break-even)
             "spec_demotions": 0,
         }
-        # system-prompt prefix KV reuse: every fresh session starts with the
-        # identical SYSTEM_PROMPT prefill (reference flow: reset ->
-        # system_prompt -> encode, minigpt4_library.py:672-689).  The first
-        # session's computed prefix KV + pending logits are kept on host and
-        # COPIED into later fresh sessions instead of recomputing the
-        # prefill — new-session TTFT drops by one prefill dispatch.  Exact:
-        # the installed state is bit-identical to what the prefill produced.
-        # Single-chip only (sharded caches would need mesh-aware placement).
+        # RADIX prefix KV cache: computed prefix KV (+ pending logits) is
+        # kept on host, keyed by the exact token-id stream fed from position
+        # 0, and REUSED by any later prefill sharing a prefix — the causal
+        # property makes rows [0, c) of a longer entry the exact state of
+        # any of its prefixes, so entries serve full hits (state + logits
+        # installed bit-identically), prefix extensions (install all rows,
+        # prefill only the suffix), and partial hits (install c-1 rows,
+        # re-evaluate one token for fresh pending logits).  This subsumes
+        # the round-2 system-prompt cache (every fresh session's identical
+        # SYSTEM_PROMPT prefill, minigpt4_library.py:672-689) and makes the
+        # stateless OpenAI replay incremental: request N+1 re-sends the
+        # whole conversation but only prefills the new turn (vLLM-style
+        # automatic prefix caching, host-RAM backed, LRU by byte budget).
+        # Single-chip only (sharded caches would need mesh-aware placement);
+        # token streams containing injected embeddings (-1 sentinels: image
+        # rows) are never cached or matched past the injection point.
         self.prefix_cache = bool(prefix_cache) and self.engine.mesh is None
-        self._prefix_cache: dict[tuple[int, ...], dict] = {}
+        self.prefix_cache_mb = int(prefix_cache_mb)
+        from collections import OrderedDict
+
+        self._prefix_cache: "OrderedDict[tuple[int, ...], dict]" = OrderedDict()
+        self._prefix_bytes = 0
         self._install_prefix_fn = jax.jit(
             lambda c, upd: jax.lax.dynamic_update_slice(
                 c, upd, (0, 0, 0, 0, 0)),
@@ -341,6 +354,9 @@ class SessionPool:
     def _add_tokens(self, s: ChatSession, tokens: list[int]) -> None:
         with self._lock:
             s.state.ensure_device()  # transparent unpark of idled sessions
+            tokens = self._radix_fast_forward(s.state, tokens)
+            if not tokens:
+                return
             if (self.engine.context_shift
                     and s.state.n_past + len(tokens) > self.fns.cfg.n_ctx):
                 self.engine.ctx_shift(s.state, len(tokens))
@@ -349,52 +365,139 @@ class SessionPool:
                 self.engine.llm_params, s.state, tokens, self.engine.n_batch
             )
 
+    # -- radix prefix KV cache (see __init__) --
+    @staticmethod
+    def _pure(st) -> bool:
+        """A session whose state is exactly the token stream fed from
+        position 0 (no injected embeddings, no pending rollback gap) — the
+        precondition for both matching and capturing prefixes."""
+        return (st.n_past == len(st.tokens)
+                and all(t >= 0 for t in st.tokens))
+
+    def _radix_fast_forward(self, st, tokens: list[int]) -> list[int]:
+        """Try to serve a prefix of ``st.tokens + tokens`` from the radix
+        cache; returns the tokens still to prefill.  Caller holds _lock.
+
+        Exact hit (entry length == candidate length): state + pending
+        logits install outright, nothing left to feed.  Extension (entry
+        shorter): all entry rows install, the suffix prefills.  Partial
+        (entry longer — a later conversation turn cached the whole
+        transcript): rows [0, c-1) install and the final token re-evaluates
+        for fresh pending logits (causality makes rows [0, c) of the longer
+        entry the exact prefill state of the shorter prefix)."""
+        if not self.prefix_cache or not tokens or not self._pure(st):
+            return tokens
+        n0 = len(st.tokens)
+        candidate = st.tokens + [int(t) for t in tokens]
+        c = len(candidate)
+        best = None  # (usable_rows, key)
+        for key in self._prefix_cache:
+            m = len(key)
+            usable = min(m, c)
+            # worth installing only past the already-computed prefix + the
+            # one token a partial hit re-evaluates anyway
+            if usable <= n0 + 1 or usable > self.fns.cfg.n_ctx:
+                continue
+            if best is not None and usable <= best[0]:
+                continue
+            if list(key[: usable]) == candidate[: usable]:
+                best = (usable, key)
+        if best is None:
+            return tokens
+        usable, key = best
+        ent = self._prefix_cache[key]
+        self._prefix_cache.move_to_end(key)  # LRU touch
+        exact = usable == c and len(key) == c
+        rows = usable if exact else min(usable, c - 1)
+        st.parked = None
+        if st.cache is None:
+            st.cache = llama_mod.init_cache(
+                self.fns.cfg, batch=1, dtype=self.cache_dtype)
+        # pad the install to a power-of-two row bucket (bounded compiles:
+        # zero rows beyond the cursor are causally unreachable)
+        b = 1
+        while b < rows:
+            b *= 2
+        b = min(b, self.fns.cfg.n_ctx)
+        for kv in ("k", "v"):
+            upd = ent[kv][:, :, :, :rows, :]
+            if b != rows:
+                pad = np.zeros(
+                    upd.shape[:3] + (b - rows,) + upd.shape[4:], upd.dtype)
+                upd = np.concatenate([upd, pad], axis=3)
+            st.cache[kv] = self._install_prefix_fn(
+                st.cache[kv], jnp.asarray(upd))
+        st.n_past = rows
+        st.tokens = list(candidate[:rows])
+        st.spec_ban = -1
+        st.logits_host = None
+        if exact:
+            st.logits_dev = jnp.asarray(ent["logits"])
+            remainder = []
+        else:
+            st.logits_dev = None  # the suffix prefill installs fresh logits
+            remainder = candidate[rows:]
+        self._bump("prefix_cache_hits")
+        return remainder
+
+    def capture_prefix(self, s: ChatSession) -> bool:
+        """Capture the session's current pure-token prefix (KV rows +
+        pending logits) into the radix cache, host-RAM backed and LRU-
+        evicted over ``prefix_cache_mb``.  Strict-prefix entries of the new
+        key are pruned (their rows are contained in it); keys already
+        covered by a longer entry skip.  The serve layer calls this right
+        before decode on the stateless OpenAI replay path, making the NEXT
+        request for the same conversation an incremental prefill."""
+        if not self.prefix_cache:
+            return False
+        with self._lock:
+            st = s.state
+            if (st.cache is None or st.logits_dev is None or st.n_past == 0
+                    or not self._pure(st)):
+                return False
+            key = tuple(st.tokens)
+            n = st.n_past
+            if key in self._prefix_cache:
+                self._prefix_cache.move_to_end(key)
+                return True
+            for other in self._prefix_cache:
+                if len(other) > n and other[:n] == key:
+                    return True  # covered by a longer entry
+            k = np.asarray(st.cache["k"][:, :, :, :n, :])
+            v = np.asarray(st.cache["v"][:, :, :, :n, :])
+            ent = {"k": k, "v": v, "logits": np.asarray(st.logits_dev),
+                   "bytes": k.nbytes + v.nbytes}
+            # prune strict prefixes: their rows are contained in this entry
+            for other in [o for o in self._prefix_cache
+                          if len(o) < n and key[: len(o)] == o]:
+                self._prefix_bytes -= self._prefix_cache.pop(other)["bytes"]
+            self._prefix_cache[key] = ent
+            self._prefix_bytes += ent["bytes"]
+            self._bump("prefix_cache_misses")
+            while (self._prefix_bytes > self.prefix_cache_mb * 1_000_000
+                   and len(self._prefix_cache) > 1):
+                _, old = self._prefix_cache.popitem(last=False)
+                self._prefix_bytes -= old["bytes"]
+        return True
+
+    def prefix_cache_stats(self) -> dict:
+        with self._lock:
+            return {"entries": len(self._prefix_cache),
+                    "bytes": self._prefix_bytes}
+
     def _add_strings(self, s: ChatSession, text: str) -> None:
         self._add_tokens(s, self.engine.tokenizer.tokenize(text, add_bos=True))
 
     def _prefill_cached(self, s: ChatSession, tokens: list[int]) -> None:
-        """Prefill ``tokens`` into a FRESH session, reusing the cached prefix
-        KV when an identical prefix was prefilled before (the prefix-cache
-        fast path; falls back to a normal prefill and captures the result).
-
-        Only exact full-prefix matches install — the state after either path
-        is bit-identical (same cache bytes, same pending logits), so every
-        downstream consumer (decode, batching, park, checkpoint) is
-        oblivious."""
-        if not self.prefix_cache or s.state.n_past != 0 or len(tokens) == 0:
-            self._add_tokens(s, tokens)
-            return
-        key = tuple(int(t) for t in tokens)
-        n = len(key)
-        with self._lock:
-            hit = self._prefix_cache.get(key)
-            if hit is not None and n <= self.fns.cfg.n_ctx:
-                st = s.state
-                st.parked = None  # fresh session: nothing parked worth keeping
-                if st.cache is None:
-                    st.cache = llama_mod.init_cache(
-                        self.fns.cfg, batch=1, dtype=self.cache_dtype)
-                st.cache = {
-                    kv: self._install_prefix_fn(
-                        st.cache[kv], jnp.asarray(hit[kv]))
-                    for kv in ("k", "v")
-                }
-                st.logits_dev = jnp.asarray(hit["logits"])
-                st.logits_host = None
-                st.n_past = n
-                st.tokens = list(key)
-                self._bump("prefix_cache_hits")
-                return
+        """Prefill ``tokens`` through the radix prefix cache (the fast path
+        lives in :meth:`_add_tokens`/:meth:`_radix_fast_forward`) and
+        capture the resulting state — every fresh session's identical
+        SYSTEM_PROMPT prefill hits from the second session on.  An exact
+        hit installs the same cache bytes and pending logits the prefill
+        produced, so every downstream consumer (decode, batching, park,
+        checkpoint) is oblivious."""
         self._add_tokens(s, tokens)
-        with self._lock:
-            st = s.state
-            if st.cache is not None and st.n_past == n and st.logits_dev is not None:
-                self._prefix_cache[key] = {
-                    "k": np.asarray(st.cache["k"][:, :, :, :n, :]),
-                    "v": np.asarray(st.cache["v"][:, :, :, :n, :]),
-                    "logits": np.asarray(st.logits_dev),
-                }
-                self._bump("prefix_cache_misses")
+        self.capture_prefix(s)
 
     # -- chat protocol (same templates as the engine) --
     def system_prompt(self, s: ChatSession) -> None:

@@ -306,7 +306,8 @@ def make_handler(srv: _Server):
             elif self.path == "/v1/health":
                 body = {"ok": True, "sessions": srv.count(),
                         "metrics": dict(srv.pool.metrics),
-                        "tok_s_30s": round(srv.pool.generation_rate(), 2)}
+                        "tok_s_30s": round(srv.pool.generation_rate(), 2),
+                        "prefix_cache": srv.pool.prefix_cache_stats()}
                 ppool = srv.pool.paged_pool
                 if ppool is not None:  # paged-KV capacity gauges
                     body["paged"] = {
@@ -420,6 +421,12 @@ def make_handler(srv: _Server):
                     s.encode_image(px)
                     s.is_image_chat = True
                 s.ask(text)
+                # radix prefix cache: capture the fully-replayed transcript
+                # BEFORE decoding — the next stateless request for this
+                # conversation (same messages + the reply + one new turn)
+                # then prefills only its new suffix (text-only transcripts;
+                # image rows break the pure-token stream and skip)
+                srv.pool.capture_prefix(s)
                 prompt_tokens = s.n_past
                 if seed is not None:
                     # deterministic request: reseed both samplers (host
@@ -709,9 +716,15 @@ def main():
     )
     ap.add_argument(
         "--no-prefix-cache", action="store_true",
-        help="disable the system-prompt prefix KV cache (fresh sessions "
-        "then recompute the SYSTEM_PROMPT prefill instead of installing "
-        "the cached bit-identical copy)",
+        help="disable the radix prefix KV cache (fresh sessions then "
+        "recompute the SYSTEM_PROMPT prefill, and every stateless OpenAI "
+        "replay re-prefills its whole conversation instead of only the "
+        "new turn)",
+    )
+    ap.add_argument(
+        "--prefix-cache-mb", type=int, default=512, metavar="MB",
+        help="host-RAM budget for the radix prefix KV cache (LRU-evicted; "
+        "entries are captured transcript prefixes keyed by token stream)",
     )
     ap.add_argument(
         "--draft-llm", default=None, metavar="PATH",
@@ -742,6 +755,7 @@ def main():
                          paged_pages=args.paged_pages or None,
                          speculative_k=args.speculative_k,
                          prefix_cache=not args.no_prefix_cache,
+                         prefix_cache_mb=args.prefix_cache_mb,
                          context_shift=args.ctx_shift,
                          draft_llm_path=args.draft_llm,
                          cache_dtype=CACHE_DTYPES.get(args.cache_dtype),

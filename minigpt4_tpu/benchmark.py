@@ -496,9 +496,15 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
 
     # --- decode (the strict per-token end-chat ABI path, as the engine now
     # runs it: greedy sample ON DEVICE, queue the fused embed+forward step,
-    # then download only the 4-byte token id — the id fetch overlaps the
-    # eval's device time.  Round 1 fetched the full [V] f32 logits per step
-    # and measured 192 ms/token on the tunneled backend.)
+    # and run STEP_LOOKAHEAD sample+eval dispatches ahead of the host fetch
+    # (engine._Lookahead) — each consumed id was dispatched depth calls
+    # earlier and copied host-side async, so the per-call wall collapses to
+    # max(device step, RTT/depth).  Round 1 fetched the full [V] f32 logits
+    # per step and measured 192 ms/token on the tunneled backend; round 2's
+    # dispatch-then-fetch (depth 0) measured 56 ms.)
+    from .engine.engine import STEP_LOOKAHEAD
+    import collections
+
     sample1 = jax.jit(lambda l: jnp.argmax(l[0]).astype(jnp.int32))
     step1 = jax.jit(
         lambda p, c, t, pos0: llama_mod.forward(
@@ -511,12 +517,26 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     logits, cache = step1(params, cache, tid.reshape(1, 1), jnp.int32(prefill_len))
     int(np.asarray(tid))
     sync(logits)
-    t0 = time.perf_counter()
+    depth = max(0, STEP_LOOKAHEAD)
     pos = prefill_len + 1
-    for i in range(n_decode):
+    queue: collections.deque = collections.deque()
+    dispatched = 0
+
+    def dispatch_one():
+        nonlocal logits, cache, dispatched
         tid = sample1(logits)
-        logits, cache = step1(params, cache, tid.reshape(1, 1), jnp.int32(pos + i))
-        int(np.asarray(tid))  # the only per-token host transfer
+        logits, cache = step1(
+            params, cache, tid.reshape(1, 1), jnp.int32(pos + dispatched))
+        if hasattr(tid, "copy_to_host_async"):
+            tid.copy_to_host_async()
+        queue.append(tid)
+        dispatched += 1
+
+    t0 = time.perf_counter()
+    for _ in range(n_decode):
+        while len(queue) <= depth and dispatched < n_decode:
+            dispatch_one()
+        int(np.asarray(queue.popleft()))  # the only per-token host transfer
     sync(logits)  # drain the queued evals before stopping the clock
     dt = time.perf_counter() - t0
 

@@ -23,6 +23,7 @@ TPU specifics:
 
 from __future__ import annotations
 
+import collections
 from pathlib import Path
 
 import jax
@@ -57,6 +58,12 @@ CACHE_DTYPES = {
 import os as _os
 
 AUTO_W8A8 = _os.environ.get("MINIGPT4_TPU_AUTO_W8A8", "1") != "0"
+
+# Run-ahead depth for the strict per-token decode path (end_chat / the C
+# ABI loop): how many sample+eval steps the engine dispatches beyond what
+# the client has consumed.  Depth D hides D-1 tunnel round-trips behind
+# device time; 0 disables (one blocking fetch per call, round-2 behavior).
+STEP_LOOKAHEAD = int(_os.environ.get("MINIGPT4_TPU_STEP_LOOKAHEAD", "3"))
 
 
 def resolve_llm_quant_mode(reader, quant_mode: str, backend: str) -> str:
@@ -640,6 +647,35 @@ class StepFns:
         return np.asarray([tid], np.int32)
 
 
+class _Lookahead:
+    """Run-ahead pipeline for the strict per-token decode path (end_chat).
+
+    Sample-then-eval semantics make every future greedy/device-sampled token
+    computable with no host input, so the engine dispatches ``depth`` steps
+    ahead of what the client has consumed: call N fetches a token whose
+    sample+eval (and host copy, via ``copy_to_host_async``) was dispatched
+    ``depth`` calls earlier — the per-call wall time collapses from
+    device-step + tunnel round-trip to max(device-step, RTT/depth).
+
+    The committed state in :class:`DecodeState` (n_past / tokens / logits /
+    rng) only advances when a token is CONSUMED; each queue entry carries the
+    post-step (tid, logits, rng) needed to commit it.  Discarding the queue is
+    therefore a complete rollback: speculative KV rows live at positions >=
+    the committed cursor, which attention masks off (the same invariant the
+    chunked generate's EOS rollback relies on).  Any state mutation
+    (add_tokens / prefill / reset / restore / cursor writes / context shift)
+    flushes; reads need nothing — committed state is the observable truth.
+    """
+
+    def __init__(self, st: DecodeState, params):
+        self.queue: collections.deque = collections.deque()
+        self.params = params
+        # shadow frontier: where the NEXT dispatch continues from
+        self.n_past = st.n_past
+        self.logits = st.logits_dev
+        self.rng = st.rng_key
+
+
 def _rollback(st: DecodeState, n: int) -> None:
     """Rewind ``n`` overshoot evaluations after an EOS/limit stop.  The
     pending logits belong to the rolled-back continuation, so they are
@@ -1085,6 +1121,10 @@ class MiniGPT4Engine:
 
             cache0 = spmd.place_cache(self.mesh, cache0)
         self._st = DecodeState(cache0, seed=seed if seed else 0)
+        # strict per-token run-ahead pipeline (see _Lookahead); depth from
+        # MINIGPT4_TPU_STEP_LOOKAHEAD, 0 = round-2 dispatch-then-fetch
+        self.step_lookahead = STEP_LOOKAHEAD
+        self._la: _Lookahead | None = None
         self.sampler = Sampler(seed)
         self._embed = self._fns.embed
         self._encode = vision_mod.jit_encode_image(self.vision_cfg)
@@ -1130,6 +1170,7 @@ class MiniGPT4Engine:
 
     @n_past.setter
     def n_past(self, v: int) -> None:
+        self._flush_lookahead()
         self._st.n_past = v
         # external cursor rewinds (tests/ABI) must also rein in the drafter
         self._st.draft_past = min(self._st.draft_past, v)
@@ -1140,6 +1181,7 @@ class MiniGPT4Engine:
 
     @cache.setter
     def cache(self, v: dict) -> None:
+        self._flush_lookahead()
         self._st.cache = v
 
     def warmup(self, prefill_buckets: tuple[int, ...] = (8, 32, 128, 512),
@@ -1228,6 +1270,8 @@ class MiniGPT4Engine:
         approximation (shared with llama.cpp's context shift) is that
         surviving K/V values were originally computed while the dropped
         tokens were attendable."""
+        if st is self._st:
+            self._flush_lookahead()  # shift moves the committed cache rows
         if st.cache is None:
             return 0  # parked / riding a batch: not shiftable here
         n_ctx = st.cache["k"].shape[3]  # the state's own geometry (sessions
@@ -1255,11 +1299,13 @@ class MiniGPT4Engine:
     def _prefill_embeds(self, embeds: jnp.ndarray) -> None:
         """Feed [1, S, D] embeddings through the decoder in n_batch chunks,
         with power-of-two bucket padding per chunk."""
+        self._flush_lookahead()
         self._maybe_shift(self._st, embeds.shape[1])
         self._fns.prefill_embeds(self.llm_params, self._st, embeds, self.n_batch)
 
     def add_tokens(self, tokens: list[int]) -> None:
         """llama_eval in n_batch chunks (add_tokens, minigpt4.cpp:2365-2382)."""
+        self._flush_lookahead()
         self._maybe_shift(self._st, len(tokens))
         self._fns.add_tokens(self.llm_params, self._st, tokens, self.n_batch)
 
@@ -1300,6 +1346,7 @@ class MiniGPT4Engine:
     def reset(self) -> None:
         """reset(): n_past = 0 (minigpt4.cpp:2499-2502).  The cache needs no
         clearing — masking makes positions >= n_past unreachable."""
+        self._flush_lookahead()
         self._st.reset()
 
     # ------------------------------------------------------------------
@@ -1364,19 +1411,59 @@ class MiniGPT4Engine:
         self.add_tokens([tid])
         return token
 
-    def _end_chat_device(self, params: SamplingParams) -> str:
+    def _flush_lookahead(self) -> None:
+        """Discard run-ahead dispatches.  Committed DecodeState never moved,
+        so this IS the rollback: speculative KV rows sit at positions >= the
+        committed cursor, which attention masks off (the chunked generate's
+        EOS rollback relies on the same invariant)."""
+        self._la = None
+
+    def _dispatch_ahead(self, la: _Lookahead, params: SamplingParams) -> bool:
+        """Queue one sample+eval at the shadow frontier (no host fetch)."""
         from .device_sampling import DeviceSamplingConfig, lane_rows
 
+        if la.n_past + 1 > self.llm_cfg.n_ctx:
+            return False  # consume-time handles shift/overflow once drained
+        if params.temp <= 0 and not params.logit_bias:
+            # greedy: static argmax fast path
+            tid_dev, la.rng = self._fns.sample(
+                la.logits, la.rng, DeviceSamplingConfig(temp=0.0))
+        else:
+            # traced config: one compile for every non-greedy knob tuple
+            tid_dev, la.rng = self._fns.sample_dyn(
+                la.logits, la.rng,
+                lane_rows([params], n_vocab=self.llm_cfg.n_vocab))
         st = self._st
-        self._maybe_shift(st, 1)
-        if st.n_past + 1 > self.llm_cfg.n_ctx:
-            raise ValueError(
-                f"context overflow: n_past {st.n_past} + 1 > {self.llm_cfg.n_ctx}"
-            )
+        logits, st.cache = self._fns.decode_step(
+            self.llm_params, st.cache, tid_dev.reshape(1, 1),
+            jnp.int32(la.n_past), self._fns.attn_bucket(la.n_past + 1),
+        )
+        la.n_past += 1
+        la.logits = logits[0]
+        # start the 4-byte id transfer now: by consume time (depth calls
+        # later) it is host-resident and the fetch costs no round-trip
+        if hasattr(tid_dev, "copy_to_host_async"):
+            tid_dev.copy_to_host_async()
+        la.queue.append((tid_dev, la.logits, la.rng))
+        return True
+
+    def _end_chat_device(self, params: SamplingParams) -> str:
+        from .device_sampling import lane_rows
+
+        st = self._st
         if st.spec_ban >= 0:
             # a stochastic-speculative dispatch left a residual exclusion on
             # these pending logits: the next sample must exclude the
-            # rejected draft (exact speculative-sampling residual)
+            # rejected draft (exact speculative-sampling residual).  One
+            # un-pipelined step consumes it; the next call starts the
+            # run-ahead pipeline.
+            self._flush_lookahead()
+            self._maybe_shift(st, 1)
+            if st.n_past + 1 > self.llm_cfg.n_ctx:
+                raise ValueError(
+                    f"context overflow: n_past {st.n_past} + 1 > "
+                    f"{self.llm_cfg.n_ctx}"
+                )
             st.rng_key, sub = jax.random.split(st.rng_key)
             tid_dev = self._fns.sample_res(
                 st.logits_dev[None],
@@ -1385,27 +1472,48 @@ class MiniGPT4Engine:
                 lane_rows([params], n_vocab=self.llm_cfg.n_vocab),
             )[0]
             st.spec_ban = -1
-        elif params.temp <= 0 and not params.logit_bias:
-            # greedy: static argmax fast path
-            scfg = DeviceSamplingConfig(temp=0.0)
-            tid_dev, st.rng_key = self._fns.sample(
-                st.logits_dev, st.rng_key, scfg)
-        else:
-            # traced config: one compile for every non-greedy knob tuple
-            tid_dev, st.rng_key = self._fns.sample_dyn(
-                st.logits_dev, st.rng_key,
-                lane_rows([params], n_vocab=self.llm_cfg.n_vocab))
-        # queue the eval BEFORE fetching the id: the 4-byte download then
-        # rides alongside the decode step instead of serializing with it
-        logits, st.cache = self._fns.decode_step(
-            self.llm_params, st.cache, tid_dev.reshape(1, 1),
-            jnp.int32(st.n_past), self._fns.attn_bucket(st.n_past + 1),
-        )
-        st.n_past += 1
-        st.logits_dev = logits[0]
-        st.logits_host = None
+            logits, st.cache = self._fns.decode_step(
+                self.llm_params, st.cache, tid_dev.reshape(1, 1),
+                jnp.int32(st.n_past), self._fns.attn_bucket(st.n_past + 1),
+            )
+            st.n_past += 1
+            st.logits_dev = logits[0]
+            st.logits_host = None
+            tid = int(np.asarray(tid_dev))
+            st.tokens.append(tid)
+            return self.id_to_token(tid)
+
+        la = self._la
+        if la is not None and la.params != params:
+            self._flush_lookahead()  # knobs changed: redispatch from committed
+            la = None
+        if la is None:
+            la = self._la = _Lookahead(st, params)
+        # top up the pipeline: depth+1 in flight so each call consumes one
+        # and dispatches one (depth 0 = dispatch-then-fetch, round-2 shape)
+        while len(la.queue) <= self.step_lookahead:
+            if not self._dispatch_ahead(la, params):
+                break
+        if not la.queue:
+            # shadow frontier hit n_ctx with nothing consumable: shift (if
+            # enabled) against the COMMITTED cursor, then rebuild
+            self._flush_lookahead()
+            self._maybe_shift(st, 1)
+            if st.n_past + 1 > self.llm_cfg.n_ctx:
+                raise ValueError(
+                    f"context overflow: n_past {st.n_past} + 1 > "
+                    f"{self.llm_cfg.n_ctx}"
+                )
+            la = self._la = _Lookahead(st, params)
+            self._dispatch_ahead(la, params)
+        tid_dev, logits, rng = la.queue.popleft()
+        # commit: the entry's post-step state becomes the observable state
         tid = int(np.asarray(tid_dev))
+        st.n_past += 1
         st.tokens.append(tid)
+        st.logits_dev = logits
+        st.logits_host = None
+        st.rng_key = rng
         return self.id_to_token(tid)
 
     def reset_chat(self) -> None:
@@ -1417,6 +1525,7 @@ class MiniGPT4Engine:
         self._st.save(path)
 
     def restore_state(self, path) -> None:
+        self._flush_lookahead()
         self._st.restore(path)
 
     @staticmethod
@@ -1459,6 +1568,7 @@ class MiniGPT4Engine:
         if params.mirostat != 0 or decode_chunk <= 1:
             yield from self._generate_stepwise(limit, params)
             return
+        self._flush_lookahead()  # generate_stream drives the state directly
         dfns = self.draft_fns_for(self._fns.cfg)
         yield from generate_stream(
             self._fns, self.llm_params, self._st, self.tokenizer,

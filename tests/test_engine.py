@@ -274,3 +274,103 @@ def test_warmup_runs(tmp_path_factory):
     eng.add_strings("hi")
     assert eng.sample_token(SamplingParams(temp=0.0)) >= 0
     eng.close()
+
+
+def _stepwise_tokens(eng, prompt, n, params):
+    eng.system_prompt()
+    eng.begin_chat(prompt)
+    return [eng.end_chat(params) for _ in range(n)]
+
+
+@pytest.mark.parametrize("params", [
+    SamplingParams(temp=0.0),
+    SamplingParams(temp=0.9, top_k=20),
+])
+def test_step_lookahead_matches_unpipelined(tmp_path_factory, params):
+    """The run-ahead pipeline on the strict per-token path (end_chat) emits
+    exactly the sequence the depth-0 dispatch-then-fetch path emits, for
+    both greedy and device-sampled configs (rng threading is deterministic
+    through the queue)."""
+    tmp = tmp_path_factory.mktemp("lookahead")
+    model, llm = build_tiny_models(tmp)
+
+    outs = []
+    for depth in (0, 3):
+        eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16, seed=7)
+        eng.step_lookahead = depth
+        outs.append(_stepwise_tokens(eng, "hello there", 12, params))
+        eng.close()
+    assert outs[0] == outs[1]
+
+
+def test_step_lookahead_flushes_on_state_mutation(tmp_path_factory):
+    """Interleaving end_chat with prefills/resets/cursor writes discards the
+    run-ahead queue; the observable sequence matches the depth-0 engine."""
+    tmp = tmp_path_factory.mktemp("lookahead_flush")
+    model, llm = build_tiny_models(tmp)
+    greedy = SamplingParams(temp=0.0)
+
+    def drive(eng):
+        out = []
+        eng.system_prompt()
+        eng.begin_chat("hello")
+        out += [eng.end_chat(greedy) for _ in range(5)]
+        eng.begin_chat("and then?")  # prefill mid-stream: must flush
+        out += [eng.end_chat(greedy) for _ in range(5)]
+        n = eng.n_past
+        eng.n_past = n  # cursor write: must flush (ABI path)
+        out += [eng.end_chat(greedy) for _ in range(3)]
+        return out
+
+    outs = []
+    for depth in (0, 4):
+        eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16)
+        eng.step_lookahead = depth
+        outs.append(drive(eng))
+        eng.close()
+    assert outs[0] == outs[1]
+
+
+def test_step_lookahead_param_change_redispatches(tmp_path_factory):
+    """Changing sampling knobs mid-stream flushes the queue dispatched under
+    the old knobs; every emitted token was sampled with the params of the
+    call that returned it."""
+    tmp = tmp_path_factory.mktemp("lookahead_params")
+    model, llm = build_tiny_models(tmp)
+
+    def drive(eng):
+        eng.system_prompt()
+        eng.begin_chat("hi")
+        a = [eng.end_chat(SamplingParams(temp=0.0)) for _ in range(4)]
+        b = [eng.end_chat(SamplingParams(temp=0.9, top_k=10)) for _ in range(4)]
+        c = [eng.end_chat(SamplingParams(temp=0.0)) for _ in range(4)]
+        return a + b + c
+
+    outs = []
+    for depth in (0, 3):
+        eng = MiniGPT4Engine(model, llm, n_ctx=512, n_batch=16, seed=11)
+        eng.step_lookahead = depth
+        outs.append(drive(eng))
+        eng.close()
+    assert outs[0] == outs[1]
+
+
+def test_step_lookahead_context_shift(tmp_path_factory):
+    """The run-ahead frontier stops at n_ctx; draining the queue then
+    shifting against the COMMITTED cursor keeps decode exact across the
+    boundary (same tokens as the depth-0 engine)."""
+    tmp = tmp_path_factory.mktemp("lookahead_shift")
+    model, llm = build_tiny_models(tmp)
+    greedy = SamplingParams(temp=0.0)
+
+    outs = []
+    for depth in (0, 3):
+        eng = MiniGPT4Engine(model, llm, n_ctx=32, n_batch=8,
+                             context_shift=True)
+        eng.step_lookahead = depth
+        eng.add_strings("a b c d e f g h")
+        eng._st.n_keep = eng.n_past
+        # decode well past n_ctx=32: multiple shifts under the pipeline
+        outs.append([eng.end_chat(greedy) for _ in range(40)])
+        eng.close()
+    assert outs[0] == outs[1]

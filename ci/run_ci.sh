@@ -49,6 +49,14 @@ else
 fi
 
 if [ "$FAST" -eq 0 ]; then
+  echo "== [4b] day-one validation harness dry-run =="
+  # proves every command path of the real-checkpoint harness executes
+  # (docs/DAY_ONE.md); real mode needs network + checkpoints
+  MINIGPT4_TPU_PLATFORM="${MINIGPT4_TPU_PLATFORM:-cpu}" \
+      tools/day_one_validation.sh --dry-run --out "${TMPDIR:-/tmp}/day_one_ci"
+fi
+
+if [ "$FAST" -eq 0 ]; then
   echo "== [5/5] release packaging =="
   rm -rf dist/minigpt4_tpu_release && mkdir -p dist/minigpt4_tpu_release
   cp build_capi/libminigpt4.so minigpt4_tpu/c_api/minigpt4.h \

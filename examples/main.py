@@ -79,6 +79,12 @@ def parse_args():
         "slide the KV cache instead of erroring (unbounded chat length)",
     )
     p.add_argument(
+        "--tokens-out", default=None, metavar="PATH",
+        help="also write the generated pieces one-per-line here (stable "
+        "stream for A/B diffs against the reference binary — "
+        "tools/day_one_validation.sh)",
+    )
+    p.add_argument(
         "--warmup", action="store_true",
         help="precompile the common prefill buckets / decode chunks / image "
         "encoder before the session (multi-minute first compiles on "
@@ -120,6 +126,7 @@ def main():
 
     eng.system_prompt()
     first = True
+    tok_f = open(args.tokens_out, "w") if args.tokens_out else None
     for prompt in args.prompts:
         print(f"\n> {prompt}")
         if first:
@@ -129,7 +136,13 @@ def main():
             eng.begin_chat(prompt)
         for tok in eng.generate(limit=args.limit, params=sp):
             print(tok, end="", flush=True)
+            if tok_f:
+                tok_f.write(tok.replace("\n", "\\n") + "\n")
         print()
+        if tok_f:
+            tok_f.write("### end of turn\n")
+    if tok_f:
+        tok_f.close()
 
     print(f"\n[session: {(time.perf_counter() - t_start) * 1e3:.0f} ms]", file=sys.stderr)
     eng.close()

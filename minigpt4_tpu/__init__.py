@@ -34,4 +34,25 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _force_platform() -> None:
+    """MINIGPT4_TPU_PLATFORM=cpu|tpu|axon pins the JAX backend via
+    jax.config (which wins even where a sitecustomize pre-selects a
+    platform and ignores JAX_PLATFORMS — the dev-tunnel case that
+    motivated quality.py's --platform flag).  Used by CI dry-runs
+    (tools/day_one_validation.sh) to keep fixture-sized work off a busy
+    chip; unset = whatever the environment provides."""
+    import os
+
+    p = os.environ.get("MINIGPT4_TPU_PLATFORM")
+    if not p:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "axon" if p == "tpu" else p)
+    except Exception:
+        pass
+
+
 _enable_compilation_cache()
+_force_platform()

@@ -84,15 +84,30 @@ def run_single(model: str) -> int:
         metric = "decode tok/s (cpu smoke)"
 
     q5k = {}
+    q5k_old = {}
     if on_tpu and model == "13B":
-        # exact-q5_k rider (quant_mode="repack", bf16 cache): the
-        # bit-faithful path, measured after the headline so a failure here
-        # never costs it; headline arrays freed when bench_decode returned
+        # exact-q5_k rider: the direct-MXU group-quant path ("gq",
+        # ops/group_i8.py) — bit-exact q5_k weight dequant, dual-i8
+        # activations (<= 2^-15 representation error, finer than the bf16
+        # rounding the round-2 kernel applied).  fp8 cache for 13B HBM fit
+        # (codes are 1 B/weight, same residency class as w8a8).  Measured
+        # after the headline so a failure here never costs it.
+        import jax.numpy as jnp
+
         try:
             q5k = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64,
-                               quant_mode="repack", quick=True)
+                               quant_mode="gq", quick=True,
+                               cache_dtype=jnp.float8_e4m3fn)
         except Exception as e:
-            print(f"[bench] q5_k-exact rider failed: {e}", file=sys.stderr)
+            print(f"[bench] q5_k-exact (gq) rider failed: {e}", file=sys.stderr)
+        # continuity rider: the round-2 bf16-staging kernel (quant_mode=
+        # "repack"), for the gq-vs-old comparison in the same chip state
+        try:
+            q5k_old = bench_decode(model, DataType.Q5_K, n_decode=64,
+                                   prefill_len=64, quant_mode="repack",
+                                   quick=True)
+        except Exception as e:
+            print(f"[bench] q5_k bf16-stage rider failed: {e}", file=sys.stderr)
 
     value = round(dec["decode_tok_s"], 2)
     extras = {k: round(v, 2) for k, v in {**dec, **enc}.items()}
@@ -162,9 +177,13 @@ def run_single(model: str) -> int:
         # decode tok/s is bytes/rate — read `value` against this)
         line["chip_bw_gbps"] = dec["chip_bw_gbps"]
     if "decode_tok_s" in q5k:
-        # the exact-q5_k fused-kernel path (quant_mode="repack"), for
-        # continuity with the round-1 headline and the bit-fidelity story
+        # the exact-q5_k path (quant_mode="gq": direct-MXU group-quant
+        # kernel, bit-exact q5_k weight dequant — ops/group_i8.py)
         line["q5k_exact_tok_s"] = round(q5k["decode_tok_s"], 2)
+        line["q5k_exact_kernel"] = "gq-direct-mxu"
+    if "decode_tok_s" in q5k_old:
+        # the round-2 bf16-staging kernel, same chip state (continuity)
+        line["q5k_bf16stage_tok_s"] = round(q5k_old["decode_tok_s"], 2)
     print(json.dumps(line))
     return 0
 

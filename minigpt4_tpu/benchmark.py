@@ -157,7 +157,36 @@ def synth_llama_params(
         or (quant_mode == "auto" and _jax.default_backend() == "tpu" and qtype in rp.REPACKABLE)
     )
 
-    if quant_mode == "w8a8":
+    if quant_mode == "gq":
+        # direct-MXU exact group-quant path: device-generated q5_k-range
+        # codes + u8 sub-scale planes, stacked [L, ...] (ops/group_i8.py)
+        from .ops.group_i8 import J as GQ_J
+        from .ops.group_i8 import GroupQuant
+
+        def gqstack(n_out, n_in, lead=(L,)):
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+            codes = jax.lax.bitwise_and(
+                _synth_i8_codes(key, lead=lead, n_out=n_out, n_in=n_in),
+                jnp.int8(0x1F),
+            )  # q in [0, 31]
+            g, sb = n_in // 32, n_in // 256
+            sc6 = jnp.full((*lead, g, n_out), 40, jnp.uint8)
+            mn6 = jnp.full((*lead, g, n_out), 20, jnp.uint8)
+            d = jnp.full((*lead, sb, n_out), 1.6e-4, jnp.float32)
+            dmin = jnp.full((*lead, sb, n_out), 1e-4, jnp.float32)
+            return {"w": GroupQuant(codes, sc6, mn6, d, dmin, None, None,
+                                    DataType.Q5_K, n_in, 32)}
+
+        layers = {
+            "attention_norm": jnp.ones((L, d), dtype),
+            "wqkv": gqstack(3 * d, d),
+            "wo": gqstack(d, d),
+            "ffn_norm": jnp.ones((L, d), dtype),
+            "w13": gqstack(2 * ff, d),
+            "w2": gqstack(d, ff),
+        }
+        out_p = gqstack(v, d, lead=())
+    elif quant_mode == "w8a8":
         # EXPERIMENTAL direct-MXU i8 path: device-generated codes + constant
         # scales, stacked [L, ...] (ops/i8_matmul.py)
         from .ops.i8_matmul import SB as I8_SB
@@ -1051,7 +1080,8 @@ def main():
     ap.add_argument("--n-decode", type=int, default=64)
     ap.add_argument("--prefill", type=int, default=64)
     ap.add_argument("--cache-dtype", choices=["bf16", "f32", "f8"], default="bf16")
-    ap.add_argument("--quant-mode", choices=["auto", "repack", "qtensor", "w8a8"],
+    ap.add_argument("--quant-mode",
+                    choices=["auto", "repack", "qtensor", "w8a8", "gq"],
                     default="auto",
                     help="w8a8 = EXPERIMENTAL direct-MXU i8 path (see "
                     "ops/i8_matmul.py for the speed/quality trade)")
@@ -1059,6 +1089,8 @@ def main():
                     help="batched-serving lane count for the aggregate section")
     ap.add_argument("--skip-encode", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="fused-decode sections only (skip spec/batched/paged)")
     args = ap.parse_args()
 
     cache_dt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
@@ -1069,6 +1101,7 @@ def main():
         results.update(bench_decode(args.model, qtype, args.n_decode, args.prefill,
                                     cache_dtype=cache_dt,
                                     quant_mode=args.quant_mode,
+                                    quick=args.quick,
                                     batch=args.batch))
     if not args.skip_encode:
         results.update(bench_encode(GEOMETRIES[args.model].n_embd))

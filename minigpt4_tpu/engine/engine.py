@@ -86,14 +86,18 @@ def pick_cache_dtype(reader, llm_mode: str, n_ctx: int, batch: int,
                      backend: str):
     """Default KV-cache dtype: bf16, EXCEPT when the i8 weight residency
     plus a bf16 cache would not fit a 16 GB chip — then fp8 (e4m3), whose
-    in-kernel integer unpack costs ~the bf16 path (ops/flash_decode.py)."""
-    if backend != "tpu" or llm_mode != "w8a8":
+    in-kernel integer unpack costs ~the bf16 path (ops/flash_decode.py).
+    Applies to both byte-code representations: w8a8 (1 B/weight) and gq
+    (1 B/weight codes + ~0.1 B/weight exact scale planes)."""
+    if backend != "tpu" or llm_mode not in ("w8a8", "gq"):
         return jnp.bfloat16
     from ..formats.dtypes import is_quantized
 
     hp = reader.hparams
     i8_bytes = sum(r.n_elems for r in reader.tensors.values()
                    if is_quantized(r.dtype))
+    if llm_mode == "gq":
+        i8_bytes = int(i8_bytes * 1.1)  # sc6/mn6 u8 + d/dmin f32 planes
     dh = hp.n_embd // hp.n_head
     bf16_cache = hp.n_layer * batch * hp.n_head * n_ctx * dh * 2 * 2
     # ~2.5 GB headroom: vision params, dense embeddings, XLA transients

@@ -111,6 +111,66 @@ def _check_i8(name: str, k: int, n: int, m: int, stacked: bool) -> float:
     return dt
 
 
+def _gq_weight(rng, n: int, k: int, qtype=None):
+    """Real-codec GroupQuant at [n, k]: quantize a 64-row slab, tile up to
+    n rows (from_ggml exactness is covered by unit tests; the gate's job is
+    Mosaic at the REAL shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .formats.dtypes import DataType
+    from .formats import quants as nq
+    from .ops.group_i8 import GroupQuant, from_ggml
+
+    qtype = qtype or DataType.Q5_K
+    rows = min(n, 64)
+    raw = nq.quantize(rng.normal(0, 0.4, (rows, k)).astype(np.float32), qtype)
+    w0 = from_ggml(raw, (rows, k), qtype)
+    reps = -(-n // rows)
+
+    def tile(p, axis):
+        if p is None:
+            return None
+        t = jnp.concatenate([p] * reps, axis=axis)
+        return jax.lax.slice_in_dim(t, 0, n, axis=axis)
+
+    return GroupQuant(tile(w0.codes, 0), tile(w0.sc6, 1), tile(w0.mn6, 1),
+                      tile(w0.d, 1), tile(w0.dmin, 1), tile(w0.a, 1),
+                      tile(w0.b, 1), w0.dtype, k, w0.group_size)
+
+
+def _check_gq(name: str, k: int, n: int, m: int, stacked: bool,
+              qtype=None) -> float:
+    """Compile + run + verify the direct-MXU exact group-quant kernel
+    (ops/group_i8.py) against its f32 dequant reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.group_i8 import qmatmul_group
+
+    rng = np.random.default_rng(0)
+    w = _gq_weight(rng, n, k, qtype)
+    layer = None
+    if stacked:
+        w = jax.tree_util.tree_map(lambda a: a[None], w)
+        layer = 0
+    x = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32), jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    y = np.asarray(qmatmul_group(x, w, out_dtype=jnp.float32, layer=layer))
+    dt = time.perf_counter() - t0
+
+    flat = jax.tree_util.tree_map(lambda a: a[0], w) if stacked else w
+    wd = np.asarray(flat.dequantize(), np.float64)
+    ref = np.asarray(x.astype(jnp.float32), np.float64) @ wd.T
+    scale = max(1.0, float(np.abs(ref).max()))
+    err = float(np.abs(y - ref).max()) / scale
+    tol = 1e-3 if m <= 8 else 2e-2  # kernel path vs bf16 dense fallback
+    if err > tol:
+        raise AssertionError(f"{name}: rel err {err:.2e} vs dequant reference")
+    return dt
+
+
 def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = None) -> bool:
     import jax
 
@@ -170,6 +230,251 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
         except Exception as e:
             ok = False
             print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
+    # the exact group-quant kernel (the exact-q5_k decode default): decode
+    # M plus a k=8 verify span at the worst-case K, and the dense M=512
+    # prefill fallback
+    gq_cases = [] if qtypes is not None else [
+        ("13B w2 gq", 13824, 5120, 1, True),
+        ("13B w2 gq", 13824, 5120, 8, True),
+    ]
+    if not fast and qtypes is None:
+        gq_cases += [("13B w1 gq", 5120, 13824, 1, True),
+                     ("13B w1 gq", 5120, 13824, 512, True),
+                     ("13B attn gq", 5120, 5120, 1, False),
+                     ("13B head gq", 5120, 32000, 1, False)]
+    for nm, k, n, m, st in gq_cases:
+        tag = f"{nm} M={m} {'stacked' if st else 'flat'}"
+        try:
+            dt = _check_gq(tag, k, n, m, st)
+            if verbose:
+                print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
+        except Exception as e:
+            ok = False
+            print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
+    return ok
+
+
+FLOORS_PATH = None  # resolved lazily (repo-root ci/kernel_floors.json)
+
+
+def _floors_path():
+    import pathlib
+
+    return pathlib.Path(__file__).resolve().parent.parent / "ci" / "kernel_floors.json"
+
+
+def _chain_ms(fn, x, iters: int = 16, reps: int = 3) -> float:
+    """min-over-reps per-call ms of ``iters`` data-chained calls in one jit
+    (the only reliable microbenchmark on the tunneled backend — eager
+    per-call timing measures the ~1.3 ms dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(xc, _):
+        y = fn(xc)
+        return xc + (y.sum() * 0).astype(xc.dtype), None
+
+    f = jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=iters)[0])
+    np.asarray(f(x))  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def _perf_pair(kind: str, k: int, n: int):
+    """(kernel_ms, dense_ms) for one decode shape, SAME session back to
+    back — the relative measurement that survives shared-chip bandwidth
+    drift (PERFORMANCE.md 'variance')."""
+    import jax
+    import jax.numpy as jnp
+
+    from .formats.dtypes import DataType
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, k)).astype(np.float32), jnp.bfloat16)
+    if kind == "q5k":
+        from .benchmark import random_packed
+        from .ops.pallas_quant_matmul import qmatmul_repacked
+
+        rq = random_packed(rng, (n, k), DataType.Q5_K, mode="repack")
+        kfn = lambda xc: qmatmul_repacked(xc, rq)
+    elif kind == "gq":
+        from .ops.group_i8 import qmatmul_group
+
+        w = _gq_weight(rng, n, k)
+        kfn = lambda xc: qmatmul_group(xc, w)
+    elif kind == "i8":
+        from .ops.i8_matmul import I8SBQuant, qmatmul_i8sb
+
+        codes = jnp.asarray(rng.integers(-127, 127, (n, k), np.int8))
+        wq = I8SBQuant(codes, jnp.full((n, k // 256), 2e-4, jnp.float32), k)
+        kfn = lambda xc: qmatmul_i8sb(xc, wq)
+    else:
+        raise ValueError(kind)
+    dense = jnp.asarray(rng.normal(0, 0.01, (k, n)).astype(np.float32), jnp.bfloat16)
+    dfn = lambda xc: jnp.dot(xc, dense, preferred_element_type=jnp.float32)
+    # interleave so both arms see the same chip state
+    kms = _chain_ms(kfn, x)
+    dms = _chain_ms(dfn, x)
+    kms = min(kms, _chain_ms(kfn, x))
+    dms = min(dms, _chain_ms(dfn, x))
+    return kms, dms
+
+
+FLOOR_SHAPES = {  # decode (M=1) ratio floors: kernel vs XLA dense bf16 matvec
+    "q5k_w2": ("q5k", 13824, 5120),
+    "q5k_w13": ("q5k", 5120, 27648),
+    "gq_w2": ("gq", 13824, 5120),
+    "gq_w13": ("gq", 5120, 27648),
+    "i8_w2": ("i8", 13824, 5120),
+}
+FLOOR_MARGIN = 0.70  # chip-state noise allowance on a shared dev chip
+
+
+def run_floors(mode: str = "check", verbose: bool = True) -> bool:
+    """Same-session perf floors (VERDICT r2 next #5): each decode kernel
+    must stay >= FLOOR_MARGIN x its RECORDED speed ratio vs an XLA dense
+    bf16 matvec of the same logical shape, measured back to back.  Absolute
+    tok/s moves with shared-chip state; this ratio is the invariant a
+    layout/lowering regression breaks.  ``mode='record'`` re-baselines
+    (commit the updated ci/kernel_floors.json deliberately)."""
+    import json
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("[kernel-floors] non-TPU backend: skipped", file=sys.stderr)
+        return True
+    path = _floors_path()
+    recorded = {}
+    if path.exists():
+        recorded = json.loads(path.read_text()).get("ratios", {})
+    ratios = {}
+    ok = True
+    for name, (kind, k, n) in FLOOR_SHAPES.items():
+        try:
+            kms, dms = _perf_pair(kind, k, n)
+        except Exception as e:
+            ok = False
+            print(f"[kernel-floors] FAIL {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        ratio = dms / kms  # >1 = kernel beats dense (it reads fewer bytes)
+        ratios[name] = round(ratio, 3)
+        floor = recorded.get(name)
+        if mode == "check" and floor is not None and ratio < floor * FLOOR_MARGIN:
+            ok = False
+            print(f"[kernel-floors] FAIL {name}: ratio {ratio:.2f} < "
+                  f"{FLOOR_MARGIN} x recorded {floor:.2f} "
+                  f"(kernel {kms:.3f} ms vs dense {dms:.3f} ms)", file=sys.stderr)
+        elif verbose:
+            base = f" (recorded {floor:.2f})" if floor is not None else " (no baseline)"
+            print(f"[kernel-floors] {name}: ratio {ratio:.2f}{base} "
+                  f"kernel {kms:.3f} ms dense {dms:.3f} ms", file=sys.stderr)
+    if mode == "record" and ratios:
+        path.parent.mkdir(exist_ok=True)
+        path.write_text(json.dumps(
+            {"margin": FLOOR_MARGIN, "ratios": ratios,
+             "note": "dense_ms/kernel_ms at M=1, same-session chained; "
+                     "re-record deliberately via kernel_gate --floors record"},
+            indent=1))
+        print(f"[kernel-floors] recorded -> {path}", file=sys.stderr)
+    return ok
+
+
+def run_tp_gate(verbose: bool = True) -> bool:
+    """TP per-shard kernels at REAL 13B geometry (VERDICT r2 next #6).
+
+    One chip cannot run the collectives (the CPU-mesh dryrun stage 7 covers
+    those at the same geometry); what only the real chip can prove is that
+    the K-SHARDED per-shard layouts Mosaic-compile and run at 13B shapes:
+    tp=2/4 slices of w2 (13824-K row-parallel) and wo (5120-K), for both
+    the repack kernel (repack.with_k_shards re-layout) and the exact
+    group-quant kernel (group_i8.with_k_shards).  Each case checks
+    sum-of-shard-outputs against the full-weight dequant reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from .formats.dtypes import DataType
+
+    if jax.default_backend() != "tpu":
+        print("[kernel-gate:tp] non-TPU backend: skipped", file=sys.stderr)
+        return True
+
+    from .benchmark import random_packed
+    from .ops import group_i8 as gqm
+    from .ops.pallas_quant_matmul import qmatmul_repacked
+    from .ops.repack import dequantize_repacked, with_k_shards
+
+    ok = True
+    rng = np.random.default_rng(0)
+    for name, (k, n) in (("w2", (13824, 5120)), ("wo", (5120, 5120))):
+        x = jnp.asarray(rng.normal(0, 1, (1, k)).astype(np.float32), jnp.bfloat16)
+        xf = x.astype(jnp.float32)
+        for tp in (2, 4):
+            ks = k // tp
+            # --- repack kernel, shard-local slices of the tp re-layout
+            tag = f"13B {name} repack-tp{tp} ({k}x{n})"
+            try:
+                rq = random_packed(rng, (n, k), DataType.Q5_K, mode="repack")
+                rqs = with_k_shards(rq, tp)
+                gsl = rq.n_in // rq.group_size // tp
+
+                def shard_leaf(p, i, cols):
+                    return jax.lax.slice_in_dim(p, i * cols, (i + 1) * cols, axis=-1)
+
+                y = None
+                from .ops.repack import RepackedQuant
+
+                for i in range(tp):
+                    hi_cols = None if rqs.hi is None else rqs.hi.shape[-1] // tp
+                    loc = RepackedQuant(
+                        shard_leaf(rqs.codes, i, ks),
+                        shard_leaf(rqs.scales, i, gsl),
+                        shard_leaf(rqs.mins, i, gsl),
+                        None if rqs.hi is None else shard_leaf(rqs.hi, i, hi_cols),
+                        rqs.dtype, rqs.n_in, rqs.group_size, rqs.code_bits,
+                        rqs.hi_bits, rqs.k_shards,
+                    )
+                    yi = qmatmul_repacked(x[:, i * ks:(i + 1) * ks], loc,
+                                          out_dtype=jnp.float32)
+                    y = yi if y is None else y + yi
+                ref = np.asarray(xf @ dequantize_repacked(rq, jnp.float32).T)
+                err = float(np.abs(np.asarray(y) - ref).max()) / max(1.0, float(np.abs(ref).max()))
+                if err > 2e-2:
+                    raise AssertionError(f"rel err {err:.2e}")
+                if verbose:
+                    print(f"[kernel-gate:tp] PASS {tag}", file=sys.stderr)
+            except Exception as e:
+                ok = False
+                print(f"[kernel-gate:tp] FAIL {tag}: {e}", file=sys.stderr)
+            # --- group-quant kernel, shard-local with global split scale
+            tag = f"13B {name} gq-tp{tp} ({k}x{n})"
+            try:
+                w = _gq_weight(rng, n, k)
+                ws = gqm.with_k_shards(w, tp)
+                ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+                sx = jnp.where(ax == 0, 1.0, ax / 127.0)
+                y = None
+                for i in range(tp):
+                    yi = gqm.qmatmul_group(
+                        x[:, i * ks:(i + 1) * ks], gqm.shard_local(ws, i),
+                        out_dtype=jnp.float32, x_scale=sx)
+                    y = yi if y is None else y + yi
+                ref = np.asarray(xf, np.float64) @ np.asarray(
+                    w.dequantize(jnp.float32), np.float64).T
+                err = float(np.abs(np.asarray(y, np.float64) - ref).max()) / max(
+                    1.0, float(np.abs(ref).max()))
+                if err > 1e-3:
+                    raise AssertionError(f"rel err {err:.2e}")
+                if verbose:
+                    print(f"[kernel-gate:tp] PASS {tag}", file=sys.stderr)
+            except Exception as e:
+                ok = False
+                print(f"[kernel-gate:tp] FAIL {tag}: {e}", file=sys.stderr)
     return ok
 
 
@@ -178,6 +483,15 @@ def main():
     ap.add_argument("--fast", action="store_true", help="worst-case shapes only")
     ap.add_argument("--qtypes", default=None,
                     help="comma list (e.g. q4_k,q5_k) to split long sweeps")
+    ap.add_argument("--floors", choices=["check", "record"], default=None,
+                    help="run the relative perf floors instead of/after the "
+                    "compile gate")
+    args = ap.parse_args()
+    ap.add_argument("--tp", action="store_true",
+                    help="also gate the K-sharded TP per-shard kernel shapes "
+                    "at 13B geometry (tp=2/4)")
+    ap.add_argument("--floors-only", action="store_true",
+                    help="skip the compile gate (floors/tp only)")
     args = ap.parse_args()
     qtypes = None
     if args.qtypes:
@@ -185,7 +499,14 @@ def main():
 
         by_name = {t.name.lower(): t for t in DataType}
         qtypes = [by_name[q.strip()] for q in args.qtypes.split(",")]
-    sys.exit(0 if run_gate(fast=args.fast, qtypes=qtypes) else 1)
+    ok = True
+    if not args.floors_only:
+        ok = run_gate(fast=args.fast, qtypes=qtypes)
+    if args.tp:
+        ok = run_tp_gate() and ok
+    if args.floors:
+        ok = run_floors(args.floors) and ok
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

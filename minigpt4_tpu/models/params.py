@@ -86,6 +86,7 @@ def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
     — an XLA slice there would materialize a full per-layer weight copy
     before every kernel call.
     """
+    from ..ops.group_i8 import GroupQuant
     from ..ops.i8_matmul import I8SBQuant
     from ..ops.repack import RepackedQuant
 
@@ -111,6 +112,14 @@ def linear(x: jnp.ndarray, p: dict, layer=None) -> jnp.ndarray:
         if w.codes.ndim == 2 and layer is not None:
             layer = None
         y = qmatmul_i8sb(x, w, layer=layer)
+    elif isinstance(w, GroupQuant):
+        from ..ops.group_i8 import qmatmul_group
+
+        if w.codes.ndim == 3 and layer is None:
+            raise ValueError("stacked GroupQuant requires a layer index")
+        if w.codes.ndim == 2 and layer is not None:
+            layer = None
+        y = qmatmul_group(x, w, layer=layer)
     elif isinstance(w, QTensor):
         if layer is not None and w.packed.ndim == 3:
             w = QTensor(w.packed[layer], w.dtype, w.n_in)
@@ -144,13 +153,19 @@ def load_quant_weight(raw: np.ndarray, shape: tuple[int, int], dtype: DataType, 
     """
     from ..ops import repack as rp
 
-    if mode not in ("auto", "repack", "qtensor", "w8a8"):
+    if mode not in ("auto", "repack", "qtensor", "w8a8", "gq"):
         raise ValueError(
             f"unknown quant_mode {mode!r}: expected auto | repack | qtensor "
-            "| w8a8 (a typo here would silently load the slowest path)"
+            "| w8a8 | gq (a typo here would silently load the slowest path)"
         )
     if (col_scale is not None or row_scale is not None) and mode != "w8a8":
         raise ValueError("smooth scales are only valid with quant_mode='w8a8'")
+    if mode == "gq":
+        from ..ops import group_i8 as gq
+
+        if gq.supported(dtype, shape[1]):
+            return gq.from_ggml(np.asarray(raw), shape, dtype)
+        mode = "auto"  # e.g. f16 rows or chunk-misaligned K: packed fallback
     if mode == "w8a8":
         from ..ops import i8_matmul as i8
 

@@ -1,0 +1,552 @@
+"""Exact group-quant matmul with i8 codes fed DIRECTLY to the MXU ("gq").
+
+The round-2 fused kernel (ops/pallas_quant_matmul.py) expands packed codes
+to bf16 on the VPU before the MXU can contract them; that per-element VPU
+staging is the measured ~305 Ge/s plateau that capped exact-q5_k decode at
+~22 tok/s (PERFORMANCE.md "why ~305 Ge/s").  The w8a8 path
+(ops/i8_matmul.py) proved the escape — i8 operands straight to the MXU,
+HBM-bound — but re-quantizes weights and activations (approximate).  This
+module keeps EXACT ggml dequant semantics at w8a8-class speed:
+
+  * **codes**: the raw ggml group code q stored as i8 [N, K] — every
+    REPACKABLE format's q fits i8 (q5_k 0..31, q6_k 0..63, q8_0 signed).
+    The logical weight is ``w[n,k] = A[n,g]*q[n,k] + B[n,g]`` with
+    per-group scale A and offset B = -min, exactly ggml's decode
+    (formats at ops/repack._decode_codes_scales; ggml reference
+    /root/reference/minigpt4.cpp:2932 vendored codecs).
+  * **planes**: for q4_k/q5_k the integer sub-scales are stored raw
+    (sc6/mn6 u8 [G, N] + superblock d/dmin f32 [S, N]) so A and B are
+    reconstructed BIT-EXACTLY in-kernel (f16 x 6-bit-int products are
+    exact in f32).  Other formats store A/B as bf16 planes [G, N] — the
+    same 2^-9 scale rounding the round-2 repack default already accepted.
+  * **activations**: a DUAL i8 split ``x ~= s1*x1 + s2*x2`` (s2 = s1/128)
+    — representation error <= absmax/2^15, i.e. strictly finer than the
+    bf16 rounding of x that the round-2 kernel applied.  Outliers get
+    15-bit precision, which is what per-token single-i8 absmax (the
+    LLM.int8 failure mode that kept w8a8 opt-in) cannot give.
+  * **the group structure rides the MXU's idle M rows**: the activation
+    block carries 16 rows per token (8 groups-per-chunk x 2 splits), each
+    masked to one group, so ONE [16M, 8*gs] x [8*gs, TN] i8 dot yields
+    per-group i32 partials; scales apply to [8, TN] partials (1/gs of the
+    per-element cost).  No per-element VPU op ever touches the weight
+    stream — the codes go HBM -> VMEM -> MXU untouched.
+
+Measured (tools/qmm_group_i8.py, 13B decode shapes, same-session): within
+3% of the w8a8 kernel at every shape, 5-10% faster than the bf16-staging
+q5_k kernel even in an HBM-slow chip state; in w8a8-favorable states the
+gap to the old kernel is the full 305-vs-544 Ge/s ratio.
+
+The kernel path serves M <= 8 (decode steps and k<=8 speculative verify
+spans); larger M (prefill) dequantizes to bf16 in XLA and runs a dense
+MXU matmul — at prefill M the dequant cost amortizes over the batch and
+the matmul is compute-bound anyway.
+
+Reference behavior replaced: ggml_mul_mat over quantized tensors
+(/root/reference/minigpt4.cpp:2349-2350; kernels vendored via
+CMakeLists.txt:318) — exact file semantics, TPU-native execution.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..formats.dtypes import DataType
+
+J = 8  # groups per contraction chunk; chunk = J * group_size
+
+# formats with raw-integer sub-scale planes (bit-exact A/B reconstruction)
+EXACT_PLANE = frozenset({DataType.Q4_K, DataType.Q5_K})
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GroupQuant:
+    """Group-quantized 2-D weight for the direct-MXU exact kernel.
+
+    codes i8 [(L,) N, K].  Planes are pre-transposed to [(L,) G, N] /
+    [(L,) S, N] so in-kernel slices align with the group-partial rows:
+
+      * exact mode (q4_k/q5_k): sc6/mn6 u8 [G, N], d/dmin f32 [S, N];
+        ``A = d[s]*sc6[g]``, ``B = -dmin[s]*mn6[g]`` (bit-exact).
+      * generic mode: a/b bf16-or-f32 [G, N]; ``A = a``, ``B = b``.
+    """
+
+    codes: jnp.ndarray
+    sc6: jnp.ndarray | None
+    mn6: jnp.ndarray | None
+    d: jnp.ndarray | None
+    dmin: jnp.ndarray | None
+    a: jnp.ndarray | None
+    b: jnp.ndarray | None
+    dtype: DataType  # static: source format
+    n_in: int  # static logical K
+    group_size: int  # static
+    k_shards: int = 1  # static: >1 only as with_k_shards output
+
+    def tree_flatten(self):
+        return (
+            (self.codes, self.sc6, self.mn6, self.d, self.dmin, self.a, self.b),
+            (self.dtype, self.n_in, self.group_size, self.k_shards),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def exact(self) -> bool:
+        return self.sc6 is not None
+
+    @property
+    def n_out(self) -> int:
+        return self.codes.shape[-2]
+
+    def planes_ab(self, out_dtype=jnp.float32):
+        """Expanded (A, B) per-group planes [..., G, N] (XLA; jit-safe)."""
+        if self.exact:
+            a = jnp.repeat(self.d, J, axis=-2) * self.sc6.astype(jnp.float32)
+            b = -jnp.repeat(self.dmin, J, axis=-2) * self.mn6.astype(jnp.float32)
+        else:
+            a = self.a.astype(jnp.float32)
+            b = self.b.astype(jnp.float32)
+        return a.astype(out_dtype), b.astype(out_dtype)
+
+    def dequantize(self, out_dtype=jnp.float32) -> jnp.ndarray:
+        """[..., N, K] floats — the fallback/test reference and the M>8
+        prefill path's expansion."""
+        a, b = self.planes_ab()
+        gs = self.group_size
+        # planes are [..., G, N]: move N forward, expand G -> K
+        a = jnp.repeat(jnp.swapaxes(a, -1, -2), gs, axis=-1)
+        b = jnp.repeat(jnp.swapaxes(b, -1, -2), gs, axis=-1)
+        return (self.codes.astype(jnp.float32) * a + b).astype(out_dtype)
+
+
+def from_ggml(raw: np.ndarray, shape: tuple[int, int], dtype: DataType) -> GroupQuant:
+    """ggml packed bytes -> GroupQuant (host-side, one-time at load)."""
+    from .repack import _decode_codes_scales, _f16
+
+    dtype = DataType(dtype)
+    n, k = shape
+    raw = np.ascontiguousarray(raw, np.uint8)
+    if dtype in EXACT_PLANE:
+        from ..formats import quants as nq
+
+        bbytes = 144 if dtype == DataType.Q4_K else 176
+        blk = raw.reshape(n, -1, bbytes)
+        nb = blk.shape[1]
+        d = _f16(blk[:, :, 0:2]).reshape(n, nb).astype(np.float32)
+        dmin = _f16(blk[:, :, 2:4]).reshape(n, nb).astype(np.float32)
+        sc8, mn8 = nq._k4_unpack_scales(
+            np.ascontiguousarray(blk[:, :, 4:16]).reshape(-1, 12)
+        )
+        q, _, _, gs = _decode_codes_scales(raw, shape, dtype)
+        return GroupQuant(
+            codes=jnp.asarray(q.astype(np.int8)),
+            sc6=jnp.asarray(sc8.reshape(n, nb * J).T.copy()),
+            mn6=jnp.asarray(mn8.reshape(n, nb * J).T.copy()),
+            d=jnp.asarray(d.T.copy()),
+            dmin=jnp.asarray(dmin.T.copy()),
+            a=None, b=None, dtype=dtype, n_in=k, group_size=gs,
+        )
+    q, scales, mins, gs = _decode_codes_scales(raw, shape, dtype)
+    # q6_k/q3_k codes carry a zero offset folded into mins via the identity
+    # w = sc*(q - z) = sc*q - sc*z; _decode_codes_scales already returns
+    # mins = sc*z, so B = -mins and signed i8 storage of q is exact
+    return GroupQuant(
+        codes=jnp.asarray(q.astype(np.int8)),
+        sc6=None, mn6=None, d=None, dmin=None,
+        a=jnp.asarray(scales.astype(np.float32).T.copy(), jnp.bfloat16),
+        b=jnp.asarray((-mins).astype(np.float32).T.copy(), jnp.bfloat16),
+        dtype=dtype, n_in=k, group_size=gs,
+    )
+
+
+def supported(dtype: DataType, k: int) -> bool:
+    from .repack import REPACKABLE
+
+    dtype = DataType(dtype)
+    if dtype not in REPACKABLE:
+        return False
+    gs = 16 if dtype in (DataType.Q2_K, DataType.Q3_K, DataType.Q6_K) else 32
+    return k % (J * gs) == 0
+
+
+def split_activations(x, s1=None):
+    """[M, K] f32 -> (x1 i8, x2 i8, s1 [M,1], s2 [M,1]); x ~= s1*x1 + s2*x2.
+
+    ``s1``: externally computed first-level scales (the K-sharded TP path
+    passes the GLOBAL row absmax so every shard splits on the same grid)."""
+    if s1 is None:
+        ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        s1 = jnp.where(ax == 0, 1.0, ax / 127.0)
+    x1 = jnp.clip(jnp.round(x / s1), -127, 127).astype(jnp.int8)
+    r = x - s1 * x1.astype(jnp.float32)
+    s2 = s1 / 128.0
+    x2 = jnp.clip(jnp.round(r / s2), -127, 127).astype(jnp.int8)
+    return x1, x2, s1, s2
+
+
+def build_xg(x1, x2, gs: int):
+    """Group-masked activation rows [16*M, K] i8: row 16m+j carries x1[m]
+    masked to chunk-local group j (j < 8), row 16m+8+j carries x2[m]."""
+    m, k = x1.shape
+    gj = ((jnp.arange(k) // gs) % J)[None, :]           # [1, K]
+    rows = jnp.arange(2 * J)[:, None]                    # [16, 1]
+    sel = rows % J == gj                                 # [16, K]
+    lo = jnp.where(sel[:J], x1[:, None, :], 0)
+    hi = jnp.where(sel[J:], x2[:, None, :], 0)
+    return jnp.concatenate([lo, hi], axis=1).reshape(m * 2 * J, k).astype(jnp.int8)
+
+
+def _combine(c, sct, bt, sgt_blk, s12_ref, m, o_acc):
+    """Shared per-chunk combine: c [16M, TN] i32 partials, sct/bt [8, TN]
+    f32 scale/offset rows, sgt_blk [8, M] true-x group sums."""
+    for mm in range(m):
+        c1 = c[mm * 16:mm * 16 + J].astype(jnp.float32)
+        c2 = c[mm * 16 + J:mm * 16 + 2 * J].astype(jnp.float32)
+        t = c1 * s12_ref[mm, 0] + c2 * s12_ref[mm, 1]
+        o_acc[mm] += jnp.sum(t * sct + sgt_blk[:, mm:mm + 1] * bt,
+                             axis=0, keepdims=True)
+
+
+def _kernel_exact(xg_ref, c_ref, sc6_ref, mn6_ref, d_ref, dm_ref, sgt_ref,
+                  s12_ref, o_ref, *, k, m, gs):
+    chunk = J * gs
+    tn = c_ref.shape[-2]
+
+    def rd(ref):  # drop the stacked layer dim if present
+        return ref[0] if len(ref.shape) == 3 else ref[...]
+
+    codes = rd(c_ref)
+    acc = [jnp.zeros((1, tn), jnp.float32) for _ in range(m)]
+    for s in range(k // chunk):
+        c = jax.lax.dot_general(
+            xg_ref[:, s * chunk:(s + 1) * chunk],
+            codes[:, s * chunk:(s + 1) * chunk],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        )  # [16M, TN] i32, exact
+        d = rd(d_ref)[s:s + 1, :]        # [1, TN] f32
+        dm = rd(dm_ref)[s:s + 1, :]
+        # Mosaic cannot lower u8 -> f32 directly; widen through i32 (exact)
+        sc6 = rd(sc6_ref)[s * J:(s + 1) * J, :].astype(jnp.int32)
+        mn6 = rd(mn6_ref)[s * J:(s + 1) * J, :].astype(jnp.int32)
+        sct = sc6.astype(jnp.float32) * d
+        bt = mn6.astype(jnp.float32) * (-dm)
+        _combine(c, sct, bt, sgt_ref[s * J:(s + 1) * J, :], s12_ref, m, acc)
+    for mm in range(m):
+        o_ref[mm, :] = acc[mm][0]
+
+
+def _kernel_generic(xg_ref, c_ref, a_ref, b_ref, sgt_ref, s12_ref, o_ref, *,
+                    k, m, gs):
+    chunk = J * gs
+    tn = c_ref.shape[-2]
+
+    def rd(ref):
+        return ref[0] if len(ref.shape) == 3 else ref[...]
+
+    codes = rd(c_ref)
+    acc = [jnp.zeros((1, tn), jnp.float32) for _ in range(m)]
+    for s in range(k // chunk):
+        c = jax.lax.dot_general(
+            xg_ref[:, s * chunk:(s + 1) * chunk],
+            codes[:, s * chunk:(s + 1) * chunk],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        sct = rd(a_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
+        bt = rd(b_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
+        _combine(c, sct, bt, sgt_ref[s * J:(s + 1) * J, :], s12_ref, m, acc)
+    for mm in range(m):
+        o_ref[mm, :] = acc[mm][0]
+
+
+import os as _os
+
+TN = int(_os.environ.get("MINIGPT4_TPU_GQ_TN", "256"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "interpret", "tn", "static_layer")
+)
+def _run(xg, sgt, s12, planes, *, meta, interpret=False, tn=None,
+         static_layer=None):
+    k, n_out, m, gs, exact = meta
+    tn = tn or TN
+    g = k // gs
+    sbk = k // (J * gs)  # superblock rows in d/dmin planes
+    n_pad = -(-n_out // tn) * tn
+    codes = planes[0]
+    stacked = codes.ndim == 3
+    li = static_layer if stacked else None
+    grid = (n_pad // tn,)
+
+    def nk_spec():  # codes [(L,) N, K]
+        if stacked:
+            return pl.BlockSpec((1, tn, k), lambda ni: (li, ni, 0))
+        return pl.BlockSpec((tn, k), lambda ni: (ni, 0))
+
+    def gn_spec(rows):  # planes [(L,) rows, N]
+        if stacked:
+            return pl.BlockSpec((1, rows, tn), lambda ni: (li, 0, ni))
+        return pl.BlockSpec((rows, tn), lambda ni: (0, ni))
+
+    plane_specs = ([gn_spec(g), gn_spec(g), gn_spec(sbk), gn_spec(sbk)]
+                   if exact else [gn_spec(g), gn_spec(g)])
+    kern = _kernel_exact if exact else _kernel_generic
+    out = pl.pallas_call(
+        functools.partial(kern, k=k, m=m, gs=gs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((16 * m, k), lambda ni: (0, 0)),
+            nk_spec(),
+            *plane_specs,
+            pl.BlockSpec((g, m), lambda ni: (0, 0)),
+            pl.BlockSpec((m, 2), lambda ni: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((m, tn), lambda ni: (0, ni)),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 16 * m * k * n_pad,
+            bytes_accessed=n_pad * k + 16 * m * k + 3 * n_pad * g,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xg, *planes, sgt, s12)
+    return out[:, :n_out]
+
+
+# M <= GQ_MAX_M rides the group-i8 kernel (16M rows <= 128 keeps the dot a
+# single MXU pass); larger M dequantizes and runs dense (prefill-bound work)
+GQ_MAX_M = 8
+
+
+def _expand_ab(plane_blk, e8):
+    """[8, TN] per-chunk plane rows -> [TN, chunk] per-element values via a
+    tiny MXU contraction against the constant 0/1 group-expansion matrix
+    (dodges Mosaic transposes, which the transposed plane layout would
+    otherwise need here)."""
+    return jax.lax.dot_general(
+        plane_blk, e8, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TN, chunk]
+
+
+def _kernel_prefill(x_ref, c_ref, *refs, k, gs, exact):
+    """M > 8 path: per-tile dequantize (VPU, amortized over all M) + dense
+    bf16 MXU dot.  x_ref [TM, K] bf16; codes [(1,)TN, K]; planes as in the
+    decode kernels."""
+    chunk = J * gs
+    if exact:
+        sc6_ref, mn6_ref, d_ref, dm_ref, o_ref = refs
+    else:
+        a_ref, b_ref, o_ref = refs
+
+    def rd(ref):
+        return ref[0] if len(ref.shape) == 3 else ref[...]
+
+    codes = rd(c_ref)
+    tn = codes.shape[0]
+    tm = x_ref.shape[0]
+    # constant group-expansion matrix E8[j, l] = (l // gs == j)
+    e8 = (jax.lax.broadcasted_iota(jnp.int32, (J, chunk), 1) // gs
+          == jax.lax.broadcasted_iota(jnp.int32, (J, chunk), 0)
+          ).astype(jnp.float32)
+    acc = jnp.zeros((tm, tn), jnp.float32)
+    for s in range(k // chunk):
+        cs = slice(s * chunk, (s + 1) * chunk)
+        if exact:
+            d = rd(d_ref)[s:s + 1, :]
+            dm = rd(dm_ref)[s:s + 1, :]
+            sct = rd(sc6_ref)[s * J:(s + 1) * J, :].astype(jnp.int32
+                                                           ).astype(jnp.float32) * d
+            bt = rd(mn6_ref)[s * J:(s + 1) * J, :].astype(jnp.int32
+                                                          ).astype(jnp.float32) * (-dm)
+        else:
+            sct = rd(a_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
+            bt = rd(b_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
+        a_e = _expand_ab(sct, e8)  # [TN, chunk]
+        b_e = _expand_ab(bt, e8)
+        dense = (codes[:, cs].astype(jnp.float32) * a_e + b_e
+                 ).astype(jnp.bfloat16)
+        acc += jax.lax.dot_general(
+            x_ref[:, cs], dense, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "interpret", "tn", "static_layer")
+)
+def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
+                 static_layer=None):
+    """Pallas prefill matmul for M > 8.
+
+    Why a kernel and not XLA dequant+dot: a whole-tensor dequantize inside
+    an unrolled 40-layer prefill lets XLA keep every layer's dense
+    expansion alive at once (measured 26 GB of HBM temps), and both the
+    per-layer dynamic_index_in_dim and a lax.scan-over-row-blocks rewrite
+    forced a LAYOUT-CONVERSION COPY of the full 12.9 GB stacked codes
+    (XLA assigns the dot's preferred parameter layout).  The kernel reads
+    the codes in their storage layout, once."""
+    k, n_out, m, gs, exact = meta
+    tn = tn or TN
+    g = k // gs
+    sbk = k // (J * gs)
+    tm = min(128, -(-m // 8) * 8)
+    # VMEM budget: Mosaic double-buffers the x and codes blocks; shrink TM
+    # then TN until 2*(tm*k*2 + tn*k) + chunk temps fit the 16 MB scoped
+    # limit with headroom (measured overflow: TM=128/TN=256 at K=13824)
+    def est(tm_, tn_):
+        return 2 * (tm_ * k * 2 + tn_ * k) + tm_ * tn_ * 8 + 3 * tn_ * k // gs
+    while est(tm, tn) > 11_500_000 and tm > 32:
+        tm //= 2
+    while est(tm, tn) > 11_500_000 and tn > 128:
+        tn //= 2
+    m_pad = -(-m // tm) * tm
+    n_pad = -(-n_out // tn) * tn
+    codes = planes[0]
+    stacked = codes.ndim == 3
+    li = static_layer if stacked else None
+    xp = jnp.zeros((m_pad, k), jnp.bfloat16).at[:m].set(x.astype(jnp.bfloat16))
+    # grid (n, m): m innermost so the codes block streams once per N tile
+    grid = (n_pad // tn, m_pad // tm)
+
+    def nk_spec():
+        if stacked:
+            return pl.BlockSpec((1, tn, k), lambda ni, mi: (li, ni, 0))
+        return pl.BlockSpec((tn, k), lambda ni, mi: (ni, 0))
+
+    def gn_spec(rows):
+        if stacked:
+            return pl.BlockSpec((1, rows, tn), lambda ni, mi: (li, 0, ni))
+        return pl.BlockSpec((rows, tn), lambda ni, mi: (0, ni))
+
+    plane_specs = ([gn_spec(g), gn_spec(g), gn_spec(sbk), gn_spec(sbk)]
+                   if exact else [gn_spec(g), gn_spec(g)])
+    out = pl.pallas_call(
+        functools.partial(_kernel_prefill, k=k, gs=gs, exact=exact),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0)),
+            nk_spec(),
+            *plane_specs,
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n_pad,
+            bytes_accessed=n_pad * k + m_pad * k * 2 + 3 * n_pad * g,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, *planes)
+    return out[:m, :n_out]
+
+
+def qmatmul_group(
+    x: jnp.ndarray, w: GroupQuant, out_dtype=None, layer=None, x_scale=None,
+    tn: int | None = None,
+) -> jnp.ndarray:
+    """x [..., K] @ w.T -> [..., N] with exact group-quant semantics.
+
+    ``layer`` must be a static int for stacked [L, ...] planes (the decode
+    layer loop is unrolled, matching qmatmul_repacked/qmatmul_i8sb).
+    ``x_scale`` [..., 1] overrides the split's first-level scales (K-sharded
+    TP passes the global row absmax)."""
+    k = w.codes.shape[-1]
+    gs = w.group_size
+    stacked = w.codes.ndim == 3
+    if stacked and not isinstance(layer, int):
+        raise ValueError("stacked GroupQuant requires a static layer index")
+    if w.k_shards != 1 and k == w.n_in:
+        raise ValueError(
+            "k-sharded GroupQuant must be consumed shard-locally "
+            "(row-parallel shard_map path); global use would mis-map scales"
+        )
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    if m > GQ_MAX_M:
+        planes = ((w.codes, w.sc6, w.mn6, w.d, w.dmin) if w.exact
+                  else (w.codes, w.a, w.b))
+        y = _run_prefill(
+            x2, planes, meta=(k, w.n_out, m, gs, w.exact),
+            interpret=jax.default_backend() != "tpu", tn=tn,
+            static_layer=layer if stacked else None,
+        )
+        return y.reshape(*lead, w.n_out).astype(out_dtype or x.dtype)
+
+    xf = x2.astype(jnp.float32)
+    x1, x2i, s1, s2 = split_activations(
+        xf, None if x_scale is None else x_scale.reshape(-1, 1)
+    )
+    xg = build_xg(x1, x2i, gs)
+    sgt = xf.reshape(m, k // gs, gs).sum(axis=2).T  # [G, M] true-x group sums
+    s12 = jnp.concatenate([s1, s2], axis=1)
+    planes = ((w.codes, w.sc6, w.mn6, w.d, w.dmin) if w.exact
+              else (w.codes, w.a, w.b))
+    interpret = jax.default_backend() != "tpu"
+    y = _run(
+        xg, sgt, s12, planes,
+        meta=(k, w.n_out, m, gs, w.exact), interpret=interpret, tn=tn,
+        static_layer=layer if stacked else None,
+    )
+    return y.reshape(*lead, w.n_out).astype(out_dtype or x.dtype)
+
+
+def with_k_shards(w: GroupQuant, k_shards: int) -> GroupQuant:
+    """Re-layout for row-parallel TP: K splits into ``k_shards`` contiguous
+    slices, each a self-consistent GroupQuant (codes [N, K/S], planes
+    [G/S, N] / [SB/S, N]) stacked on a NEW leading axis the shard_map path
+    consumes shard-locally (parallel/spmd.py)."""
+    if w.codes.ndim != 2:
+        raise ValueError("with_k_shards expects flat [N, K] planes")
+    k = w.codes.shape[-1]
+    chunk = J * w.group_size
+    if k % (k_shards * chunk) != 0:
+        raise ValueError(f"K={k} not splittable into {k_shards} chunk-aligned shards")
+    ks = k // k_shards
+
+    def split_nk(p):  # [N, K] -> [S, N, K/S]
+        return jnp.stack([p[:, i * ks:(i + 1) * ks] for i in range(k_shards)])
+
+    def split_gn(p, rows):  # [rows, N] -> [S, rows/S, N]
+        r = rows // k_shards
+        return jnp.stack([p[i * r:(i + 1) * r] for i in range(k_shards)])
+
+    g = k // w.group_size
+    sbk = k // chunk
+    return GroupQuant(
+        codes=split_nk(w.codes),
+        sc6=None if w.sc6 is None else split_gn(w.sc6, g),
+        mn6=None if w.mn6 is None else split_gn(w.mn6, g),
+        d=None if w.d is None else split_gn(w.d, sbk),
+        dmin=None if w.dmin is None else split_gn(w.dmin, sbk),
+        a=None if w.a is None else split_gn(w.a, g),
+        b=None if w.b is None else split_gn(w.b, g),
+        dtype=w.dtype, n_in=w.n_in, group_size=w.group_size,
+        k_shards=k_shards,
+    )
+
+
+def shard_local(w: GroupQuant, idx: int | None = None) -> GroupQuant:
+    """Inside shard_map each leaf arrives as [1, ...] (sharded on the lead
+    axis); strip it back to a flat per-shard GroupQuant."""
+
+    def pick(p):
+        if p is None:
+            return None
+        return p[0] if idx is None else p[idx]
+
+    return GroupQuant(
+        pick(w.codes), pick(w.sc6), pick(w.mn6), pick(w.d), pick(w.dmin),
+        pick(w.a), pick(w.b), w.dtype, w.n_in, w.group_size, 1,
+    )

@@ -1,0 +1,152 @@
+"""Tests for the direct-MXU exact group-quant path (ops/group_i8.py).
+
+The claim under test is EXACTNESS: GroupQuant must reproduce the ggml
+dequant values bit-for-bit (weights), and its matmul must be at least as
+close to the f64 reference as the bf16-staging kernel's rounding budget
+(activations carry the dual-i8 split's <= 2^-15 representation error).
+Reference semantics: the vendored ggml codecs the reference multiplies
+through (/root/reference/minigpt4.cpp:2349-2350, 2932).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from minigpt4_tpu.formats.dtypes import DataType
+from minigpt4_tpu.formats import quants as nq
+from minigpt4_tpu.ops import group_i8 as gq
+
+
+def _make(dtype: DataType, n: int, k: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(0, 0.6, (n, k)).astype(np.float32)
+    raw = nq.quantize(vals, dtype)
+    return raw, vals
+
+
+FORMATS = [DataType.Q5_K, DataType.Q4_K, DataType.Q8_0, DataType.Q6_K,
+           DataType.Q4_0, DataType.Q5_0]
+
+
+@pytest.mark.parametrize("dtype", FORMATS)
+def test_from_ggml_dequant_bitexact(dtype):
+    n, k = 8, 512
+    raw, _ = _make(dtype, n, k)
+    w = gq.from_ggml(raw, (n, k), dtype)
+    got = np.asarray(w.dequantize(jnp.float32), np.float64)
+    ref = np.asarray(nq.dequantize_rows(raw, dtype, (n, k)), np.float64)
+    if dtype in gq.EXACT_PLANE:
+        # u8 sub-scales + f32 d/dmin reconstruct A/B exactly
+        assert np.array_equal(got, ref), float(np.abs(got - ref).max())
+    else:
+        # generic mode stores A/B as bf16 planes (<= 2^-9 scale rounding,
+        # the same budget the round-2 repack default accepted)
+        denom = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / denom < 2e-2
+
+
+@pytest.mark.parametrize("dtype", [DataType.Q5_K, DataType.Q4_K, DataType.Q8_0,
+                                   DataType.Q6_K])
+@pytest.mark.parametrize("m", [1, 3, 8])
+def test_qmatmul_matches_f64_reference(dtype, m):
+    n, k = 384, 512
+    raw, _ = _make(dtype, n, k, seed=int(dtype) * 10 + m)
+    w = gq.from_ggml(raw, (n, k), dtype)
+    x = np.random.default_rng(m).normal(0, 1, (m, k)).astype(np.float32)
+    y = np.asarray(gq.qmatmul_group(jnp.asarray(x), w, out_dtype=jnp.float32),
+                   np.float64)
+    wd = np.asarray(nq.dequantize_rows(raw, dtype, (n, k)), np.float64)
+    ref = x.astype(np.float64) @ wd.T
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+    # dual-i8 split: <= ~2^-13 end-to-end (finer than the bf16 kernel's x
+    # rounding); generic plane formats add the bf16 A/B rounding
+    assert rel < (3e-4 if dtype in gq.EXACT_PLANE else 2e-2), rel
+
+
+def test_large_m_fallback_matches_kernel_path():
+    n, k = 256, 512
+    raw, _ = _make(DataType.Q5_K, n, k)
+    w = gq.from_ggml(raw, (n, k), DataType.Q5_K)
+    x = np.random.default_rng(7).normal(0, 1, (32, k)).astype(np.float32)
+    y_dense = np.asarray(gq.qmatmul_group(jnp.asarray(x), w, out_dtype=jnp.float32))
+    # row-by-row through the kernel path (M=8 blocks)
+    y_kern = np.concatenate([
+        np.asarray(gq.qmatmul_group(jnp.asarray(x[i:i + 8]), w,
+                                    out_dtype=jnp.float32))
+        for i in range(0, 32, 8)
+    ])
+    denom = np.abs(y_kern).max() + 1e-9
+    assert np.abs(y_dense - y_kern).max() / denom < 5e-2  # bf16 dense budget
+
+
+def test_stacked_layer_indexing():
+    n, k = 128, 512
+    raws = [_make(DataType.Q5_K, n, k, seed=s)[0] for s in (1, 2)]
+    ws = [gq.from_ggml(r, (n, k), DataType.Q5_K) for r in raws]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ws)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, k)), jnp.float32)
+    for i, wi in enumerate(ws):
+        a = np.asarray(gq.qmatmul_group(x, stacked, layer=i, out_dtype=jnp.float32))
+        b = np.asarray(gq.qmatmul_group(x, wi, out_dtype=jnp.float32))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_with_k_shards_row_parallel_sum():
+    n, k, shards = 128, 1024, 2
+    raw, _ = _make(DataType.Q5_K, n, k)
+    w = gq.from_ggml(raw, (n, k), DataType.Q5_K)
+    ws = gq.with_k_shards(w, shards)
+    x = np.random.default_rng(3).normal(0, 1, (1, k)).astype(np.float32)
+    full = np.asarray(gq.qmatmul_group(jnp.asarray(x), w, out_dtype=jnp.float32))
+    # shard-local matmuls with the GLOBAL first-level split scale, summed
+    ax = np.abs(x).max(axis=-1, keepdims=True)
+    sx = jnp.asarray(np.where(ax == 0, 1.0, ax / 127.0), jnp.float32)
+    ks = k // shards
+    parts = [
+        np.asarray(gq.qmatmul_group(
+            jnp.asarray(x[:, i * ks:(i + 1) * ks]), gq.shard_local(ws, i),
+            out_dtype=jnp.float32, x_scale=sx,
+        ))
+        for i in range(shards)
+    ]
+    got = parts[0] + parts[1]
+    denom = np.abs(full).max() + 1e-9
+    # the shard split re-rounds x2 per shard (second-level residual differs
+    # when computed against per-shard x1 slices); budget stays at the dual
+    # -i8 representation error scale
+    assert np.abs(got - full).max() / denom < 5e-4
+
+
+def test_load_quant_weight_gq_mode_and_fallback():
+    from minigpt4_tpu.models.params import load_quant_weight
+
+    n, k = 8, 512
+    raw, _ = _make(DataType.Q5_K, n, k)
+    w = load_quant_weight(raw, (n, k), DataType.Q5_K, mode="gq")
+    assert isinstance(w, gq.GroupQuant) and w.exact
+    # chunk-misaligned K (odd geometry) falls back to a packed path
+    raw2, _ = _make(DataType.Q4_0, 4, 32)
+    w2 = load_quant_weight(raw2, (4, 32), DataType.Q4_0, mode="gq")
+    assert not isinstance(w2, gq.GroupQuant)
+
+
+def test_linear_dispatch_group_quant():
+    from minigpt4_tpu.models.params import linear
+
+    n, k = 128, 512
+    raw, _ = _make(DataType.Q5_K, n, k)
+    w = gq.from_ggml(raw, (n, k), DataType.Q5_K)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 1, k)), jnp.bfloat16)
+    y = linear(x, {"w": w})
+    assert y.shape == (2, 1, n) and y.dtype == jnp.bfloat16
+
+
+def test_split_activations_precision():
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (4, 256)), jnp.float32)
+    x1, x2, s1, s2 = gq.split_activations(x)
+    rec = s1 * x1.astype(jnp.float32) + s2 * x2.astype(jnp.float32)
+    err = np.abs(np.asarray(rec - x))
+    bound = np.asarray(s2 / 2 + 1e-12)
+    assert (err <= bound + 1e-9).all()

@@ -23,7 +23,32 @@ for a in "$@"; do
 done
 
 echo "== [1/5] CPU test suite =="
-python -m pytest tests/ -q -x
+NP="$(nproc 2>/dev/null || echo 1)"
+if [ "$NP" -ge 2 ]; then
+  # shard test FILES across cores (no xdist dependency): round-robin by
+  # descending size so the slow serving suites spread out.  Everything
+  # still runs — the `slow` marker is for local iteration, not CI.
+  SHARDS=$(( NP < 4 ? NP : 4 ))
+  mapfile -t FILES < <(cd tests && ls -S test_*.py)
+  declare -a BUCKET
+  for i in "${!FILES[@]}"; do
+    BUCKET[$((i % SHARDS))]+=" tests/${FILES[$i]}"
+  done
+  PIDS=()
+  for s in $(seq 0 $((SHARDS - 1))); do
+    # shellcheck disable=SC2086
+    python -m pytest ${BUCKET[$s]} -q > "/tmp/ci_shard_$s.log" 2>&1 &
+    PIDS+=($!)
+  done
+  FAIL=0
+  for s in $(seq 0 $((SHARDS - 1))); do
+    if ! wait "${PIDS[$s]}"; then FAIL=1; echo "-- shard $s FAILED:"; tail -30 "/tmp/ci_shard_$s.log"; fi
+    tail -1 "/tmp/ci_shard_$s.log"
+  done
+  [ "$FAIL" -eq 0 ] || exit 1
+else
+  python -m pytest tests/ -q -x
+fi
 
 echo "== [2/5] C ABI build =="
 cmake -S minigpt4_tpu/c_api -B build_capi >/dev/null

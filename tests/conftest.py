@@ -15,3 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    # "slow": the serving/speculation suites that dominate wall time.
+    # NOTHING is skipped by default — the marker exists so developers can
+    # iterate with `-m "not slow"` and CI can shard (ci/run_ci.sh runs
+    # everything, split across cores when the runner has them).
+    config.addinivalue_line(
+        "markers", "slow: long-running serving/speculation suite"
+    )

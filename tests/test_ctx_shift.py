@@ -9,6 +9,10 @@ KV cache down with K re-rotation (llama.shift_kv_cache) — the llama.cpp
 "context shift" serving behavior, exact in its position algebra.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # serving/speculation suite (see conftest)
+
 import numpy as np
 import pytest
 

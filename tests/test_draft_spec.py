@@ -10,6 +10,10 @@ example pattern (the reference's engine vendor), rebuilt TPU-native: each
 draft-k + verify pass is ONE fused dispatch.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # serving/speculation suite (see conftest)
+
 import sys
 from pathlib import Path
 

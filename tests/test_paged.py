@@ -7,6 +7,10 @@ positions they have consumed.  (The reference has no serving layer; these
 paths are TPU-native capability on top of its chat semantics.)
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # serving/speculation suite (see conftest)
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """HTTP serving layer (stdlib http.server over SessionPool)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # serving/speculation suite (see conftest)
+
 import io
 import json
 import threading

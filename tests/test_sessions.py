@@ -1,5 +1,9 @@
 """Concurrent-session serving tests."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # serving/speculation suite (see conftest)
+
 import threading
 
 import numpy as np

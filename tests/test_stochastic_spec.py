@@ -11,6 +11,10 @@ argmax-verify rule of the greedy loop (the reference's greedy decode
 contract, /root/reference/minigpt4.cpp:2449-2452, is untouched).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # serving/speculation suite (see conftest)
+
 import sys
 from pathlib import Path
 

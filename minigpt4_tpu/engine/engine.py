@@ -967,6 +967,7 @@ class MiniGPT4Engine:
         matmul_precision: str | None = None,
         speculative_k: int = 0,
         draft_llm_path: str | Path | None = None,
+        draft_head_path: str | Path | None = None,
         smooth_scales: str | Path | dict | None = None,
         context_shift: bool = False,
         tp: int = 1,
@@ -1082,6 +1083,26 @@ class MiniGPT4Engine:
         self.draft_cfg = None
         self._draft_fns_by_ctx: dict[int, DraftFns] = {}
         self.draft_k = 0
+        if draft_head_path is not None:
+            # distilled draft HEAD (train/draft.py): a tiny decoder over the
+            # frozen shared embedding — no second ggml file, no second
+            # tokenizer; assembled into a standard llama tree at load
+            if draft_llm_path is not None:
+                raise ValueError("pass draft_llm_path OR draft_head_path, not both")
+            if self.mesh is not None:
+                raise ValueError("draft_head_path requires tp=1")
+            from ..train import draft as draft_head_mod
+
+            with utils.phase_timer("Draft head init"):
+                art, dhc = draft_head_mod.load_artifact(draft_head_path)
+                if art["p_in"].shape[0] != self.llm_cfg.n_embd:
+                    raise ValueError(
+                        f"draft head d_main {art['p_in'].shape[0]} != model "
+                        f"n_embd {self.llm_cfg.n_embd}")
+                self.draft_cfg = dhc.llama_cfg(self.llm_cfg.n_vocab, n_ctx)
+                self.draft_params = jax.device_put(draft_head_mod.assemble_draft(
+                    self.llm_params["tok_embeddings"], art,
+                    self.llm_params["tok_embeddings"].dtype))
         if draft_llm_path is not None:
             if self.mesh is not None:
                 raise ValueError(
@@ -1108,6 +1129,7 @@ class MiniGPT4Engine:
                     self._draft_file.close()
                     self.draft_cfg = None
                     raise
+        if self.draft_params is not None:
             # verify-block width: an explicit speculative_k, else 8 (the
             # free-verify width measured on the flash decode path)
             self.draft_k = speculative_k if speculative_k > 1 else 8
@@ -1596,5 +1618,5 @@ class MiniGPT4Engine:
     def close(self) -> None:
         self._container.close()
         self._llm_file.close()
-        if self.draft_params is not None:
+        if getattr(self, "_draft_file", None) is not None:
             self._draft_file.close()

@@ -151,7 +151,8 @@ def make_distill_step(dcfg: llama_mod.LlamaConfig, opt, main_emb):
         )  # [B, T, V]
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ce = -jnp.take_along_axis(lp, targets[..., None], axis=-1)[..., 0]
-        mask = (jnp.arange(t)[None, :] >= warm).astype(jnp.float32)
+        mask = jnp.broadcast_to(
+            (jnp.arange(t)[None, :] >= warm).astype(jnp.float32), ce.shape)
         acc = (jnp.argmax(logits, -1) == targets).astype(jnp.float32)
         return (ce * mask).sum() / mask.sum(), (acc * mask).sum() / mask.sum()
 

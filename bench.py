@@ -164,6 +164,18 @@ def run_single(model: str) -> int:
             line["speculative_tok_s_realistic"] = round(
                 dec["decode_tok_s_spec_realistic"], 2)
             line["spec_accept_realistic"] = round(dec["spec_accept_realistic"], 2)
+    if "decode_tok_s_draft_realistic" in dec:
+        # the TRAINED draft head (tools/train_bench_draft.py artifact):
+        # teacher-forced acceptance on held-out non-cyclic prose (agreement
+        # with the teacher's own predictions — the verify rule) over the
+        # REAL draft-loop pass cost.  This is the shipped engine's best
+        # honest realistic speculation; the n-gram figures above stay for
+        # the draftless configuration.
+        line["draft_head_accept_realistic"] = round(
+            dec["draft_head_accept_realistic"], 2)
+        line["draft_head_tok_s_realistic"] = round(
+            dec["decode_tok_s_draft_realistic"], 2)
+        line["draft_head_pass_ms"] = round(dec["draft_head_pass_ms"], 2)
     if "encode_ms_p50" in enc:
         line["encode_ms_p50"] = round(enc["encode_ms_p50"], 2)
     if "encode_imgs_s" in enc:

@@ -790,6 +790,89 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     except Exception as e:
         out["draft_spec_error"] = f"{type(e).__name__}: {e}"
 
+    # --- TRAINED draft head (train/draft.py artifact distilled against this
+    # exact synthetic teacher by tools/train_bench_draft.py): the honest
+    # realistic-speculation number.  Teacher-forced acceptance on non-cyclic
+    # prose = agreement of the draft's next-token prediction with the
+    # teacher's along REALISTIC_TEXT contexts (the verify rule accepts
+    # exactly on that agreement), walked through the pass schedule; the
+    # effective rate divides by the REAL draft-loop pass cost measured with
+    # THIS drafter.  Guarded: never sinks other sections.
+    def _draft_head_section():
+        nonlocal cache, logits
+        from pathlib import Path as _P
+
+        art_path = _P(__file__).parent / "assets" / "bench_draft_13b.npz"
+        if model != "13B" or quant_mode != "w8a8" or not art_path.exists():
+            return
+        from ..train import draft as draft_mod
+
+        art, dhc = draft_mod.load_artifact(art_path)
+        dcfg = dhc.llama_cfg(cfg.n_vocab, cfg.n_ctx)
+        dparams = draft_mod.assemble_draft(params["tok_embeddings"], art,
+                                           jnp.bfloat16)
+        # acceptance: teacher-forced agreement along the held-out prose
+        stream = word_tokenize(REALISTIC_TEXT)
+        toks = jnp.asarray(stream[None])
+        tcache = llama_mod.init_cache(cfg, batch=1, dtype=cache_dtype)
+        tl, _ = llama_mod.forward(params, tcache, embed(params, toks),
+                                  jnp.int32(0), cfg, all_logits=True)
+        teacher_pred = np.asarray(jnp.argmax(tl[0], -1))
+        del tcache, tl
+        dcfg_ev = dhc.llama_cfg(cfg.n_vocab, len(stream))
+        dc = llama_mod.init_cache(dcfg_ev, batch=1, dtype=jnp.bfloat16)
+        dl_, _ = llama_mod.forward(
+            dparams, dc, llama_mod.embed_tokens(dparams, toks), jnp.int32(0),
+            dcfg_ev, all_logits=True)
+        draft_pred = np.asarray(jnp.argmax(dl_[0], -1))
+        warm = 48
+        agree = (draft_pred == teacher_pred)[warm:-1]
+        k_draft = k_spec - 1
+        pos = passes = emitted = 0
+        n = len(agree)
+        while pos < n - k_draft:
+            a = 0
+            while a < k_draft and agree[pos + a]:
+                a += 1
+            emitted += 1 + a
+            passes += 1
+            pos += 1 + a
+        acc_pp = emitted / max(passes, 1)
+        out["draft_head_agreement"] = float(agree.mean())
+        out["draft_head_accept_realistic"] = acc_pp
+
+        # real draft-loop pass cost with THIS drafter
+        dcache = llama_mod.init_cache(dcfg, batch=1, dtype=jnp.bfloat16)
+        dsl = jax.jit(
+            lambda p, c, dp, dc_, l0, pos0: (
+                llama_mod.draft_speculative_decode_loop(
+                    p, c, dp, dc_, l0, pos0, 2, k_spec, cfg, dcfg,
+                    attn_len=cfg.n_ctx, d_attn_len=dcfg.n_ctx)
+            ),
+            donate_argnums=(1, 3),
+        )
+        pos_d = jnp.int32(min(cfg.n_ctx - 4 * k_spec - 1, 512))
+        t_, c_, lg2, cache2, dcache = dsl(params, cache, dparams, dcache,
+                                          logits, pos_d)
+        cache, logits = cache2, lg2
+        sync(t_)
+        t0 = time.perf_counter()
+        n_pass = 0
+        for _ in range(3):
+            t_, c_, lg2, cache2, dcache = dsl(params, cache, dparams, dcache,
+                                              logits, pos_d)
+            cache, logits = cache2, lg2
+            sync(t_)
+            n_pass += 2
+        pass_s = (time.perf_counter() - t0) / n_pass
+        out["draft_head_pass_ms"] = pass_s * 1e3
+        out["decode_tok_s_draft_realistic"] = acc_pp / pass_s
+
+    try:
+        _draft_head_section()
+    except Exception as e:
+        out["draft_head_error"] = f"{type(e).__name__}: {e}"
+
     # --- batched serving decode: B sessions share every weight read, so
     # aggregate tok/s scales ~linearly at bandwidth-bound decode.  Uses the
     # serving session context (512) so B caches fit beside the weights.

@@ -486,7 +486,6 @@ def main():
     ap.add_argument("--floors", choices=["check", "record"], default=None,
                     help="run the relative perf floors instead of/after the "
                     "compile gate")
-    args = ap.parse_args()
     ap.add_argument("--tp", action="store_true",
                     help="also gate the K-sharded TP per-shard kernel shapes "
                     "at 13B geometry (tp=2/4)")

@@ -59,6 +59,11 @@ def parse_args():
         "speculative decoding for greedy generation (token-identical)",
     )
     p.add_argument(
+        "--draft-head", default=None, metavar="PATH",
+        help="distilled draft-head artifact (train/draft.py): tiny drafter "
+        "over the model's own embedding, no second ggml file",
+    )
+    p.add_argument(
         "--cache-dtype", choices=["auto", "bf16", "f32", "f8"], default="auto",
         help="KV-cache storage dtype; f8 (e4m3) halves cache memory at a "
         "small attention-precision cost",
@@ -104,6 +109,7 @@ def main():
         seed=args.seed, n_ctx=args.n_ctx, n_batch=args.n_batch,
         speculative_k=args.speculative_k,
         draft_llm_path=args.draft_llm,
+        draft_head_path=args.draft_head,
         cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
         smooth_scales=args.smooth_scales,
         context_shift=args.ctx_shift,

@@ -40,7 +40,7 @@ class Host:
             kw["cache_dtype"] = CACHE_DTYPES[cd]
         qm = os.environ.get("MINIGPT4_TPU_QUANT_MODE")
         if qm:
-            if qm not in ("auto", "repack", "qtensor", "w8a8"):
+            if qm not in ("auto", "repack", "qtensor", "w8a8", "gq"):
                 raise ValueError(
                     f"MINIGPT4_TPU_QUANT_MODE={qm!r}: expected "
                     "auto | repack | qtensor | w8a8"

@@ -48,16 +48,24 @@ CACHE_DTYPES = {
     "f8": jnp.float8_e4m3fn,
 }
 
-# "auto" quant-mode resolution for the DECODER on TPU: the direct-MXU i8
-# path (ops/i8_matmul.py) is the default serving representation once the
-# quality harness (quality.py) recorded it default-eligible — it clears the
-# 30 tok/s BASELINE target the fused q5_k kernel's VPU-staging plateau
-# cannot (PERFORMANCE.md).  Exact-q5_k numerics remain one flag away
-# (quant_mode="repack"), and MINIGPT4_TPU_AUTO_W8A8=0 restores the old
-# resolution globally.  See docs/QUALITY.md for the recorded decision.
+# "auto" quant-mode resolution for the DECODER on TPU.  Round 3 made the
+# EXACT group-quant path (ops/group_i8.py, quant_mode="gq") as fast as the
+# approximate w8a8 path (41.1 vs 42.1 tok/s at 13B — PERFORMANCE.md
+# round-3), so the default became: **exact when it fits, w8a8 when serving
+# density demands it** — gq's scale planes cost ~1.2 GB over w8a8 at 13B,
+# which single-stream chat affords and 8-lane dense serving does not.
+# MINIGPT4_TPU_AUTO_W8A8=0 disables BOTH byte-code auto paths (restores
+# the round-1 exact bf16-staging resolution); MINIGPT4_TPU_AUTO_GQ=0
+# disables only the gq preference (w8a8 everywhere it fits, the round-2
+# default).  See docs/QUALITY.md for the recorded decision history.
 import os as _os
 
 AUTO_W8A8 = _os.environ.get("MINIGPT4_TPU_AUTO_W8A8", "1") != "0"
+AUTO_GQ = _os.environ.get("MINIGPT4_TPU_AUTO_GQ", "1") != "0"
+# calibrated to the measured 13B single-stream gq+f8 success (15.1 GB
+# resident incl. vision/emb) and the measured w8a8 8-lane dense capacity
+_HBM_BUDGET = 15_900_000_000
+_AUTO_HEADROOM = 600_000_000
 
 # Run-ahead depth for the strict per-token decode path (end_chat / the C
 # ABI loop): how many sample+eval steps the engine dispatches beyond what
@@ -66,10 +74,16 @@ AUTO_W8A8 = _os.environ.get("MINIGPT4_TPU_AUTO_W8A8", "1") != "0"
 STEP_LOOKAHEAD = int(_os.environ.get("MINIGPT4_TPU_STEP_LOOKAHEAD", "3"))
 
 
-def resolve_llm_quant_mode(reader, quant_mode: str, backend: str) -> str:
-    """Resolve "auto" for the decoder: w8a8 on TPU when every major
-    quantized weight can re-quantize to i8 superblocks (K % 256 == 0 —
-    true for all real LLaMA geometries), else unchanged."""
+def resolve_llm_quant_mode(reader, quant_mode: str, backend: str,
+                           n_ctx: int = 2048, batch: int = 1) -> str:
+    """Resolve "auto" for the decoder on TPU.
+
+    Preference order: "gq" (EXACT ggml dequant semantics at byte-code
+    speed) when the codes + scale planes + this configuration's KV cache
+    fit the chip; else "w8a8" (re-quantized, ~1.2 GB smaller at 13B) when
+    that fits; else unchanged (the bf16-staging exact kernel at 0.75
+    B/weight).  Both byte paths need every major quantized weight at
+    K % 256 == 0 (true for all real LLaMA geometries)."""
     if quant_mode != "auto" or backend != "tpu" or not AUTO_W8A8:
         return quant_mode
     from ..formats.dtypes import is_quantized
@@ -79,6 +93,13 @@ def resolve_llm_quant_mode(reader, quant_mode: str, backend: str) -> str:
         return quant_mode
     if any(len(r.shape) == 2 and r.shape[1] % 256 for r in qrecs):
         return quant_mode  # tiny/test geometries: keep the exact path
+    qbytes = sum(r.n_elems for r in qrecs)
+    hp = getattr(reader, "hparams", None)
+    cache_f8 = (hp.n_layer * batch * hp.n_embd * n_ctx * 2  # 1 B/entry, k+v
+                if hp is not None else 0)
+    gq_est = int(qbytes * 1.094) + cache_f8 + _AUTO_HEADROOM
+    if AUTO_GQ and gq_est <= _HBM_BUDGET:
+        return "gq"
     return "w8a8"
 
 
@@ -1040,13 +1061,19 @@ class MiniGPT4Engine:
         with utils.phase_timer("LLM model init"):
             self._llm_file = LlamaFileReader(llm_path)
             backend = jax.default_backend()
-            llm_mode = resolve_llm_quant_mode(self._llm_file, quant_mode, backend)
+            llm_mode = resolve_llm_quant_mode(self._llm_file, quant_mode,
+                                              backend, n_ctx=n_ctx, batch=batch)
             if llm_mode != quant_mode:
                 utils.log_info(f"quant_mode auto -> {llm_mode} (decoder)")
             if cache_dtype is None:
                 cache_dtype = pick_cache_dtype(
                     self._llm_file, llm_mode, n_ctx, batch, backend
                 )
+            if smooth_scales and llm_mode == "gq" and quant_mode == "auto":
+                # calibration scales are a deliberate w8a8 opt-in: auto
+                # resolving to the exact path would silently discard them
+                llm_mode = "w8a8"
+                utils.log_info("quant_mode auto -> w8a8 (smooth_scales given)")
             if smooth_scales and llm_mode != "w8a8":
                 # scales only exist to steer i8 activation quantization;
                 # the exact packed paths must keep exact file bytes

@@ -734,6 +734,12 @@ def main():
         "unlike n-gram lookup, a trained drafter accelerates novel text)",
     )
     ap.add_argument(
+        "--draft-head", default=None, metavar="PATH",
+        help="distilled draft-head artifact (train/draft.py, trained via "
+        "its distillation CLI): a tiny decoder over the model's own "
+        "embedding drafts greedy decode — no second ggml file needed",
+    )
+    ap.add_argument(
         "--tp", type=int, default=1,
         help="tensor-parallel devices for the decoder (shard_map over a "
         "(dp, tp) mesh; greedy output is identical to single-chip)",
@@ -758,6 +764,7 @@ def main():
                          prefix_cache_mb=args.prefix_cache_mb,
                          context_shift=args.ctx_shift,
                          draft_llm_path=args.draft_llm,
+                         draft_head_path=args.draft_head,
                          cache_dtype=CACHE_DTYPES.get(args.cache_dtype),
                          smooth_scales=args.smooth_scales,
                          tp=args.tp)

@@ -29,6 +29,10 @@ class FakeReader:
         self.hparams = hparams
 
 
+class HP:
+    n_embd, n_head, n_layer = 5120, 40, 40
+
+
 def _13b_like():
     # all major weights K % 256 == 0
     return FakeReader([
@@ -39,7 +43,32 @@ def _13b_like():
     ])
 
 
-def test_auto_resolves_w8a8_on_tpu():
+def test_auto_prefers_exact_gq_when_it_fits():
+    # round-3 policy: EXACT group-quant is the default whenever codes +
+    # scale planes + this config's cache fit the chip
+    assert resolve_llm_quant_mode(_13b_like(), "auto", "tpu") == "gq"
+
+
+def _real_13b_residency():
+    r = _13b_like()
+    r.hparams = HP
+    # ~13 GB of quantized codes (real 13B scale)
+    r.tensors["bulk"] = FakeRec((12_600_000_000 // 5120, 5120), DataType.Q5_K)
+    return r
+
+
+def test_auto_falls_to_w8a8_when_gq_does_not_fit():
+    r = _real_13b_residency()
+    # single stream: gq + f8 cache fits (the measured 41 tok/s config)
+    assert resolve_llm_quant_mode(r, "auto", "tpu", n_ctx=2048, batch=1) == "gq"
+    # 8-lane dense serving: the ~1.2 GB of gq scale planes no longer fit
+    assert resolve_llm_quant_mode(r, "auto", "tpu", n_ctx=512, batch=8) == "w8a8"
+
+
+def test_auto_gq_kill_switch(monkeypatch):
+    import minigpt4_tpu.engine.engine as E
+
+    monkeypatch.setattr(E, "AUTO_GQ", False)
     assert resolve_llm_quant_mode(_13b_like(), "auto", "tpu") == "w8a8"
 
 
@@ -65,10 +94,6 @@ def test_env_kill_switch(monkeypatch):
 
     monkeypatch.setattr(E, "AUTO_W8A8", False)
     assert resolve_llm_quant_mode(_13b_like(), "auto", "tpu") == "auto"
-
-
-class HP:
-    n_embd, n_head, n_layer = 5120, 40, 40
 
 
 def test_cache_dtype_f8_only_when_13b_w8a8_would_not_fit():

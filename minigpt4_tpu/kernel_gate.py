@@ -263,7 +263,7 @@ def _floors_path():
     return pathlib.Path(__file__).resolve().parent.parent / "ci" / "kernel_floors.json"
 
 
-def _chain_ms(fn, x, iters: int = 16, reps: int = 3) -> float:
+def _chain_ms(fn, x, iters: int = 8, reps: int = 2) -> float:
     """min-over-reps per-call ms of ``iters`` data-chained calls in one jit
     (the only reliable microbenchmark on the tunneled backend — eager
     per-call timing measures the ~1.3 ms dispatch)."""
@@ -325,11 +325,12 @@ def _perf_pair(kind: str, k: int, n: int):
 
 
 FLOOR_SHAPES = {  # decode (M=1) ratio floors: kernel vs XLA dense bf16 matvec
+    # w2 is the VMEM/bandwidth worst case; w13-size chains exceeded the
+    # remote-compile relay's payload limit (HTTP 413) and add no floor value
     "q5k_w2": ("q5k", 13824, 5120),
-    "q5k_w13": ("q5k", 5120, 27648),
     "gq_w2": ("gq", 13824, 5120),
-    "gq_w13": ("gq", 5120, 27648),
     "i8_w2": ("i8", 13824, 5120),
+    "gq_wo": ("gq", 5120, 5120),
 }
 FLOOR_MARGIN = 0.70  # chip-state noise allowance on a shared dev chip
 
@@ -416,6 +417,9 @@ def run_tp_gate(verbose: bool = True) -> bool:
         xf = x.astype(jnp.float32)
         for tp in (2, 4):
             ks = k // tp
+            gq_supported = ks % 256 == 0  # gq shards need whole superblock
+            # chunks; where they don't divide (w2 at tp=4), the spmd layer
+            # REPLICATES that weight — same policy as the i8 path
             # --- repack kernel, shard-local slices of the tp re-layout
             tag = f"13B {name} repack-tp{tp} ({k}x{n})"
             try:
@@ -453,6 +457,11 @@ def run_tp_gate(verbose: bool = True) -> bool:
                 print(f"[kernel-gate:tp] FAIL {tag}: {e}", file=sys.stderr)
             # --- group-quant kernel, shard-local with global split scale
             tag = f"13B {name} gq-tp{tp} ({k}x{n})"
+            if not gq_supported:
+                print(f"[kernel-gate:tp] n/a {tag}: K/{tp} not superblock-"
+                      "aligned; spmd replicates this weight (policy match "
+                      "with the i8 path)", file=sys.stderr)
+                continue
             try:
                 w = _gq_weight(rng, n, k)
                 ws = gqm.with_k_shards(w, tp)

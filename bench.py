@@ -2,12 +2,14 @@
 """Driver benchmark: ONE JSON line with the headline metric.
 
 Headline: decode tok/s/chip for a Vicuna-13B-geometry q5_k file in the
-engine's DEFAULT TPU serving configuration — quant_mode auto resolves to
-the direct-MXU i8 path (w8a8) with the fp8 KV cache at 13B residency
-(engine.resolve_llm_quant_mode; quality gate in docs/QUALITY.md; the
-exact-q5_k fused-kernel number rides along as q5k_exact_tok_s).
-BASELINE.md target: >= 30 tok/s on one v5e chip -> vs_baseline = value/30.
-Falls back to the 7B geometry if 13B fails.
+engine's DEFAULT TPU configuration — quant_mode auto resolves single-stream
+13B to "gq" (EXACT ggml q5_k dequant semantics, i8 codes contracted on the
+MXU — ops/group_i8.py) with the fp8 KV cache at 13B residency
+(engine.resolve_llm_quant_mode; decision in docs/QUALITY.md).  The dense
+batched-serving arm (where auto resolves to w8a8: B lane caches do not fit
+beside the gq scale planes) rides along as w8a8_tok_s + the batched/paged
+aggregates.  BASELINE.md target: >= 30 tok/s on one v5e chip ->
+vs_baseline = value/30.  Falls back to the 7B geometry if 13B fails.
 
 Each model attempt runs in its OWN subprocess: the tunneled TPU backend's
 allocator state (over-commit + fragmentation after a failed 10 GB build) is
@@ -38,15 +40,15 @@ def run_single(model: str) -> int:
 
             if not run_gate(fast=True):
                 print("[bench] kernel gate FAILED (see stderr above)", file=sys.stderr)
-        # HEADLINE = the engine's DEFAULT serving configuration for a q5_k
-        # file on TPU: quant_mode auto -> w8a8 (direct-MXU i8; quality gate
-        # recorded in docs/QUALITY.md, exact q5_k via quant_mode="repack")
-        # with the fp8 KV cache the engine picks at 13B residency
+        # HEADLINE = the engine's DEFAULT configuration for a q5_k file on
+        # TPU: quant_mode auto -> "gq" single-stream (EXACT ggml dequant
+        # semantics at byte-code speed, ops/group_i8.py) with the fp8 KV
+        # cache the engine picks at 13B residency
         # (engine.resolve_llm_quant_mode / pick_cache_dtype)
         import jax.numpy as jnp
 
         # cache dtype per the engine's own residency policy: fp8 at 13B
-        # (i8 codes + bf16 cache would not fit 16 GB), bf16 at 7B
+        # (byte codes + bf16 cache would not fit 16 GB), bf16 at 7B
         cache_dt = jnp.float8_e4m3fn if model == "13B" else jnp.bfloat16
         # chip-state calibration FIRST (before the 13 GB build): the shared
         # dev chip's sustained bandwidth swings 3-4x between sessions, and
@@ -59,8 +61,13 @@ def run_single(model: str) -> int:
             chip_bw = round(chip_state_probe(), 1)
         except Exception as e:
             print(f"[bench] chip-state probe failed: {e}", file=sys.stderr)
+        # 13B: single-stream groups on the gq default; the serving arm runs
+        # separately below on w8a8 (auto's dense-serving resolution — B lane
+        # caches beside gq codes+planes exceed HBM).  7B: everything fits in
+        # one gq arm.
         dec = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64,
-                           cache_dtype=cache_dt, quant_mode="w8a8")
+                           cache_dtype=cache_dt, quant_mode="gq",
+                           sections="single" if model == "13B" else "all")
         if chip_bw is not None:
             dec["chip_bw_gbps"] = chip_bw
         try:
@@ -68,7 +75,8 @@ def run_single(model: str) -> int:
         except Exception as e:  # encode is secondary; never lose the headline
             print(f"[bench] encode failed: {e}", file=sys.stderr)
             enc = {}
-        metric = f"decode tok/s/chip ({model} q5_k file, default engine config)"
+        metric = (f"decode tok/s/chip ({model} q5_k file, default engine "
+                  f"config: exact gq)")
     else:
         # CPU smoke: tiny geometry so CI completes; value not meaningful
         import jax.numpy as jnp
@@ -83,23 +91,21 @@ def run_single(model: str) -> int:
         enc = {}
         metric = "decode tok/s (cpu smoke)"
 
-    q5k = {}
+    srv = {}
     q5k_old = {}
     if on_tpu and model == "13B":
-        # exact-q5_k rider: the direct-MXU group-quant path ("gq",
-        # ops/group_i8.py) — bit-exact q5_k weight dequant, dual-i8
-        # activations (<= 2^-15 representation error, finer than the bf16
-        # rounding the round-2 kernel applied).  fp8 cache for 13B HBM fit
-        # (codes are 1 B/weight, same residency class as w8a8).  Measured
-        # after the headline so a failure here never costs it.
+        # dense-serving arm: auto resolves batch>1 13B to w8a8 (1 B/weight,
+        # no scale planes -> room for the B-lane cache group).  Carries the
+        # batched/paged/batched-spec aggregates plus the w8a8 fused decode
+        # rate.  Measured after the headline so a failure here never costs it.
         import jax.numpy as jnp
 
         try:
-            q5k = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64,
-                               quant_mode="gq", quick=True,
+            srv = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64,
+                               quant_mode="w8a8", sections="serving",
                                cache_dtype=jnp.float8_e4m3fn)
         except Exception as e:
-            print(f"[bench] q5_k-exact (gq) rider failed: {e}", file=sys.stderr)
+            print(f"[bench] w8a8 serving arm failed: {e}", file=sys.stderr)
         # continuity rider: the round-2 bf16-staging kernel (quant_mode=
         # "repack"), for the gq-vs-old comparison in the same chip state
         try:
@@ -112,6 +118,11 @@ def run_single(model: str) -> int:
     value = round(dec["decode_tok_s"], 2)
     extras = {k: round(v, 2) for k, v in {**dec, **enc}.items()}
     print(f"[bench] details: {json.dumps(extras)}", file=sys.stderr)
+    if srv:
+        srv_extras = {k: round(v, 2) for k, v in srv.items()
+                      if isinstance(v, (int, float))}
+        print(f"[bench] serving-arm details: {json.dumps(srv_extras)}",
+              file=sys.stderr)
     line = {
         "metric": metric,
         "value": value,
@@ -119,22 +130,27 @@ def run_single(model: str) -> int:
         "vs_baseline": round(value / 30.0, 3),
     }
     # single-stream is the headline (the reference is single-stream); the
-    # batched-serving aggregate rides along for context
-    if "decode_tok_s_batched_aggregate" in dec:
-        line["batched_aggregate_tok_s"] = round(dec["decode_tok_s_batched_aggregate"], 2)
-        line["batch"] = dec.get("decode_batch")
-    if "decode_tok_s_batched_paged_aggregate" in dec:
+    # batched-serving aggregates ride along for context.  At 13B they come
+    # from the w8a8 serving arm (srv); at 7B everything ran in `dec`.
+    sv = srv or dec
+    if "decode_tok_s" in srv:
+        # the dense-serving default's fused single-stream rate (w8a8)
+        line["w8a8_tok_s"] = round(srv["decode_tok_s"], 2)
+    if "decode_tok_s_batched_aggregate" in sv:
+        line["batched_aggregate_tok_s"] = round(sv["decode_tok_s_batched_aggregate"], 2)
+        line["batch"] = sv.get("decode_batch")
+    if "decode_tok_s_batched_paged_aggregate" in sv:
         # batched serving over the shared KV page pool (engine/paged.py):
         # the bandwidth-parity check for paging (lane HBM tracks used
         # context; per-lane rate should match the dense group)
         line["batched_paged_tok_s"] = round(
-            dec["decode_tok_s_batched_paged_aggregate"], 2)
-        line["paged_lanes"] = dec.get("paged_lanes")
-    if "decode_tok_s_batched_spec" in dec:
+            sv["decode_tok_s_batched_paged_aggregate"], 2)
+        line["paged_lanes"] = sv.get("paged_lanes")
+    if "decode_tok_s_batched_spec" in sv:
         # batched + speculative (the SessionPool greedy serving path), at
         # whatever acceptance the synthetic stream produced
         line["batched_spec_tok_s_measured"] = round(
-            dec["decode_tok_s_batched_spec"], 2)
+            sv["decode_tok_s_batched_spec"], 2)
     if "draft_spec_pass_ms" in dec:
         # draft-MODEL speculation (second small llama drafts, main verifies):
         # pass cost + the effective rate a trained drafter at 2 accepted
@@ -142,11 +158,11 @@ def run_single(model: str) -> int:
         line["draft_spec_pass_ms"] = round(dec["draft_spec_pass_ms"], 2)
         line["draft_spec_tok_s_at_accept2"] = round(
             dec["draft_spec_tok_s_at_accept2"], 2)
-    if "decode_tok_s_paged_spec" in dec:
+    if "decode_tok_s_paged_spec" in sv:
         # paged pool x speculative verify passes (spec no longer forces
         # serving groups off the paged capacity path)
         line["paged_spec_tok_s_measured"] = round(
-            dec["decode_tok_s_paged_spec"], 2)
+            sv["decode_tok_s_paged_spec"], 2)
     if "decode_tok_s_spec" in dec:
         # greedy speculative decoding (n-gram drafted, verify-k=8), three
         # views: _measured = acceptance on the synthetic greedy stream
@@ -188,10 +204,11 @@ def run_single(model: str) -> int:
         # chain at measurement time (shared dev chip swings 3-4x day-to-day;
         # decode tok/s is bytes/rate — read `value` against this)
         line["chip_bw_gbps"] = dec["chip_bw_gbps"]
-    if "decode_tok_s" in q5k:
-        # the exact-q5_k path (quant_mode="gq": direct-MXU group-quant
-        # kernel, bit-exact q5_k weight dequant — ops/group_i8.py)
-        line["q5k_exact_tok_s"] = round(q5k["decode_tok_s"], 2)
+    if on_tpu and model == "13B":
+        # continuity key: the exact-q5_k rate IS the headline now
+        # (quant_mode="gq": direct-MXU group-quant kernel, bit-exact q5_k
+        # weight dequant — ops/group_i8.py)
+        line["q5k_exact_tok_s"] = value
         line["q5k_exact_kernel"] = "gq-direct-mxu"
     if "decode_tok_s" in q5k_old:
         # the round-2 bf16-staging kernel, same chip state (continuity)

@@ -467,7 +467,14 @@ def chip_state_probe(n: int = 8192, short: int = 8, long: int = 40) -> float:
 def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
                  dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
                  quant_mode: str = "auto", quick: bool = False,
-                 batch: int = 8) -> dict:
+                 batch: int = 8, sections: str = "all") -> dict:
+    """``sections`` picks which measurement groups run beyond the core
+    prefill/decode block: "all" (everything), "single" (single-stream
+    speculation + draft-head, no batched serving — the gq arm, whose codes
+    + scale planes leave no HBM for a B-lane cache group), or "serving"
+    (batched/paged serving only, skipping single-stream speculation — the
+    w8a8 serving-default arm).  ``quick=True`` returns right after the
+    fused decode loop regardless."""
     cfg = GEOMETRIES[model]
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
@@ -625,6 +632,8 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
     pos_ri = p2 + done
     pos_sp = pos_ri + runin
     sp_passes = min(16, (cfg.n_ctx - pos_sp - 1) // k_spec)
+    if sections == "serving":  # skip every single-stream speculation group
+        sp_passes = 0
     if sp_passes >= 1:
         hist0 = np.full((1, cfg.n_ctx), -1, np.int32)
         ri_done = 0
@@ -730,6 +739,8 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         nonlocal cache, logits
         if cfg.n_embd < 2048:  # smoke geometry: skip (drafter would dwarf it)
             return
+        if sections == "serving":
+            return
         dcfg = llama_mod.LlamaConfig(
             n_vocab=cfg.n_vocab, n_embd=1024, n_head=8, n_layer=8,
             n_rot=128, n_ff=2816, n_ctx=cfg.n_ctx)
@@ -803,28 +814,37 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         from pathlib import Path as _P
 
         art_path = _P(__file__).parent / "assets" / "bench_draft_13b.npz"
-        if model != "13B" or quant_mode != "w8a8" or not art_path.exists():
+        if model != "13B" or sections == "serving" or not art_path.exists():
             return
         from ..train import draft as draft_mod
+
+        # score the head only inside the arm whose teacher numerics it was
+        # distilled against (argmax agreement is numerics-sensitive)
+        if quant_mode != draft_mod.artifact_teacher_mode(art_path):
+            return
 
         art, dhc = draft_mod.load_artifact(art_path)
         dcfg = dhc.llama_cfg(cfg.n_vocab, cfg.n_ctx)
         dparams = draft_mod.assemble_draft(params["tok_embeddings"], art,
                                            jnp.bfloat16)
-        # acceptance: teacher-forced agreement along the held-out prose
+        # acceptance: teacher-forced agreement along the held-out prose.
+        # The stream pads to a 512 bucket (causal attention keeps positions
+        # < n_ev identical; irregular M would force a fresh multi-minute
+        # Pallas prefill compile for one throwaway shape).
         stream = word_tokenize(REALISTIC_TEXT)
-        toks = jnp.asarray(stream[None])
+        n_ev, ev_pad = len(stream), 512
+        toks = jnp.asarray(np.pad(stream, (0, ev_pad - n_ev))[None])
         tcache = llama_mod.init_cache(cfg, batch=1, dtype=cache_dtype)
         tl, _ = llama_mod.forward(params, tcache, embed(params, toks),
                                   jnp.int32(0), cfg, all_logits=True)
-        teacher_pred = np.asarray(jnp.argmax(tl[0], -1))
+        teacher_pred = np.asarray(jnp.argmax(tl[0], -1))[:n_ev]
         del tcache, tl
-        dcfg_ev = dhc.llama_cfg(cfg.n_vocab, len(stream))
+        dcfg_ev = dhc.llama_cfg(cfg.n_vocab, ev_pad)
         dc = llama_mod.init_cache(dcfg_ev, batch=1, dtype=jnp.bfloat16)
         dl_, _ = llama_mod.forward(
             dparams, dc, llama_mod.embed_tokens(dparams, toks), jnp.int32(0),
             dcfg_ev, all_logits=True)
-        draft_pred = np.asarray(jnp.argmax(dl_[0], -1))
+        draft_pred = np.asarray(jnp.argmax(dl_[0], -1))[:n_ev]
         warm = 48
         agree = (draft_pred == teacher_pred)[warm:-1]
         k_draft = k_spec - 1
@@ -872,6 +892,9 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         _draft_head_section()
     except Exception as e:
         out["draft_head_error"] = f"{type(e).__name__}: {e}"
+
+    if sections == "single":
+        return out
 
     # --- batched serving decode: B sessions share every weight read, so
     # aggregate tok/s scales ~linearly at bandwidth-bound decode.  Uses the
@@ -1174,6 +1197,10 @@ def main():
     ap.add_argument("--skip-decode", action="store_true")
     ap.add_argument("--quick", action="store_true",
                     help="fused-decode sections only (skip spec/batched/paged)")
+    ap.add_argument("--sections", choices=["all", "single", "serving"],
+                    default="all",
+                    help="single = single-stream spec/draft groups only; "
+                    "serving = batched/paged groups only")
     args = ap.parse_args()
 
     cache_dt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
@@ -1185,7 +1212,8 @@ def main():
                                     cache_dtype=cache_dt,
                                     quant_mode=args.quant_mode,
                                     quick=args.quick,
-                                    batch=args.batch))
+                                    batch=args.batch,
+                                    sections=args.sections))
     if not args.skip_encode:
         results.update(bench_encode(GEOMETRIES[args.model].n_embd))
     print(json.dumps(results, indent=2))

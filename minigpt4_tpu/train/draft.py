@@ -96,7 +96,11 @@ def assemble_draft(main_emb: jnp.ndarray, art: dict, dtype=jnp.bfloat16) -> dict
     }
 
 
-def save_artifact(path: str | Path, art: dict, cfg: DraftHeadConfig) -> None:
+def save_artifact(path: str | Path, art: dict, cfg: DraftHeadConfig,
+                  teacher_mode: str = "") -> None:
+    """``teacher_mode`` records which teacher numerics ("gq"/"w8a8"/...) the
+    head was distilled against; the benchmark only scores the artifact
+    inside the matching arm (argmax agreement is numerics-sensitive)."""
     flat = {
         "p_in": np.asarray(art["p_in"], np.float16),
         "p_out": np.asarray(art["p_out"], np.float16),
@@ -110,7 +114,16 @@ def save_artifact(path: str | Path, art: dict, cfg: DraftHeadConfig) -> None:
         "cfg": np.asarray([cfg.d_draft, cfg.n_layer, cfg.n_head, cfg.n_ff],
                           np.int32),
     }
+    if teacher_mode:
+        flat["teacher_mode"] = np.asarray(teacher_mode)
     np.savez_compressed(str(path), **flat)
+
+
+def artifact_teacher_mode(path: str | Path, default: str = "w8a8") -> str:
+    """The quant-mode tag recorded at save time (pre-tag artifacts were
+    always distilled against the w8a8 teacher)."""
+    with np.load(str(path)) as z:
+        return str(z["teacher_mode"]) if "teacher_mode" in z else default
 
 
 def load_artifact(path: str | Path) -> tuple[dict, DraftHeadConfig]:
@@ -171,8 +184,16 @@ def make_distill_step(dcfg: llama_mod.LlamaConfig, opt, main_emb):
 
 def teacher_targets(params, cfg, tokens: jnp.ndarray, cache_dtype=jnp.bfloat16):
     """Teacher-forced greedy targets [B, T] for a token batch (the teacher's
-    argmax at every position — what verify compares drafts against)."""
-    b = tokens.shape[0]
+    argmax at every position — what verify compares drafts against).
+
+    The scratch KV cache is sized to the batch's sequence length, not
+    ``cfg.n_ctx``: a full-context cache at batch 8 x 13B geometry is ~6.7 GB
+    (f8) beside the ~13-14 GB teacher weights — an instant OOM for state the
+    forward never reads past ``T``."""
+    import dataclasses
+
+    b, t = tokens.shape
+    cfg = dataclasses.replace(cfg, n_ctx=min(cfg.n_ctx, t))
     cache = llama_mod.init_cache(cfg, batch=b, dtype=cache_dtype)
     emb = llama_mod.embed_tokens(params, tokens)
     logits, _ = llama_mod.forward(params, cache, emb, jnp.int32(0), cfg,

@@ -102,7 +102,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=128)
     ap.add_argument("--model", default="13B")
-    ap.add_argument("--quant-mode", default="w8a8")
+    # the teacher's numerics MUST match the bench arm that scores the
+    # artifact (argmax agreement is numerics-sensitive on synthetic
+    # weights); "gq" is the engine's default 13B single-stream resolution
+    ap.add_argument("--quant-mode", default="gq")
     ap.add_argument("--d-draft", type=int, default=512)
     ap.add_argument("--n-layer", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -161,12 +164,25 @@ def main() -> None:
           f"({args.teacher_batches*args.batch*args.seq} positions) in "
           f"{time.perf_counter()-t0:.1f}s")
 
+    # eval-stream teacher targets NOW, then free the 13-14 GB teacher: only
+    # its embedding matrix is needed for distillation and eval.  The stream
+    # pads to a 512 bucket: causal attention makes trailing padding inert
+    # for positions < len, and irregular M (e.g. 378) would force a fresh
+    # multi-minute Pallas prefill compile for one throwaway shape.
+    stream = B.word_tokenize(B.REALISTIC_TEXT)
+    n_ev = len(stream)
+    ev_pad = 512
+    toks_eval = jnp.asarray(np.pad(stream, (0, ev_pad - n_ev))[None])
+    teacher_pred = np.asarray(tgt_fn(params, toks_eval))[0][:n_ev]
+    emb32 = jnp.asarray(params["tok_embeddings"], jnp.float32)
+    jax.block_until_ready(emb32)
+    del params, tgt_fn
+
     # ---- distill -----------------------------------------------------------
     dhc = D.DraftHeadConfig(d_draft=args.d_draft, n_layer=args.n_layer,
                             n_head=args.d_draft // 64, n_ff=args.d_draft * 11 // 4)
     dcfg = dhc.llama_cfg(cfg.n_vocab, args.seq)
     art = D.init_draft_head(jax.random.PRNGKey(1), cfg.n_embd, dhc)
-    emb32 = params["tok_embeddings"].astype(jnp.float32)
     sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, 50, args.steps)
     opt = optax.adamw(sched, weight_decay=1e-4)
     step = D.make_distill_step(dcfg, opt, emb32)
@@ -181,16 +197,13 @@ def main() -> None:
                   f"agree {float(acc):.3f} ({time.perf_counter()-t0:.0f}s)")
 
     # ---- eval: the bench metric (held-out REALISTIC_TEXT) ------------------
-    stream = B.word_tokenize(B.REALISTIC_TEXT)
-    toks = jnp.asarray(stream[None])
-    teacher_pred = np.asarray(tgt_fn(params, toks))[0]
-    dcfg_eval = dhc.llama_cfg(cfg.n_vocab, len(stream))
+    dcfg_eval = dhc.llama_cfg(cfg.n_vocab, ev_pad)
     dparams = D.assemble_draft(emb32, art, jnp.float32)
     dcache = llama_mod.init_cache(dcfg_eval, batch=1, dtype=jnp.float32)
-    demb = llama_mod.embed_tokens(dparams, toks)
+    demb = llama_mod.embed_tokens(dparams, toks_eval)
     dlogits, _ = llama_mod.forward(dparams, dcache, demb, jnp.int32(0),
                                    dcfg_eval, all_logits=True, use_flash=False)
-    draft_pred = np.asarray(jnp.argmax(dlogits[0], -1))
+    draft_pred = np.asarray(jnp.argmax(dlogits[0], -1))[:n_ev]
     warm = 48
     agree = (draft_pred == teacher_pred)[warm:-1]
     acc_pp = pass_walk(agree, k_spec=8)
@@ -201,8 +214,8 @@ def main() -> None:
     from pathlib import Path
 
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    D.save_artifact(args.out, art, dhc)
-    print(f"[draft-train] saved {args.out}")
+    D.save_artifact(args.out, art, dhc, teacher_mode=args.quant_mode)
+    print(f"[draft-train] saved {args.out} (teacher {args.quant_mode})")
 
 
 if __name__ == "__main__":

@@ -338,18 +338,33 @@ def _expand_ab(plane_blk, e8):
     )  # [TN, chunk]
 
 
-def _kernel_prefill(x_ref, c_ref, *refs, k, gs, exact):
-    """M > 8 path: per-tile dequantize (VPU, amortized over all M) + dense
-    bf16 MXU dot.  x_ref [TM, K] bf16; codes [(1,)TN, K]; planes as in the
-    decode kernels."""
+def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact):
+    """M > 8 path: per-tile dequantize (VPU) + dense bf16 MXU dot.
+
+    Grid is (m, n, k) with k INNERMOST and the [TM, TN] f32 output block
+    resident across the k sweep (init at ki == 0, accumulate after), so
+    each weight element is dequantized exactly once per M tile — and the
+    engine's prefill buckets cap at 512 rows, which one M tile covers.
+    The previous single-K-block layout re-ran the whole VPU dequant for
+    every M tile (4x at M=512: measured 462 ms vs w8a8's 180 ms for a
+    512-token 13B prefill).  x_ref [TM, TK] bf16; codes [(1,)TN, TK];
+    plane blocks are the K-tile's rows."""
     chunk = J * gs
     if exact:
         sc6_ref, mn6_ref, d_ref, dm_ref, o_ref = refs
     else:
         a_ref, b_ref, o_ref = refs
+    ki = pl.program_id(2)
 
     def rd(ref):
         return ref[0] if len(ref.shape) == 3 else ref[...]
+
+    def rd2(ref):
+        # plane blocks arrive as [(1,) 1, rows, TN] (host-side reshape to
+        # [(L,) KT, rows, N] keeps Mosaic's sublane-divisibility rule: the
+        # rows dim is taken whole) -> [rows, TN]
+        v = ref[...]
+        return v.reshape(v.shape[-2], v.shape[-1])
 
     codes = rd(c_ref)
     tn = codes.shape[0]
@@ -359,18 +374,18 @@ def _kernel_prefill(x_ref, c_ref, *refs, k, gs, exact):
           == jax.lax.broadcasted_iota(jnp.int32, (J, chunk), 0)
           ).astype(jnp.float32)
     acc = jnp.zeros((tm, tn), jnp.float32)
-    for s in range(k // chunk):
+    for s in range(tk // chunk):
         cs = slice(s * chunk, (s + 1) * chunk)
         if exact:
-            d = rd(d_ref)[s:s + 1, :]
-            dm = rd(dm_ref)[s:s + 1, :]
-            sct = rd(sc6_ref)[s * J:(s + 1) * J, :].astype(jnp.int32
-                                                           ).astype(jnp.float32) * d
-            bt = rd(mn6_ref)[s * J:(s + 1) * J, :].astype(jnp.int32
-                                                          ).astype(jnp.float32) * (-dm)
+            d = rd2(d_ref)[s:s + 1, :]
+            dm = rd2(dm_ref)[s:s + 1, :]
+            sct = rd2(sc6_ref)[s * J:(s + 1) * J, :].astype(jnp.int32
+                                                            ).astype(jnp.float32) * d
+            bt = rd2(mn6_ref)[s * J:(s + 1) * J, :].astype(jnp.int32
+                                                           ).astype(jnp.float32) * (-dm)
         else:
-            sct = rd(a_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
-            bt = rd(b_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
+            sct = rd2(a_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
+            bt = rd2(b_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
         a_e = _expand_ab(sct, e8)  # [TN, chunk]
         b_e = _expand_ab(bt, e8)
         dense = (codes[:, cs].astype(jnp.float32) * a_e + b_e
@@ -379,7 +394,14 @@ def _kernel_prefill(x_ref, c_ref, *refs, k, gs, exact):
             x_ref[:, cs], dense, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    o_ref[...] = acc
+
+    @pl.when(ki == 0)
+    def _init():
+        o_ref[...] = acc
+
+    @pl.when(ki > 0)
+    def _acc():
+        o_ref[...] += acc
 
 
 @functools.partial(
@@ -398,56 +420,85 @@ def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
     the codes in their storage layout, once."""
     k, n_out, m, gs, exact = meta
     tn = tn or TN
-    g = k // gs
-    sbk = k // (J * gs)
-    tm = min(128, -(-m // 8) * 8)
+    chunk = J * gs
+    n_chunks = k // chunk
+    # K tile: the largest chunk-multiple divisor of K within ~2 KB/row —
+    # k becomes a grid dimension (innermost) so one M tile can cover the
+    # whole prefill bucket within VMEM and the dequant runs once
+    tk_c = 1
+    for c in range(1, n_chunks + 1):
+        if n_chunks % c == 0 and c * chunk <= 2048:
+            tk_c = c
+    tk = tk_c * chunk
+    tm = min(512, -(-m // 8) * 8)
+
     # VMEM budget: Mosaic double-buffers the x and codes blocks; shrink TM
-    # then TN until 2*(tm*k*2 + tn*k) + chunk temps fit the 16 MB scoped
-    # limit with headroom (measured overflow: TM=128/TN=256 at K=13824)
+    # then TN until the blocks + acc/out + chunk temps fit scoped VMEM
     def est(tm_, tn_):
-        return 2 * (tm_ * k * 2 + tn_ * k) + tm_ * tn_ * 8 + 3 * tn_ * k // gs
-    while est(tm, tn) > 11_500_000 and tm > 32:
+        return (2 * (tm_ * tk * 2 + tn_ * tk) + 2 * tm_ * tn_ * 4
+                + tn_ * chunk * 2 + 3 * tn_ * tk // gs)
+    while est(tm, tn) > 11_500_000 and tm > 64:
         tm //= 2
     while est(tm, tn) > 11_500_000 and tn > 128:
         tn //= 2
     m_pad = -(-m // tm) * tm
     n_pad = -(-n_out // tn) * tn
+    g_t = tk // gs
+    sbk_t = tk // chunk
     codes = planes[0]
     stacked = codes.ndim == 3
     li = static_layer if stacked else None
     xp = jnp.zeros((m_pad, k), jnp.bfloat16).at[:m].set(x.astype(jnp.bfloat16))
-    # grid (n, m): m innermost so the codes block streams once per N tile
-    grid = (n_pad // tn, m_pad // tm)
+    # grid (m, n, k): k innermost (output block accumulates in place); for
+    # the engine's <= 512-row prefill buckets m is a single tile, so every
+    # weight element is fetched AND dequantized exactly once
+    grid = (m_pad // tm, n_pad // tn, k // tk)
 
     def nk_spec():
         if stacked:
-            return pl.BlockSpec((1, tn, k), lambda ni, mi: (li, ni, 0))
-        return pl.BlockSpec((tn, k), lambda ni, mi: (ni, 0))
+            return pl.BlockSpec((1, tn, tk), lambda mi, ni, ki: (li, ni, ki))
+        return pl.BlockSpec((tn, tk), lambda mi, ni, ki: (ni, ki))
+
+    # Planes reshape (free — contiguous) to [(L,) KT, rows, N] so each
+    # block takes the rows dim WHOLE: Mosaic requires the block's
+    # second-to-last dim be 8-divisible or full, and per-K-tile row counts
+    # (e.g. 5 superblocks at TK=1280) are neither when sliced from [SB, N]
+    kt = k // tk
+
+    def gn_reshape(p, rows):
+        if stacked:
+            return p.reshape(p.shape[0], kt, rows, p.shape[-1])
+        return p.reshape(kt, rows, p.shape[-1])
 
     def gn_spec(rows):
         if stacked:
-            return pl.BlockSpec((1, rows, tn), lambda ni, mi: (li, 0, ni))
-        return pl.BlockSpec((rows, tn), lambda ni, mi: (0, ni))
+            return pl.BlockSpec((1, 1, rows, tn),
+                                lambda mi, ni, ki: (li, ki, 0, ni))
+        return pl.BlockSpec((1, rows, tn), lambda mi, ni, ki: (ki, 0, ni))
 
-    plane_specs = ([gn_spec(g), gn_spec(g), gn_spec(sbk), gn_spec(sbk)]
-                   if exact else [gn_spec(g), gn_spec(g)])
+    if exact:
+        plane_rows = [g_t, g_t, sbk_t, sbk_t]
+    else:
+        plane_rows = [g_t, g_t]
+    plane_args = [gn_reshape(p, r) for p, r in zip(planes[1:], plane_rows)]
+    plane_specs = [gn_spec(r) for r in plane_rows]
     out = pl.pallas_call(
-        functools.partial(_kernel_prefill, k=k, gs=gs, exact=exact),
+        functools.partial(_kernel_prefill, tk=tk, gs=gs, exact=exact),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0)),
+            pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki)),
             nk_spec(),
             *plane_specs,
         ],
-        out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni)),
+        out_specs=pl.BlockSpec((tm, tn), lambda mi, ni, ki: (mi, ni)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n_pad,
-            bytes_accessed=n_pad * k + m_pad * k * 2 + 3 * n_pad * g,
+            bytes_accessed=n_pad * k + m_pad * k * 2 + 3 * n_pad * (k // gs),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, *planes)
+    )(xp, planes[0], *plane_args)
     return out[:m, :n_out]
 
 

@@ -30,7 +30,8 @@ def _f32_payload(a: np.ndarray):
     return a.shape, DataType.F32, a.view(np.uint8).reshape(-1)
 
 
-def build_container(path, rng: np.random.Generator, quant: DataType | None = None):
+def build_container(path, rng: np.random.Generator, quant: DataType | None = None,
+                    llm_d: int = LLM_D):
     """Write a tiny but structurally faithful minigpt4 container."""
     cfg = {
         "ftype": "f32",
@@ -115,8 +116,8 @@ def build_container(path, rng: np.random.Generator, quant: DataType | None = Non
     w.add_model("Qformer", qf)
 
     pj = []
-    add_t(pj, "weight", n(LLM_D, QF_HIDDEN))
-    add_t(pj, "bias", n(LLM_D))
+    add_t(pj, "weight", n(llm_d, QF_HIDDEN))
+    add_t(pj, "bias", n(llm_d))
     w.add_model("llama_proj", pj)
     w.write()
     return path
@@ -167,6 +168,62 @@ def build_tiny_models(tmp_path, quant: DataType | None = None, seed: int = 42):
     rng = np.random.default_rng(seed)
     model = build_container(tmp_path / "minigpt4-tiny.bin", rng, quant)
     llm = build_llm(tmp_path / "vicuna-tiny.bin", rng, quant)
+    return model, llm
+
+
+# GQ-ELIGIBLE geometry: every quantized matmul K is a 256 multiple, so the
+# byte-code paths (gq / w8a8) load for real instead of falling back — the
+# default 13B TPU resolution, exercised at test size (engine e2e in
+# tests/test_engine_gq.py; the 32-wide geometry above can never take it).
+GQ_D, GQ_HEADS, GQ_LAYERS, GQ_FF = 256, 4, 2, 768
+
+
+def build_llm_gq(path, rng: np.random.Generator,
+                 quant: DataType = DataType.Q5_K):
+    """Tiny ggjt llama whose K dims (256/768) satisfy the byte-code
+    eligibility rule (K % 256 == 0)."""
+    hp = LlamaHParams(
+        n_vocab=VOCAB, n_embd=GQ_D, n_mult=256, n_head=GQ_HEADS,
+        n_layer=GQ_LAYERS, n_rot=GQ_D // GQ_HEADS, ftype=0,
+    )
+    assert hp.n_ff == GQ_FF, hp.n_ff
+    toks = [b"<unk>", b"<s>", b"</s>"] + [bytes([b]) for b in range(256)]
+    toks += [b" Human", b" Assistant", b"###"]
+    vocab = LlamaVocab(tokens=toks, scores=[0.0] * 259 + [1.0, 1.0, 2.0])
+    w = LlamaFileWriter(path, hp, vocab)
+
+    def n(*shape, scale=0.05):
+        return rng.normal(0, scale, shape).astype(np.float32)
+
+    def add(name, arr, q=False):
+        if q and arr.size % 256 == 0:
+            w.add_tensor(name, arr.shape, quant, quants.quantize(arr.reshape(-1), quant))
+        else:
+            a = np.ascontiguousarray(arr, np.float32).astype("<f4")
+            w.add_tensor(name, a.shape, DataType.F32, a.view(np.uint8).reshape(-1))
+
+    add("tok_embeddings.weight", n(VOCAB, GQ_D, scale=0.2))
+    add("norm.weight", 1 + n(GQ_D))
+    add("output.weight", n(VOCAB, GQ_D, scale=0.2), q=True)
+    for i in range(GQ_LAYERS):
+        p = f"layers.{i}."
+        add(p + "attention_norm.weight", 1 + n(GQ_D))
+        add(p + "attention.wq.weight", n(GQ_D, GQ_D), q=True)
+        add(p + "attention.wk.weight", n(GQ_D, GQ_D), q=True)
+        add(p + "attention.wv.weight", n(GQ_D, GQ_D), q=True)
+        add(p + "attention.wo.weight", n(GQ_D, GQ_D), q=True)
+        add(p + "ffn_norm.weight", 1 + n(GQ_D))
+        add(p + "feed_forward.w1.weight", n(GQ_FF, GQ_D), q=True)
+        add(p + "feed_forward.w2.weight", n(GQ_D, GQ_FF), q=True)
+        add(p + "feed_forward.w3.weight", n(GQ_FF, GQ_D), q=True)
+    w.write()
+    return path
+
+
+def build_gq_models(tmp_path, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    model = build_container(tmp_path / "minigpt4-gq.bin", rng, llm_d=GQ_D)
+    llm = build_llm_gq(tmp_path / "vicuna-gq.bin", rng)
     return model, llm
 
 

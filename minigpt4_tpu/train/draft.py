@@ -145,15 +145,20 @@ def load_artifact(path: str | Path) -> tuple[dict, DraftHeadConfig]:
     return art, cfg
 
 
-def make_distill_step(dcfg: llama_mod.LlamaConfig, opt, main_emb):
+def make_distill_step(dcfg: llama_mod.LlamaConfig, opt):
     """One jitted distillation step.
 
     Loss: mean CE of draft logits (teacher-forced, all positions past
     ``warm``) against the teacher's greedy token — the exact event the
     speculative verify pass accepts on.  f32 end-to-end inside the draft
-    (bf16 drafting is what serving runs; training in f32 keeps Adam sane)."""
+    (bf16 drafting is what serving runs; training in f32 keeps Adam sane).
 
-    def loss_fn(art, tokens, targets, warm):
+    ``main_emb`` is a step ARGUMENT, not a closure: a captured [V, d_main]
+    f32 table becomes an embedded HLO constant, and remote-compile relays
+    reject the resulting ~0.7 GB payload (HTTP 413 — the round-3 trainer
+    failure mode)."""
+
+    def loss_fn(art, main_emb, tokens, targets, warm):
         dparams = assemble_draft(main_emb, art, dtype=jnp.float32)
         b, t = tokens.shape
         cache = llama_mod.init_cache(dcfg, batch=b, dtype=jnp.float32)
@@ -170,9 +175,9 @@ def make_distill_step(dcfg: llama_mod.LlamaConfig, opt, main_emb):
         return (ce * mask).sum() / mask.sum(), (acc * mask).sum() / mask.sum()
 
     @jax.jit
-    def step(art, opt_state, tokens, targets, warm):
+    def step(art, opt_state, main_emb, tokens, targets, warm):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            art, tokens, targets, warm)
+            art, main_emb, tokens, targets, warm)
         updates, opt_state = opt.update(grads, opt_state, art)
         import optax
 

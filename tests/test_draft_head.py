@@ -55,12 +55,13 @@ def test_distill_improves_agreement_and_integrates(tmp_path):
     targets = D.teacher_targets(teacher, TCFG, toks, cache_dtype=jnp.float32)
 
     opt = optax.adamw(3e-3)
-    step = D.make_distill_step(dcfg, opt, teacher["tok_embeddings"])
+    emb = teacher["tok_embeddings"]
+    step = D.make_distill_step(dcfg, opt)
     st = opt.init(art)
-    _, _, loss0, acc0 = step(art, st, toks, targets, 4)
+    _, _, loss0, acc0 = step(art, st, emb, toks, targets, 4)
     losses = []
     for _ in range(60):
-        art, st, loss, acc = step(art, st, toks, targets, 4)
+        art, st, loss, acc = step(art, st, emb, toks, targets, 4)
         losses.append(float(loss))
     assert losses[-1] < float(loss0) * 0.7, (float(loss0), losses[-1])
     assert float(acc) > float(acc0), (float(acc0), float(acc))

@@ -185,12 +185,12 @@ def main() -> None:
     art = D.init_draft_head(jax.random.PRNGKey(1), cfg.n_embd, dhc)
     sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, 50, args.steps)
     opt = optax.adamw(sched, weight_decay=1e-4)
-    step = D.make_distill_step(dcfg, opt, emb32)
+    step = D.make_distill_step(dcfg, opt)
     st = opt.init(art)
     t0 = time.perf_counter()
     for i in range(args.steps):
         toks, tgts = data[i % len(data)]
-        art, st, loss, acc = step(art, st, jnp.asarray(toks),
+        art, st, loss, acc = step(art, st, emb32, jnp.asarray(toks),
                                   jnp.asarray(tgts), 8)
         if i % 100 == 0 or i == args.steps - 1:
             print(f"[draft-train] step {i}: loss {float(loss):.3f} "

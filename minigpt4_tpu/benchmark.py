@@ -26,6 +26,17 @@ from .formats.dtypes import DataType, row_bytes, traits
 from .models import llama as llama_mod
 from .models import eva_vit, qformer, minigpt4 as vision_mod
 
+import os as _os
+
+# Synthetic gq teacher residual scale (see gqstack in synth_llama_params).
+# Measured conditioning on this chip (512-token random streams, argmax
+# targets): 4e-5+ = fully chaotic (unlearnable, ~every target unique),
+# 1e-5 = near-collapsed (9 distinct targets).  2e-5 sits in the partially-
+# predictable middle (44 distinct targets, 0.46 modal share per current
+# token) — the noisy-bigram regime that makes draft-head distillation a
+# real generalization task instead of a triviality in either direction.
+GQ_SYNTH_D = float(_os.environ.get("MINIGPT4_TPU_GQ_SYNTH_D", "2e-5"))
+
 # f16 1.0 little-endian
 _F16_ONE = (0x00, 0x3C)
 # scale byte positions (offset, and a second scale field offset or None)
@@ -165,15 +176,34 @@ def synth_llama_params(
 
         def gqstack(n_out, n_in, lead=(L,)):
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+            k_c, k_sc, k_mn = jax.random.split(key, 3)
             codes = jax.lax.bitwise_and(
-                _synth_i8_codes(key, lead=lead, n_out=n_out, n_in=n_in),
+                _synth_i8_codes(k_c, lead=lead, n_out=n_out, n_in=n_in),
                 jnp.int8(0x1F),
             )  # q in [0, 31]
             g, sb = n_in // 32, n_in // 256
-            sc6 = jnp.full((*lead, g, n_out), 40, jnp.uint8)
-            mn6 = jnp.full((*lead, g, n_out), 20, jnp.uint8)
-            d = jnp.full((*lead, sb, n_out), 1.6e-4, jnp.float32)
-            dmin = jnp.full((*lead, sb, n_out), 1e-4, jnp.float32)
+            # varied sub-scales with a mean-cancelling dmin: constant planes
+            # give every weight the SAME positive mean (A*15.5 + B ~ +0.1),
+            # a rank-one common mode that drives the 40-layer forward to an
+            # input-independent fixed point — the teacher's argmax collapses
+            # to one token and every teacher-derived metric (draft-head
+            # acceptance above all) reads as trivially perfect.  E[sc6] =
+            # E[mn6] = 40 and dmin = d*15.5 zero the mean per group in
+            # expectation while per-group variation keeps rows distinct.
+            # GQ_SYNTH_D tempers the residual scale: at 1.6e-4 the random
+            # 40-layer map is fully chaotic (every argmax context-unique —
+            # unlearnable by ANY small drafter); smaller values make the
+            # teacher bigram-dominant-but-context-sensitive, the local-
+            # predictability regime real trained LMs actually occupy (and
+            # the one where speculation pays).  tools/train_bench_draft.py
+            # documents the measured conditioning at the default.
+            base_d = GQ_SYNTH_D
+            sc6 = jax.random.randint(k_sc, (*lead, g, n_out), 20, 61
+                                     ).astype(jnp.uint8)
+            mn6 = jax.random.randint(k_mn, (*lead, g, n_out), 20, 61
+                                     ).astype(jnp.uint8)
+            d = jnp.full((*lead, sb, n_out), base_d, jnp.float32)
+            dmin = jnp.full((*lead, sb, n_out), base_d * 15.5, jnp.float32)
             return {"w": GroupQuant(codes, sc6, mn6, d, dmin, None, None,
                                     DataType.Q5_K, n_in, 32)}
 
@@ -818,9 +848,11 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
             return
         from ..train import draft as draft_mod
 
-        # score the head only inside the arm whose teacher numerics it was
-        # distilled against (argmax agreement is numerics-sensitive)
-        if quant_mode != draft_mod.artifact_teacher_mode(art_path):
+        # score the head only inside the arm whose teacher it was distilled
+        # against: same numerics AND (for gq) the same synthetic-teacher
+        # conditioning (argmax agreement is sensitive to both)
+        tag = (f"gq@{GQ_SYNTH_D:g}" if quant_mode == "gq" else quant_mode)
+        if tag != draft_mod.artifact_teacher_mode(art_path):
             return
 
         art, dhc = draft_mod.load_artifact(art_path)

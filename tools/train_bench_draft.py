@@ -214,8 +214,10 @@ def main() -> None:
     from pathlib import Path
 
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    D.save_artifact(args.out, art, dhc, teacher_mode=args.quant_mode)
-    print(f"[draft-train] saved {args.out} (teacher {args.quant_mode})")
+    tag = (f"gq@{B.GQ_SYNTH_D:g}" if args.quant_mode == "gq"
+           else args.quant_mode)
+    D.save_artifact(args.out, art, dhc, teacher_mode=tag)
+    print(f"[draft-train] saved {args.out} (teacher {tag})")
 
 
 if __name__ == "__main__":

@@ -1,15 +1,31 @@
 #!/usr/bin/env python
-"""Driver benchmark: ONE JSON line with the headline metric.
+"""Driver benchmark: prints the headline JSON line INCREMENTALLY.
 
 Headline: decode tok/s/chip for a Vicuna-13B-geometry q5_k file in the
 engine's DEFAULT TPU configuration — quant_mode auto resolves single-stream
 13B to "gq" (EXACT ggml q5_k dequant semantics, i8 codes contracted on the
 MXU — ops/group_i8.py) with the fp8 KV cache at 13B residency
 (engine.resolve_llm_quant_mode; decision in docs/QUALITY.md).  The dense
-batched-serving arm (where auto resolves to w8a8: B lane caches do not fit
-beside the gq scale planes) rides along as w8a8_tok_s + the batched/paged
-aggregates.  BASELINE.md target: >= 30 tok/s on one v5e chip ->
-vs_baseline = value/30.  Falls back to the 7B geometry if 13B fails.
+batched-serving arm (where auto resolves to w8a8) rides along.
+BASELINE.md target: >= 30 tok/s on one v5e chip -> vs_baseline = value/30.
+Falls back to the 7B geometry if 13B fails.
+
+Un-killable emission contract (VERDICT r3 weak #1: a driver timeout
+captured NOTHING because the single JSON line printed only after every
+section finished):
+  * the headline JSON line is printed (flushed) the moment the core
+    prefill/decode block completes, then RE-printed enriched after every
+    rider section — the driver parses the last complete line, so partial
+    beats nothing;
+  * every optional section checks a wall-clock budget first
+    (MINIGPT4_BENCH_BUDGET_S, default 1500 s total) and is skipped with a
+    notice when it would overrun;
+  * the expensive full kernel gate runs LAST, only if time remains (its
+    fail-fast/compile-warm role moved to CI — ci.yml kernel-gate job); a
+    single cheap gq-shape probe before the build keeps the named-shape
+    fail-fast for the headline path itself;
+  * every line carries chip_bw_gbps (the shared dev chip swings 3-4x;
+    decode tok/s is bytes/rate — read `value` against it).
 
 Each model attempt runs in its OWN subprocess: the tunneled TPU backend's
 allocator state (over-commit + fragmentation after a failed 10 GB build) is
@@ -22,61 +38,175 @@ import json
 import os
 import subprocess
 import sys
+import time
+
+DEFAULT_BUDGET_S = 1500.0
+
+
+def _deadline_epoch() -> float:
+    ep = os.environ.get("_MINIGPT4_BENCH_DEADLINE_EPOCH")
+    if ep:
+        return float(ep)
+    return time.time() + float(
+        os.environ.get("MINIGPT4_BENCH_BUDGET_S", DEFAULT_BUDGET_S))
 
 
 def run_single(model: str) -> int:
+    deadline = _deadline_epoch()
+    t_start = time.time()
     import jax
 
     from minigpt4_tpu.benchmark import GEOMETRIES, bench_decode, bench_encode
     from minigpt4_tpu.formats.dtypes import DataType
 
     on_tpu = jax.default_backend() != "cpu"
-    if on_tpu:
-        if model == "13B":
-            # compile gate first: kernel VMEM/Mosaic regressions fail fast
-            # with a named shape (and warm the compile cache) instead of
-            # dying inside the 40-layer model
-            from minigpt4_tpu.kernel_gate import run_gate
 
-            if not run_gate(fast=True):
-                print("[bench] kernel gate FAILED (see stderr above)", file=sys.stderr)
-        # HEADLINE = the engine's DEFAULT configuration for a q5_k file on
-        # TPU: quant_mode auto -> "gq" single-stream (EXACT ggml dequant
-        # semantics at byte-code speed, ops/group_i8.py) with the fp8 KV
-        # cache the engine picks at 13B residency
-        # (engine.resolve_llm_quant_mode / pick_cache_dtype)
+    # --- incremental line state: compose + print the full headline line
+    # from whatever has been measured so far; re-printed after each section
+    st = {"dec": {}, "enc": {}, "srv": {}, "q5k_old": {}, "chip_bw": None,
+          "gate_ok": None, "metric": "", "complete": False}
+
+    def compose() -> dict:
+        dec, enc, srv, q5k_old = st["dec"], st["enc"], st["srv"], st["q5k_old"]
+        value = round(dec.get("decode_tok_s", 0.0), 2)
+        line = {
+            "metric": st["metric"],
+            "value": value,
+            "unit": "tok/s",
+            "vs_baseline": round(value / 30.0, 3),
+        }
+        if st["chip_bw"] is not None:
+            # chip-state calibration: effective GB/s of an XLA dense bf16
+            # matvec chain at measurement time (shared dev chip swings 3-4x
+            # day-to-day; decode tok/s is bytes/rate — read value vs this)
+            line["chip_bw_gbps"] = st["chip_bw"]
+        if "decode_stepwise_tok_s" in dec:
+            # the strict per-token C ABI loop (host-side sampling), the
+            # second BASELINE contract number
+            line["decode_stepwise_tok_s"] = round(dec["decode_stepwise_tok_s"], 2)
+        if on_tpu and model == "13B" and value:
+            # continuity key: the exact-q5_k rate IS the headline
+            # (quant_mode="gq": direct-MXU group-quant kernel, bit-exact
+            # q5_k weight dequant — ops/group_i8.py)
+            line["q5k_exact_tok_s"] = value
+            line["q5k_exact_kernel"] = "gq-direct-mxu"
+        sv = srv or dec
+        if "decode_tok_s" in srv:
+            line["w8a8_tok_s"] = round(srv["decode_tok_s"], 2)
+        if "decode_tok_s_batched_aggregate" in sv:
+            line["batched_aggregate_tok_s"] = round(
+                sv["decode_tok_s_batched_aggregate"], 2)
+            line["batch"] = sv.get("decode_batch")
+        if "decode_tok_s_batched_paged_aggregate" in sv:
+            line["batched_paged_tok_s"] = round(
+                sv["decode_tok_s_batched_paged_aggregate"], 2)
+            line["paged_lanes"] = sv.get("paged_lanes")
+        if "decode_tok_s_batched_spec" in sv:
+            line["batched_spec_tok_s_measured"] = round(
+                sv["decode_tok_s_batched_spec"], 2)
+        if "draft_spec_pass_ms" in dec:
+            line["draft_spec_pass_ms"] = round(dec["draft_spec_pass_ms"], 2)
+            line["draft_spec_tok_s_at_accept2"] = round(
+                dec["draft_spec_tok_s_at_accept2"], 2)
+        if "decode_tok_s_paged_spec" in sv:
+            line["paged_spec_tok_s_measured"] = round(
+                sv["decode_tok_s_paged_spec"], 2)
+        if "decode_tok_s_spec" in dec:
+            # greedy speculative decoding (n-gram drafted, verify-k=8):
+            # _measured = acceptance on the synthetic greedy stream,
+            # _realistic = same pass cost at teacher-forced acceptance on
+            # non-repetitive prose, _saturated = arithmetic bound
+            line["speculative_tok_s_measured"] = round(dec["decode_tok_s_spec"], 2)
+            line["spec_accept_per_pass_measured"] = round(
+                dec["spec_accept_per_pass"], 2)
+            if "spec_pass_ms" in dec and "spec_k" in dec:
+                line["speculative_tok_s_saturated"] = round(
+                    dec["spec_k"] * 1e3 / dec["spec_pass_ms"], 2)
+            if "decode_tok_s_spec_realistic" in dec:
+                line["speculative_tok_s_realistic"] = round(
+                    dec["decode_tok_s_spec_realistic"], 2)
+                line["spec_accept_realistic"] = round(dec["spec_accept_realistic"], 2)
+        if "decode_tok_s_draft_realistic" in dec:
+            # the TRAINED draft head.  Provenance: distilled from THIS
+            # synthetic bench teacher (tools/train_bench_draft.py) —
+            # acceptance on real Vicuna text is unknowable without real
+            # checkpoints (tools/day_one_validation.sh stage covers that)
+            line["draft_head_accept_realistic"] = round(
+                dec["draft_head_accept_realistic"], 2)
+            line["draft_head_tok_s_realistic"] = round(
+                dec["decode_tok_s_draft_realistic"], 2)
+            line["draft_head_pass_ms"] = round(dec["draft_head_pass_ms"], 2)
+            line["draft_head_provenance"] = "distilled-from-synthetic-teacher"
+        if "encode_ms_p50" in enc:
+            line["encode_ms_p50"] = round(enc["encode_ms_p50"], 2)
+        if "encode_imgs_s" in enc:
+            line["encode_imgs_s_batch8"] = round(enc["encode_imgs_s"], 2)
+        if "prefill_tok_s" in dec:
+            line["prefill_tok_s"] = round(dec["prefill_tok_s"], 1)
+        if "decode_tok_s" in q5k_old:
+            line["q5k_bf16stage_tok_s"] = round(q5k_old["decode_tok_s"], 2)
+        skipped = ",".join(
+            s for d in (dec, srv) for s in d.get("skipped_sections", "").split(",")
+            if s)
+        if skipped:
+            line["skipped_sections"] = skipped
+        if st["gate_ok"] is not None:
+            line["kernel_gate_ok"] = st["gate_ok"]
+        line["elapsed_s"] = round(time.time() - t_start, 1)
+        line["complete"] = st["complete"]
+        return line
+
+    def emit_line():
+        # one flushed line per emission: the driver takes the last complete
+        # JSON line, so a kill between emissions costs only the un-run tail
+        print(json.dumps(compose()), flush=True)
+
+    def left() -> float:
+        return deadline - time.time()
+
+    if on_tpu:
         import jax.numpy as jnp
 
         # cache dtype per the engine's own residency policy: fp8 at 13B
         # (byte codes + bf16 cache would not fit 16 GB), bf16 at 7B
         cache_dt = jnp.float8_e4m3fn if model == "13B" else jnp.bfloat16
-        # chip-state calibration FIRST (before the 13 GB build): the shared
-        # dev chip's sustained bandwidth swings 3-4x between sessions, and
-        # decode tok/s is bytes/rate — this rider lets the headline be read
-        # against what the chip offered at measurement time
-        chip_bw = None
+        st["metric"] = (f"decode tok/s/chip ({model} q5_k file, default "
+                        f"engine config: exact gq)")
+        # chip-state calibration FIRST (before the 13 GB build)
         try:
             from minigpt4_tpu.benchmark import chip_state_probe
 
-            chip_bw = round(chip_state_probe(), 1)
+            st["chip_bw"] = round(chip_state_probe(), 1)
         except Exception as e:
             print(f"[bench] chip-state probe failed: {e}", file=sys.stderr)
-        # 13B: single-stream groups on the gq default; the serving arm runs
-        # separately below on w8a8 (auto's dense-serving resolution — B lane
-        # caches beside gq codes+planes exceed HBM).  7B: everything fits in
-        # one gq arm.
-        dec = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64,
-                           cache_dtype=cache_dt, quant_mode="gq",
-                           sections="single" if model == "13B" else "all")
-        if chip_bw is not None:
-            dec["chip_bw_gbps"] = chip_bw
-        try:
-            enc = bench_encode(GEOMETRIES[model].n_embd)
-        except Exception as e:  # encode is secondary; never lose the headline
-            print(f"[bench] encode failed: {e}", file=sys.stderr)
-            enc = {}
-        metric = (f"decode tok/s/chip ({model} q5_k file, default engine "
-                  f"config: exact gq)")
+        if model == "13B":
+            # cheap named-shape fail-fast for the HEADLINE path only (the
+            # gq decode kernel at the worst-case K); the full gate sweep
+            # moved to the end of the run + the CI kernel-gate job
+            try:
+                from minigpt4_tpu.kernel_gate import _check_gq
+
+                dt = _check_gq("13B w2 gq M=1 stacked", 13824, 5120, 1, True)
+                print(f"[bench] headline-gate gq w2 M=1 OK ({dt:.1f}s)",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"[bench] headline-gate FAILED: {e}", file=sys.stderr)
+        # HEADLINE = the engine's DEFAULT configuration for a q5_k file on
+        # TPU: quant_mode auto -> "gq" single-stream (EXACT ggml dequant
+        # semantics at byte-code speed, ops/group_i8.py)
+        dec = bench_decode(
+            model, DataType.Q5_K, n_decode=64, prefill_len=64,
+            cache_dtype=cache_dt, quant_mode="gq",
+            sections="single" if model == "13B" else "all",
+            emit=lambda d: (st.__setitem__("dec", d), emit_line()),
+            deadline=deadline - 20)
+        st["dec"] = dec
+        if left() > 120:
+            try:
+                st["enc"] = bench_encode(GEOMETRIES[model].n_embd)
+            except Exception as e:  # encode is secondary; never lose the headline
+                print(f"[bench] encode failed: {e}", file=sys.stderr)
+        emit_line()
     else:
         # CPU smoke: tiny geometry so CI completes; value not meaningful
         import jax.numpy as jnp
@@ -84,136 +214,63 @@ def run_single(model: str) -> int:
         from minigpt4_tpu import benchmark as B
 
         B.GEOMETRIES["smoke"] = LlamaConfig(
-            n_vocab=512, n_embd=256, n_head=4, n_layer=2, n_rot=64, n_ff=512, n_ctx=128
-        )
-        dec = bench_decode("smoke", DataType.Q5_K, n_decode=8, prefill_len=8,
-                           dtype=jnp.float32, cache_dtype=jnp.float32)
-        enc = {}
-        metric = "decode tok/s (cpu smoke)"
+            n_vocab=512, n_embd=256, n_head=4, n_layer=2, n_rot=64, n_ff=512,
+            n_ctx=128)
+        st["dec"] = bench_decode(
+            "smoke", DataType.Q5_K, n_decode=8, prefill_len=8,
+            dtype=jnp.float32, cache_dtype=jnp.float32)
+        st["metric"] = "decode tok/s (cpu smoke)"
+        emit_line()
 
-    srv = {}
-    q5k_old = {}
     if on_tpu and model == "13B":
-        # dense-serving arm: auto resolves batch>1 13B to w8a8 (1 B/weight,
-        # no scale planes -> room for the B-lane cache group).  Carries the
-        # batched/paged/batched-spec aggregates plus the w8a8 fused decode
-        # rate.  Measured after the headline so a failure here never costs it.
         import jax.numpy as jnp
 
-        try:
-            srv = bench_decode(model, DataType.Q5_K, n_decode=64, prefill_len=64,
-                               quant_mode="w8a8", sections="serving",
-                               cache_dtype=jnp.float8_e4m3fn)
-        except Exception as e:
-            print(f"[bench] w8a8 serving arm failed: {e}", file=sys.stderr)
+        # dense-serving arm: auto resolves batch>1 13B to w8a8 (1 B/weight,
+        # no scale planes -> room for the B-lane cache group).  Measured
+        # after the headline so a failure here never costs it.
+        if left() > 300:
+            try:
+                st["srv"] = bench_decode(
+                    model, DataType.Q5_K, n_decode=64, prefill_len=64,
+                    quant_mode="w8a8", sections="serving",
+                    cache_dtype=jnp.float8_e4m3fn,
+                    emit=lambda d: (st.__setitem__("srv", d), emit_line()),
+                    deadline=deadline - 20)
+            except Exception as e:
+                print(f"[bench] w8a8 serving arm failed: {e}", file=sys.stderr)
+            emit_line()
         # continuity rider: the round-2 bf16-staging kernel (quant_mode=
         # "repack"), for the gq-vs-old comparison in the same chip state
-        try:
-            q5k_old = bench_decode(model, DataType.Q5_K, n_decode=64,
-                                   prefill_len=64, quant_mode="repack",
-                                   quick=True)
-        except Exception as e:
-            print(f"[bench] q5_k bf16-stage rider failed: {e}", file=sys.stderr)
+        if left() > 240:
+            try:
+                st["q5k_old"] = bench_decode(
+                    model, DataType.Q5_K, n_decode=64, prefill_len=64,
+                    quant_mode="repack", quick=True)
+            except Exception as e:
+                print(f"[bench] q5_k bf16-stage rider failed: {e}", file=sys.stderr)
+            emit_line()
+        # full fast kernel gate LAST: compile-warms the repack/i8 shapes for
+        # CI and the next run, and records regressions — with the whole
+        # headline already on stdout, a slow cold compile here costs nothing
+        if left() > 200:
+            try:
+                from minigpt4_tpu.kernel_gate import run_gate
 
-    value = round(dec["decode_tok_s"], 2)
-    extras = {k: round(v, 2) for k, v in {**dec, **enc}.items()}
+                st["gate_ok"] = bool(run_gate(fast=True))
+            except Exception as e:
+                print(f"[bench] kernel gate errored: {e}", file=sys.stderr)
+                st["gate_ok"] = False
+
+    st["complete"] = True
+    extras = {k: round(v, 2) for k, v in {**st["dec"], **st["enc"]}.items()
+              if isinstance(v, (int, float))}
     print(f"[bench] details: {json.dumps(extras)}", file=sys.stderr)
-    if srv:
-        srv_extras = {k: round(v, 2) for k, v in srv.items()
+    if st["srv"]:
+        srv_extras = {k: round(v, 2) for k, v in st["srv"].items()
                       if isinstance(v, (int, float))}
         print(f"[bench] serving-arm details: {json.dumps(srv_extras)}",
               file=sys.stderr)
-    line = {
-        "metric": metric,
-        "value": value,
-        "unit": "tok/s",
-        "vs_baseline": round(value / 30.0, 3),
-    }
-    # single-stream is the headline (the reference is single-stream); the
-    # batched-serving aggregates ride along for context.  At 13B they come
-    # from the w8a8 serving arm (srv); at 7B everything ran in `dec`.
-    sv = srv or dec
-    if "decode_tok_s" in srv:
-        # the dense-serving default's fused single-stream rate (w8a8)
-        line["w8a8_tok_s"] = round(srv["decode_tok_s"], 2)
-    if "decode_tok_s_batched_aggregate" in sv:
-        line["batched_aggregate_tok_s"] = round(sv["decode_tok_s_batched_aggregate"], 2)
-        line["batch"] = sv.get("decode_batch")
-    if "decode_tok_s_batched_paged_aggregate" in sv:
-        # batched serving over the shared KV page pool (engine/paged.py):
-        # the bandwidth-parity check for paging (lane HBM tracks used
-        # context; per-lane rate should match the dense group)
-        line["batched_paged_tok_s"] = round(
-            sv["decode_tok_s_batched_paged_aggregate"], 2)
-        line["paged_lanes"] = sv.get("paged_lanes")
-    if "decode_tok_s_batched_spec" in sv:
-        # batched + speculative (the SessionPool greedy serving path), at
-        # whatever acceptance the synthetic stream produced
-        line["batched_spec_tok_s_measured"] = round(
-            sv["decode_tok_s_batched_spec"], 2)
-    if "draft_spec_pass_ms" in dec:
-        # draft-MODEL speculation (second small llama drafts, main verifies):
-        # pass cost + the effective rate a trained drafter at 2 accepted
-        # drafts/pass would deliver (acceptance itself needs real weights)
-        line["draft_spec_pass_ms"] = round(dec["draft_spec_pass_ms"], 2)
-        line["draft_spec_tok_s_at_accept2"] = round(
-            dec["draft_spec_tok_s_at_accept2"], 2)
-    if "decode_tok_s_paged_spec" in sv:
-        # paged pool x speculative verify passes (spec no longer forces
-        # serving groups off the paged capacity path)
-        line["paged_spec_tok_s_measured"] = round(
-            sv["decode_tok_s_paged_spec"], 2)
-    if "decode_tok_s_spec" in dec:
-        # greedy speculative decoding (n-gram drafted, verify-k=8), three
-        # views: _measured = acceptance on the synthetic greedy stream
-        # (workload-dependent: cyclic streams saturate it, novel streams
-        # floor it); _realistic = the same pass cost at teacher-forced
-        # acceptance on non-repetitive prose (spec_acceptance_on_stream);
-        # _saturated = the arithmetic bound k * passes/s if every draft
-        # were accepted.  Greedy output is token-identical in all cases.
-        line["speculative_tok_s_measured"] = round(dec["decode_tok_s_spec"], 2)
-        line["spec_accept_per_pass_measured"] = round(dec["spec_accept_per_pass"], 2)
-        if "spec_pass_ms" in dec and "spec_k" in dec:
-            line["speculative_tok_s_saturated"] = round(
-                dec["spec_k"] * 1e3 / dec["spec_pass_ms"], 2)
-        if "decode_tok_s_spec_realistic" in dec:
-            line["speculative_tok_s_realistic"] = round(
-                dec["decode_tok_s_spec_realistic"], 2)
-            line["spec_accept_realistic"] = round(dec["spec_accept_realistic"], 2)
-    if "decode_tok_s_draft_realistic" in dec:
-        # the TRAINED draft head (tools/train_bench_draft.py artifact):
-        # teacher-forced acceptance on held-out non-cyclic prose (agreement
-        # with the teacher's own predictions — the verify rule) over the
-        # REAL draft-loop pass cost.  This is the shipped engine's best
-        # honest realistic speculation; the n-gram figures above stay for
-        # the draftless configuration.
-        line["draft_head_accept_realistic"] = round(
-            dec["draft_head_accept_realistic"], 2)
-        line["draft_head_tok_s_realistic"] = round(
-            dec["decode_tok_s_draft_realistic"], 2)
-        line["draft_head_pass_ms"] = round(dec["draft_head_pass_ms"], 2)
-    if "encode_ms_p50" in enc:
-        line["encode_ms_p50"] = round(enc["encode_ms_p50"], 2)
-    if "encode_imgs_s" in enc:
-        line["encode_imgs_s_batch8"] = round(enc["encode_imgs_s"], 2)
-    if "prefill_tok_s" in dec:
-        # long-prompt prefill rate at the reference's n_batch default (512)
-        line["prefill_tok_s"] = round(dec["prefill_tok_s"], 1)
-    if "chip_bw_gbps" in dec:
-        # chip-state calibration: effective GB/s of an XLA dense bf16 matvec
-        # chain at measurement time (shared dev chip swings 3-4x day-to-day;
-        # decode tok/s is bytes/rate — read `value` against this)
-        line["chip_bw_gbps"] = dec["chip_bw_gbps"]
-    if on_tpu and model == "13B":
-        # continuity key: the exact-q5_k rate IS the headline now
-        # (quant_mode="gq": direct-MXU group-quant kernel, bit-exact q5_k
-        # weight dequant — ops/group_i8.py)
-        line["q5k_exact_tok_s"] = value
-        line["q5k_exact_kernel"] = "gq-direct-mxu"
-    if "decode_tok_s" in q5k_old:
-        # the round-2 bf16-staging kernel, same chip state (continuity)
-        line["q5k_bf16stage_tok_s"] = round(q5k_old["decode_tok_s"], 2)
-    print(json.dumps(line))
+    emit_line()
     return 0
 
 
@@ -221,17 +278,28 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
         sys.exit(run_single(sys.argv[2]))
 
+    deadline = _deadline_epoch()
+    env = dict(os.environ, _MINIGPT4_BENCH_DEADLINE_EPOCH=str(deadline))
     here = os.path.dirname(os.path.abspath(__file__))
     # 13B twice: the remote-compile tunnel occasionally drops a connection
-    # mid-compile; the retry rides the persistent compile cache
+    # mid-compile; the retry rides the persistent compile cache.  Retries
+    # only start while enough budget remains to reach a headline.
     for model in ("13B", "13B", "7B"):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", model],
-            cwd=here,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", model],
+                cwd=here, env=env,
+                timeout=max(60.0, deadline - time.time() + 30.0),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {model} attempt hit the wall budget", file=sys.stderr)
+            return  # the child's incremental lines already carry the result
         if r.returncode == 0:
             return
         print(f"[bench] {model} attempt failed (rc={r.returncode})", file=sys.stderr)
+        if deadline - time.time() < 240:
+            print("[bench] budget exhausted; keeping emitted lines", file=sys.stderr)
+            return
     sys.exit(1)
 
 

@@ -67,8 +67,9 @@ else
 fi
 
 if [ "$TPU" -eq 1 ]; then
-  echo "== [4/5] TPU kernel gate =="
-  python -m minigpt4_tpu.kernel_gate --fast
+  echo "== [4/5] TPU kernel gate (+compile budget, perf floors, TP shapes) =="
+  python -m minigpt4_tpu.kernel_gate --fast --compile-budget
+  python -m minigpt4_tpu.kernel_gate --floors-only --floors check --tp
 else
   echo "== [4/5] TPU kernel gate skipped (no --tpu) =="
 fi

@@ -79,7 +79,8 @@ class PagedKVPool:
     normally equals the pool owner's ``session_ctx``.
     """
 
-    def __init__(self, cfg, n_pages: int, capacity: int, dtype=jnp.bfloat16):
+    def __init__(self, cfg, n_pages: int, capacity: int, dtype=jnp.bfloat16,
+                 sharding=None):
         if capacity % PAGE:
             raise ValueError(f"capacity {capacity} must be a multiple of {PAGE}")
         self.cfg = cfg
@@ -87,8 +88,17 @@ class PagedKVPool:
         self.maxp = capacity // PAGE
         self.n_pages = n_pages
         shape = (cfg.n_layer, n_pages + 1, cfg.n_head, PAGE, cfg.head_dim)
-        self.k = jnp.zeros(shape, dtype)
-        self.v = jnp.zeros(shape, dtype)
+        if sharding is not None:
+            # mesh-placed pool (parallel/spmd.pool_specs: heads over 'tp',
+            # pages whole on every shard) — paged serving composes with
+            # tensor parallelism; donation through the jitted scatter/decode
+            # dispatches preserves the placement
+            self.k = jax.device_put(jnp.zeros(shape, dtype), sharding)
+            self.v = jax.device_put(jnp.zeros(shape, dtype), sharding)
+        else:
+            self.k = jnp.zeros(shape, dtype)
+            self.v = jnp.zeros(shape, dtype)
+        self.sharding = sharding
         self.trash_page = n_pages  # reserved write sink (never allocated)
         self._free = list(range(n_pages))
         self._allocated: set[int] = set()

@@ -298,15 +298,17 @@ class SessionPool:
         # cache heads are sharded; groups fall back to dense stacking).
         self.paged_pool = None
         self._paged_pool_pages = paged_pool_pages
-        # single-chip StepFns only: a mesh swaps in SpmdStepFns, which has
-        # no paged_decode_loop (the pool arrays would also need mesh
-        # placement) — sharded engines batch with dense stacked caches
-        if paged_pool_pages and self.engine.mesh is None:
+        # paged serving composes with TENSOR parallelism: under a mesh the
+        # pool's heads shard over 'tp' (parallel/spmd.pool_specs) and
+        # SpmdStepFns carries sharded paged_* loops, with lanes replicated
+        # across the mesh.  dp > 1 stays dense (replicated lanes would make
+        # dp pure overhead — dp's throughput lever is dense lane sharding).
+        if paged_pool_pages and self._paged_supported():
             from .paged import PagedKVPool
 
             self.paged_pool = PagedKVPool(
                 self.fns.cfg, paged_pool_pages, session_ctx,
-                dtype=self.cache_dtype,
+                dtype=self.cache_dtype, sharding=self._pool_sharding(),
             )
 
     def _bump(self, name: str, by: int = 1) -> None:
@@ -873,6 +875,22 @@ class SessionPool:
                 if err is not None:
                     raise err
 
+    def _paged_supported(self) -> bool:
+        mesh = self.engine.mesh
+        return mesh is None or dict(mesh.shape).get("dp", 1) == 1
+
+    def _pool_sharding(self):
+        """NamedSharding for the pool arrays under a mesh (heads over 'tp',
+        matching the dense cache layout); None single-chip."""
+        mesh = self.engine.mesh
+        if mesh is None:
+            return None
+        from jax.sharding import NamedSharding
+
+        from ..parallel.spmd import pool_specs
+
+        return NamedSharding(mesh, pool_specs()["k"])
+
     def _live_paged_pool(self):
         """The current usable page pool, rebuilding a retired (broken) one
         once every group's pages have drained out of it; ``None`` while the
@@ -892,7 +910,7 @@ class SessionPool:
         try:
             pool = self.paged_pool = PagedKVPool(
                 self.fns.cfg, pool.n_pages, pool.capacity,
-                dtype=self.cache_dtype,
+                dtype=self.cache_dtype, sharding=self._pool_sharding(),
             )
         except Exception:
             return None  # left broken in place; retried next admission

@@ -171,13 +171,41 @@ def _check_gq(name: str, k: int, n: int, m: int, stacked: bool,
     return dt
 
 
-def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = None) -> bool:
+def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = None,
+             compile_budget: str | None = None) -> bool:
+    """``compile_budget``: 'check' fails any case whose compile+first-run
+    wall time exceeds max(3x recorded, 90 s) — the round-3 failure mode was
+    one q5_k shape ballooning from 24 s to 625 s and silently starving the
+    whole benchmark (VERDICT r3 weak #2); 'record' re-baselines the
+    per-case seconds into ci/kernel_floors.json (commit deliberately).
+    Times include compile-service congestion, so the margin is wide: the
+    budget catches order-of-magnitude Mosaic program blowups, not noise."""
     import jax
 
     from .formats.dtypes import DataType
 
     if jax.default_backend() != "tpu":
         print("[kernel-gate] non-TPU backend: compile gate skipped", file=sys.stderr)
+        return True
+
+    recorded_s: dict = {}
+    case_s: dict = {}
+    if compile_budget:
+        import json as _json
+
+        p = _floors_path()
+        if p.exists():
+            recorded_s = _json.loads(p.read_text()).get("compile_s", {})
+
+    def note_dt(tag: str, dt: float) -> bool:
+        case_s[tag] = round(dt, 1)
+        if compile_budget == "check" and tag in recorded_s:
+            cap = max(3.0 * recorded_s[tag], 90.0)
+            if dt > cap:
+                print(f"[kernel-gate] FAIL {tag}: compile+run {dt:.1f}s > "
+                      f"budget {cap:.0f}s (recorded {recorded_s[tag]:.1f}s) — "
+                      "Mosaic program size regression?", file=sys.stderr)
+                return False
         return True
 
     if fast:
@@ -208,6 +236,7 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
         tag = f"{nm} {qt.name.lower()} M={m} {'stacked' if st else 'flat'}"
         try:
             dt = _check_one(tag, k, n, qt, m, st)
+            ok = note_dt(tag, dt) and ok
             if verbose:
                 print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
         except Exception as e:
@@ -225,6 +254,7 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
         tag = f"{nm} M={m} {'stacked' if st else 'flat'}"
         try:
             dt = _check_i8(tag, k, n, m, st)
+            ok = note_dt(tag, dt) and ok
             if verbose:
                 print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
         except Exception as e:
@@ -246,11 +276,26 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
         tag = f"{nm} M={m} {'stacked' if st else 'flat'}"
         try:
             dt = _check_gq(tag, k, n, m, st)
+            ok = note_dt(tag, dt) and ok
             if verbose:
                 print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
         except Exception as e:
             ok = False
             print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
+    if compile_budget == "record" and case_s:
+        import json as _json
+
+        p = _floors_path()
+        data = _json.loads(p.read_text()) if p.exists() else {}
+        data.setdefault("compile_s", {}).update(case_s)
+        data.setdefault(
+            "compile_note",
+            "per-case compile+first-run seconds on a warm backend, cold "
+            "persistent cache; budget = max(3x recorded, 90 s) per case "
+            "(kernel_gate --compile-budget)")
+        p.parent.mkdir(exist_ok=True)
+        p.write_text(_json.dumps(data, indent=1))
+        print(f"[kernel-gate] compile budgets recorded -> {p}", file=sys.stderr)
     return ok
 
 
@@ -500,6 +545,11 @@ def main():
                     "at 13B geometry (tp=2/4)")
     ap.add_argument("--floors-only", action="store_true",
                     help="skip the compile gate (floors/tp only)")
+    ap.add_argument("--compile-budget", nargs="?", const="check",
+                    choices=["check", "record"], default=None,
+                    help="check (default) = fail any case whose compile+run "
+                    "exceeds max(3x recorded, 90s); record = re-baseline "
+                    "ci/kernel_floors.json compile_s")
     args = ap.parse_args()
     qtypes = None
     if args.qtypes:
@@ -509,7 +559,8 @@ def main():
         qtypes = [by_name[q.strip()] for q in args.qtypes.split(",")]
     ok = True
     if not args.floors_only:
-        ok = run_gate(fast=args.fast, qtypes=qtypes)
+        ok = run_gate(fast=args.fast, qtypes=qtypes,
+                      compile_budget=args.compile_budget)
     if args.tp:
         ok = run_tp_gate() and ok
     if args.floors:

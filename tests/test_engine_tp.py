@@ -104,3 +104,83 @@ def test_session_pool_under_tp(models):
     assert len(toks) >= 1
     s.close()
     pool.close()
+
+
+def _pool_batch(pool, prompts, limit=12, decode_chunk=4):
+    from minigpt4_tpu.engine.sessions import SessionPool  # noqa: F401
+
+    sessions = []
+    for q in prompts:
+        s = pool.new_session()
+        pool.begin_chat(s, q)
+        sessions.append(s)
+    out = pool.generate_batch(sessions, limit=limit, params=GREEDY,
+                              decode_chunk=decode_chunk)
+    states = [(s.n_past, list(s.state.tokens)) for s in sessions]
+    for s in sessions:
+        s.close()
+    return out, states
+
+
+@pytest.mark.slow
+def test_paged_pool_composes_with_tp(models):
+    """Paged KV serving under a tp=2 mesh (VERDICT r3 next #6): the pool's
+    heads shard over 'tp' (parallel/spmd.pool_specs), SpmdStepFns carries
+    sharded paged_* loops, and the greedy batched output is identical to
+    the single-chip paged path — the capacity lever (paging) and the scale
+    lever (tp) compose instead of silently falling back to dense."""
+    from minigpt4_tpu.engine.sessions import SessionPool
+
+    model, llm = models
+    prompts = ["one two", "three four five", "six"]
+
+    ref = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=16,
+                      paged_pool_pages=8)
+    want, wstate = _pool_batch(ref, prompts)
+    ref.close()
+
+    pool = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=16,
+                       tp=2, paged_pool_pages=8)
+    assert pool.paged_pool is not None, "pool must exist under a tp mesh"
+    # the pool arrays carry the mesh placement (heads over tp)
+    assert pool.paged_pool.sharding is not None
+    # spy: the group must actually ADMIT paged (not fall back dense)
+    admitted_flag = []
+    orig = pool._try_admit_paged
+
+    def spy(batch):
+        r = orig(batch)
+        admitted_flag.append(r is not None)
+        return r
+
+    pool._try_admit_paged = spy
+    free0 = pool.paged_pool.free_pages
+    got, gstate = _pool_batch(pool, prompts)
+    assert admitted_flag and admitted_flag[0], "group fell back to dense"
+    assert got == want
+    assert gstate == wstate
+    assert pool.paged_pool.free_pages == free0  # every page returned
+    pool.close()
+
+
+@pytest.mark.slow
+def test_paged_spec_composes_with_tp(models):
+    """Greedy speculative verify passes over the sharded pool
+    (SpmdStepFns.paged_spec_loop) stay token-identical to the single-chip
+    plain-paged output (the greedy speculation contract)."""
+    from minigpt4_tpu.engine.sessions import SessionPool
+
+    model, llm = models
+    prompts = ["alpha beta", "gamma"]
+
+    ref = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=16,
+                      paged_pool_pages=8)
+    want, wstate = _pool_batch(ref, prompts)
+    ref.close()
+
+    pool = SessionPool(model, llm, session_ctx=256, n_ctx=256, n_batch=16,
+                       tp=2, paged_pool_pages=8, speculative_k=4)
+    got, gstate = _pool_batch(pool, prompts)
+    assert got == want
+    assert gstate == wstate
+    pool.close()

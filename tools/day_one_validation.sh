@@ -154,7 +154,7 @@ if python -m minigpt4_tpu.quality "${QARGS[@]}" \
   STAGE[quality]="ok($(python - "$OUT/quality.json" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
-print("w8a8_smooth_ok=%s" % d.get("w8a8_smooth_ok"))
+print("gq_ok=%s w8a8_smooth_ok=%s" % (d.get("gq_ok"), d.get("w8a8_smooth_ok")))
 EOF
 ))"
 else

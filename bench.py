@@ -194,14 +194,17 @@ def run_single(model: str) -> int:
         # HEADLINE = the engine's DEFAULT configuration for a q5_k file on
         # TPU: quant_mode auto -> "gq" single-stream (EXACT ggml dequant
         # semantics at byte-code speed, ops/group_i8.py)
+        # reserve ~3 min of the budget for the image-encode section: encode
+        # ms is a BASELINE.md headline metric and must outrank the decode
+        # rider sections when the budget is tight
         dec = bench_decode(
             model, DataType.Q5_K, n_decode=64, prefill_len=64,
             cache_dtype=cache_dt, quant_mode="gq",
             sections="single" if model == "13B" else "all",
             emit=lambda d: (st.__setitem__("dec", d), emit_line()),
-            deadline=deadline - 20)
+            deadline=deadline - 200)
         st["dec"] = dec
-        if left() > 120:
+        if left() > 60:
             try:
                 st["enc"] = bench_encode(GEOMETRIES[model].n_embd)
             except Exception as e:  # encode is secondary; never lose the headline

@@ -161,6 +161,34 @@ else
   STAGE[quality]="FAILED(see $OUT/quality.log)"
 fi
 
+# ---- stage 5: draft-head distillation + acceptance -------------------------
+# Distill the speculative draft head against the ACTUAL serving checkpoint
+# and report its teacher-forced acceptance on held-out prose — the number
+# the synthetic bench can only estimate (its drafter is distilled from a
+# synthetic teacher; provenance is tagged into the artifact either way).
+note "draft-head distillation + acceptance"
+if [ -n "$LLM_Q5K" ]; then
+  DARGS=(--llm-file "$LLM_Q5K" --steps 1200 --out "$OUT/draft_real.npz")
+elif [ -f "$FIX_LLM" ]; then
+  # dry-run: the SAME --llm-file command path on the tiny fixture pair
+  DARGS=(--llm-file "$FIX_LLM" --quant-mode qtensor --steps 10
+         --teacher-batches 2 --d-draft 128 --n-layer 1 --seq 64
+         --out "$OUT/draft_dry.npz")
+else
+  DARGS=()
+fi
+if [ "${#DARGS[@]}" -gt 0 ]; then
+  if python tools/train_bench_draft.py "${DARGS[@]}" \
+       > "$OUT/draft_train.log" 2>&1; then
+    ACC="$(grep -o 'acceptance [0-9.]*' "$OUT/draft_train.log" | tail -1)"
+    STAGE[draft_head]="ok(${ACC:-no-acceptance-line})"
+  else
+    STAGE[draft_head]="FAILED(see $OUT/draft_train.log)"
+  fi
+else
+  STAGE[draft_head]="skipped(no llm file)"
+fi
+
 # ---- report ---------------------------------------------------------------
 python - "$REPORT" <<EOF
 import json, sys

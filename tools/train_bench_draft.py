@@ -25,6 +25,7 @@ tokenization produces.
 """
 import argparse
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -111,6 +112,12 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="minigpt4_tpu/assets/bench_draft_13b.npz")
     ap.add_argument("--teacher-batches", type=int, default=24)
+    ap.add_argument("--llm-file", default=None,
+                    help="REAL ggml llama checkpoint: distill against it "
+                    "(with its own BPE tokenizer) instead of the synthetic "
+                    "bench teacher — the day-one draft stage "
+                    "(tools/day_one_validation.sh).  The printed EVAL "
+                    "acceptance is then a real-weights number.")
     args = ap.parse_args()
 
     import jax
@@ -122,21 +129,38 @@ def main() -> None:
     from minigpt4_tpu.models import llama as llama_mod
     from minigpt4_tpu.train import draft as D
 
-    cfg = B.GEOMETRIES[args.model]
     rng_model = np.random.default_rng(0)  # MUST match bench_decode's seeding
     t0 = time.perf_counter()
-    params = B.synth_llama_params(cfg, DataType.Q5_K, rng_model,
-                                  quant_mode=args.quant_mode)
-    params = jax.device_put(params)
+    if args.llm_file:
+        from minigpt4_tpu.formats.ggml_llama import LlamaFileReader
+        from minigpt4_tpu.tokenizer import LlamaTokenizer
+
+        with LlamaFileReader(args.llm_file) as r:
+            params, cfg = llama_mod.load_params(
+                r, jnp.bfloat16, n_ctx=512, quant_mode=args.quant_mode)
+            bpe = LlamaTokenizer(r.vocab.tokens, r.vocab.scores)
+        params = jax.device_put(params)
+
+        def tok_fn(text):
+            return np.asarray(bpe.tokenize(text, add_bos=False), np.int32)
+    else:
+        cfg = B.GEOMETRIES[args.model]
+        params = B.synth_llama_params(cfg, DataType.Q5_K, rng_model,
+                                      quant_mode=args.quant_mode)
+        params = jax.device_put(params)
+        tok_fn = B.word_tokenize
     jax.block_until_ready(params["tok_embeddings"])
     print(f"[draft-train] teacher built in {time.perf_counter()-t0:.1f}s")
-    cache_dt = jnp.float8_e4m3fn if args.model == "13B" else jnp.bfloat16
+    cache_dt = jnp.float8_e4m3fn if cfg.n_embd >= 5120 else jnp.bfloat16
 
     # ---- training corpus + teacher targets --------------------------------
     rng = np.random.default_rng(42)
+    # synthetic mode keeps the word-level 320-id range (clamped for tiny
+    # geometries); real mode uses the checkpoint's whole BPE vocab
+    vmax = cfg.n_vocab if args.llm_file else min(320, cfg.n_vocab)
     streams = make_streams(
-        rng, 4096, 320,
-        [B.word_tokenize(TRAIN_TEXT_A), B.word_tokenize(TRAIN_TEXT_B)],
+        rng, 4096, vmax,
+        [tok_fn(TRAIN_TEXT_A) % vmax, tok_fn(TRAIN_TEXT_B) % vmax],
     )
     flat = np.concatenate(streams)
 
@@ -147,7 +171,7 @@ def main() -> None:
                 i = rng.integers(0, len(flat) - args.seq)
                 rows.append(flat[i:i + args.seq])
             else:
-                rows.append(rng.integers(0, 320, args.seq).astype(np.int32))
+                rows.append(rng.integers(0, vmax, args.seq).astype(np.int32))
         return np.stack(rows)
 
     tgt_fn = jax.jit(lambda p, t: D.teacher_targets(p, cfg, t,
@@ -169,7 +193,10 @@ def main() -> None:
     # pads to a 512 bucket: causal attention makes trailing padding inert
     # for positions < len, and irregular M (e.g. 378) would force a fresh
     # multi-minute Pallas prefill compile for one throwaway shape.
-    stream = B.word_tokenize(B.REALISTIC_TEXT)
+    stream = tok_fn(B.REALISTIC_TEXT) % vmax
+    # real BPE streams run longer than word-level ones: keep the eval
+    # inside the 512 prefill bucket (positions past it add little signal)
+    stream = stream[:511]
     n_ev = len(stream)
     ev_pad = 512
     toks_eval = jnp.asarray(np.pad(stream, (0, ev_pad - n_ev))[None])
@@ -183,7 +210,8 @@ def main() -> None:
                             n_head=args.d_draft // 64, n_ff=args.d_draft * 11 // 4)
     dcfg = dhc.llama_cfg(cfg.n_vocab, args.seq)
     art = D.init_draft_head(jax.random.PRNGKey(1), cfg.n_embd, dhc)
-    sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, 50, args.steps)
+    warmup = min(50, max(1, args.steps // 4))  # short dry-runs need < 50
+    sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, warmup, args.steps)
     opt = optax.adamw(sched, weight_decay=1e-4)
     step = D.make_distill_step(dcfg, opt)
     st = opt.init(art)
@@ -211,11 +239,14 @@ def main() -> None:
           f"{agree.mean():.3f}, teacher-forced acceptance {acc_pp:.2f}/pass "
           f"(k=8; n-gram floor is ~1.04)")
 
-    from pathlib import Path
-
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    tag = (f"gq@{B.GQ_SYNTH_D:g}" if args.quant_mode == "gq"
-           else args.quant_mode)
+    if args.llm_file:
+        # a real-checkpoint drafter must never be scored against the
+        # synthetic bench teacher (and vice versa): tag with provenance
+        tag = f"real:{Path(args.llm_file).name}@{args.quant_mode}"
+    else:
+        tag = (f"gq@{B.GQ_SYNTH_D:g}" if args.quant_mode == "gq"
+               else args.quant_mode)
     D.save_artifact(args.out, art, dhc, teacher_mode=tag)
     print(f"[draft-train] saved {args.out} (teacher {tag})")
 

@@ -150,6 +150,13 @@ def run_single(model: str) -> int:
             if s)
         if skipped:
             line["skipped_sections"] = skipped
+        # rider-section failures are recoverable but must be VISIBLE: the
+        # draft-head section failed silently for a whole round because its
+        # error string was filtered out of the numeric details print
+        errors = {k: v for d in (dec, srv) for k, v in d.items()
+                  if k.endswith("_error")}
+        if errors:
+            line["section_errors"] = errors
         if st["gate_ok"] is not None:
             line["kernel_gate_ok"] = st["gate_ok"]
         line["elapsed_s"] = round(time.time() - t_start, 1)
@@ -265,8 +272,9 @@ def run_single(model: str) -> int:
                 st["gate_ok"] = False
 
     st["complete"] = True
-    extras = {k: round(v, 2) for k, v in {**st["dec"], **st["enc"]}.items()
-              if isinstance(v, (int, float))}
+    extras = {k: (round(v, 2) if isinstance(v, (int, float)) else v)
+              for k, v in {**st["dec"], **st["enc"]}.items()
+              if isinstance(v, (int, float, str))}
     print(f"[bench] details: {json.dumps(extras)}", file=sys.stderr)
     if st["srv"]:
         srv_extras = {k: round(v, 2) for k, v in st["srv"].items()

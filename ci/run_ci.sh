@@ -25,15 +25,41 @@ done
 echo "== [1/5] CPU test suite =="
 NP="$(nproc 2>/dev/null || echo 1)"
 if [ "$NP" -ge 2 ]; then
-  # shard test FILES across cores (no xdist dependency): round-robin by
-  # descending size so the slow serving suites spread out.  Everything
-  # still runs — the `slow` marker is for local iteration, not CI.
+  # shard test FILES across cores (no xdist dependency).  When recorded
+  # per-file wall times exist (ci/test_times.json, re-record with
+  # ci/record_test_times.sh), buckets balance by greedy longest-processing-
+  # time on MEASURED seconds — file size is a poor proxy (the spec suites
+  # spend their time in compiles, not lines).  Fallback: round-robin by
+  # descending size.  Everything still runs — the `slow` marker is for
+  # local iteration, not CI.
   SHARDS=$(( NP < 4 ? NP : 4 ))
-  mapfile -t FILES < <(cd tests && ls -S test_*.py)
   declare -a BUCKET
-  for i in "${!FILES[@]}"; do
-    BUCKET[$((i % SHARDS))]+=" tests/${FILES[$i]}"
-  done
+  if [ -f ci/test_times.json ]; then
+    mapfile -t ASSIGN < <(python - "$SHARDS" <<'PYEOF'
+import json, sys, pathlib
+shards = int(sys.argv[1])
+times = json.load(open("ci/test_times.json")).get("seconds", {})
+files = sorted(pathlib.Path("tests").glob("test_*.py"))
+# unknown files get the median recorded time (new suites spread evenly)
+known = sorted(times.values()) or [1.0]
+med = known[len(known) // 2]
+loads = [0.0] * shards
+buckets = [[] for _ in range(shards)]
+for f in sorted(files, key=lambda f: -times.get(f.name, med)):
+    i = loads.index(min(loads))
+    loads[i] += times.get(f.name, med)
+    buckets[i].append(str(f))
+for b in buckets:
+    print(" ".join(b))
+PYEOF
+)
+    for i in "${!ASSIGN[@]}"; do BUCKET[$i]="${ASSIGN[$i]}"; done
+  else
+    mapfile -t FILES < <(cd tests && ls -S test_*.py)
+    for i in "${!FILES[@]}"; do
+      BUCKET[$((i % SHARDS))]+=" tests/${FILES[$i]}"
+    done
+  fi
   PIDS=()
   for s in $(seq 0 $((SHARDS - 1))); do
     # shellcheck disable=SC2086

@@ -895,7 +895,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
                   "train it with tools/train_bench_draft.py to get the "
                   "draft_head_* metrics", file=sys.stderr)
             return
-        from ..train import draft as draft_mod
+        from .train import draft as draft_mod
 
         # score the head only inside the arm whose teacher it was distilled
         # against: same numerics AND (for gq) the same synthetic-teacher
@@ -908,6 +908,16 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         dcfg = dhc.llama_cfg(cfg.n_vocab, cfg.n_ctx)
         dparams = draft_mod.assemble_draft(params["tok_embeddings"], art,
                                            jnp.bfloat16)
+        # At 13B residency (~14 GB of gq codes + planes) there is no HBM
+        # for a second full-n_ctx cache beside the live decode cache: the
+        # first TPU execution of this section OOMed and poisoned the
+        # allocator for every later bench section.  Free the decode-state
+        # cache first (the pass-cost measurement below rebuilds a fresh
+        # one — its KV content is irrelevant to timing) and size the
+        # teacher's eval cache to the 512-token eval bucket, not n_ctx.
+        import dataclasses as _dc
+
+        cache = None  # noqa: F841 — frees the decode-state cache
         # acceptance: teacher-forced agreement along the held-out prose.
         # The stream pads to a 512 bucket (causal attention keeps positions
         # < n_ev identical; irregular M would force a fresh multi-minute
@@ -915,9 +925,10 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         stream = word_tokenize(REALISTIC_TEXT)
         n_ev, ev_pad = len(stream), 512
         toks = jnp.asarray(np.pad(stream, (0, ev_pad - n_ev))[None])
-        tcache = llama_mod.init_cache(cfg, batch=1, dtype=cache_dtype)
+        cfg_ev = _dc.replace(cfg, n_ctx=ev_pad)
+        tcache = llama_mod.init_cache(cfg_ev, batch=1, dtype=cache_dtype)
         tl, _ = llama_mod.forward(params, tcache, embed(params, toks),
-                                  jnp.int32(0), cfg, all_logits=True)
+                                  jnp.int32(0), cfg_ev, all_logits=True)
         teacher_pred = np.asarray(jnp.argmax(tl[0], -1))[:n_ev]
         del tcache, tl
         dcfg_ev = dhc.llama_cfg(cfg.n_vocab, ev_pad)
@@ -942,7 +953,9 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         out["draft_head_agreement"] = float(agree.mean())
         out["draft_head_accept_realistic"] = acc_pp
 
-        # real draft-loop pass cost with THIS drafter
+        # real draft-loop pass cost with THIS drafter (fresh main cache —
+        # the decode-state one was freed above to fit the teacher eval)
+        cache = llama_mod.init_cache(cfg, batch=1, dtype=cache_dtype)
         dcache = llama_mod.init_cache(dcfg, batch=1, dtype=jnp.bfloat16)
         dsl = jax.jit(
             lambda p, c, dp, dc_, l0, pos0: (

@@ -188,6 +188,23 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
         print("[kernel-gate] non-TPU backend: compile gate skipped", file=sys.stderr)
         return True
 
+    # Absorb the per-process compile-service handshake BEFORE timing any
+    # case: the FIRST compile a process issues (even a trivial 256x256
+    # matmul) pays a shared-service spin-up measured at 129-451 s depending
+    # on congestion — round 3's "625 s kernel compile" was this handshake,
+    # not the Mosaic program (measured 6.6-7.0 s for the worst shape once
+    # warm; PERFORMANCE.md round-4 decomposition).  A persistent-cache HIT
+    # skips the handshake entirely, so this costs nothing on warm machines.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda x: x @ x)(jnp.ones((256, 256), jnp.bfloat16)))
+    hs = time.perf_counter() - t0
+    if hs > 5 and verbose:
+        print(f"[kernel-gate] compile-service handshake absorbed ({hs:.1f}s; "
+              "congestion-dependent, not counted against case budgets)",
+              file=sys.stderr)
+
     recorded_s: dict = {}
     case_s: dict = {}
     if compile_budget:

@@ -23,7 +23,9 @@ for a in "$@"; do
 done
 
 echo "== [1/5] CPU test suite =="
-NP="$(nproc 2>/dev/null || echo 1)"
+NP="$(nproc 2>/dev/null || sysctl -n hw.ncpu 2>/dev/null || echo 1)"
+# macOS builds a .dylib; everything else a .so (same CMake target)
+LIBEXT="so"; [ "$(uname -s)" = "Darwin" ] && LIBEXT="dylib"
 if [ "$NP" -ge 2 ]; then
   # shard test FILES across cores (no xdist dependency).  When recorded
   # per-file wall times exist (ci/test_times.json, re-record with
@@ -35,7 +37,9 @@ if [ "$NP" -ge 2 ]; then
   SHARDS=$(( NP < 4 ? NP : 4 ))
   declare -a BUCKET
   if [ -f ci/test_times.json ]; then
-    mapfile -t ASSIGN < <(python - "$SHARDS" <<'PYEOF'
+    # portable mapfile (macOS ships bash 3.2): read line-per-shard output
+    ASSIGN=()
+    while IFS= read -r line; do ASSIGN+=("$line"); done < <(python - "$SHARDS" <<'PYEOF'
 import json, sys, pathlib
 shards = int(sys.argv[1])
 times = json.load(open("ci/test_times.json")).get("seconds", {})
@@ -55,7 +59,8 @@ PYEOF
 )
     for i in "${!ASSIGN[@]}"; do BUCKET[$i]="${ASSIGN[$i]}"; done
   else
-    mapfile -t FILES < <(cd tests && ls -S test_*.py)
+    FILES=()
+    while IFS= read -r f; do FILES+=("$f"); done < <(cd tests && ls -S test_*.py)
     for i in "${!FILES[@]}"; do
       BUCKET[$((i % SHARDS))]+=" tests/${FILES[$i]}"
     done
@@ -79,7 +84,7 @@ fi
 echo "== [2/5] C ABI build =="
 cmake -S minigpt4_tpu/c_api -B build_capi >/dev/null
 cmake --build build_capi -j >/dev/null
-test -f build_capi/libminigpt4.so
+test -f "build_capi/libminigpt4.$LIBEXT"
 
 if [ "$FAST" -eq 0 ]; then
   echo "== [3/5] C ABI sanitizer config (ASan+UBSan) =="
@@ -87,7 +92,7 @@ if [ "$FAST" -eq 0 ]; then
         -DMINIGPT4_SANITIZE_ADDRESS=ON \
         -DMINIGPT4_SANITIZE_UNDEFINED=ON >/dev/null
   cmake --build build_capi_san -j >/dev/null
-  test -f build_capi_san/libminigpt4.so
+  test -f "build_capi_san/libminigpt4.$LIBEXT"
 else
   echo "== [3/5] sanitizer config skipped (--fast) =="
 fi
@@ -101,17 +106,21 @@ else
 fi
 
 if [ "$FAST" -eq 0 ]; then
-  echo "== [4b] day-one validation harness dry-run =="
-  # proves every command path of the real-checkpoint harness executes
-  # (docs/DAY_ONE.md); real mode needs network + checkpoints
-  MINIGPT4_TPU_PLATFORM="${MINIGPT4_TPU_PLATFORM:-cpu}" \
-      tools/day_one_validation.sh --dry-run --out "${TMPDIR:-/tmp}/day_one_ci"
+  if [ "${BASH_VERSINFO[0]}" -ge 4 ]; then
+    echo "== [4b] day-one validation harness dry-run =="
+    # proves every command path of the real-checkpoint harness executes
+    # (docs/DAY_ONE.md); real mode needs network + checkpoints
+    MINIGPT4_TPU_PLATFORM="${MINIGPT4_TPU_PLATFORM:-cpu}" \
+        tools/day_one_validation.sh --dry-run --out "${TMPDIR:-/tmp}/day_one_ci"
+  else
+    echo "== [4b] day-one dry-run skipped (bash<4: no associative arrays) =="
+  fi
 fi
 
 if [ "$FAST" -eq 0 ]; then
   echo "== [5/5] release packaging =="
   rm -rf dist/minigpt4_tpu_release && mkdir -p dist/minigpt4_tpu_release
-  cp build_capi/libminigpt4.so minigpt4_tpu/c_api/minigpt4.h \
+  cp "build_capi/libminigpt4.$LIBEXT" minigpt4_tpu/c_api/minigpt4.h \
      dist/minigpt4_tpu_release/
   # the python surface the reference ships in its release zips
   # (run.yml:85-94: shared lib + header + python client files)

@@ -233,8 +233,11 @@ def ensure_capi_lib():
     import subprocess
     from pathlib import Path
 
+    import sys
+
     root = Path(__file__).parent.parent
-    lib = root / "build_capi" / "libminigpt4.so"
+    ext = "dylib" if sys.platform == "darwin" else "so"
+    lib = root / "build_capi" / f"libminigpt4.{ext}"
     if lib.exists():
         return lib
     try:

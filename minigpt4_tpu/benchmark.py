@@ -38,6 +38,21 @@ import os as _os
 # real generalization task instead of a triviality in either direction.
 GQ_SYNTH_D = float(_os.environ.get("MINIGPT4_TPU_GQ_SYNTH_D", "2e-5"))
 
+# Sub-byte packed codes for the gq path (group_i8.pack_codes): ON by
+# default — it is the engine's load_quant_weight default, so the bench
+# measures what users run.  Teacher-affecting (different synthetic code
+# stream), hence part of the teacher tag below.
+GQ_PACK = _os.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0"
+
+
+def synth_teacher_tag(quant_mode: str) -> str:
+    """Provenance tag naming the synthetic teacher a draft artifact was
+    distilled against (train/draft.py ``teacher_mode``): numerics AND the
+    exact synthetic weight stream must match for acceptance to be honest."""
+    if quant_mode != "gq":
+        return quant_mode
+    return f"gq@{GQ_SYNTH_D:g}" + ("+p5" if GQ_PACK else "")
+
 # f16 1.0 little-endian
 _F16_ONE = (0x00, 0x3C)
 # scale byte positions (offset, and a second scale field offset or None)
@@ -177,11 +192,24 @@ def synth_llama_params(
 
         def gqstack(n_out, n_in, lead=(L,)):
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-            k_c, k_sc, k_mn = jax.random.split(key, 3)
-            codes = jax.lax.bitwise_and(
-                _synth_i8_codes(k_c, lead=lead, n_out=n_out, n_in=n_in),
-                jnp.int8(0x1F),
-            )  # q in [0, 31]
+            k_c, k_sc, k_mn, k_hb = jax.random.split(key, 4)
+            hb, packing = None, "none"
+            if GQ_PACK:
+                # packed planes generated directly (never materializing the
+                # 2x-larger unpacked codes): nibble byte = two independent
+                # uniform 4-bit codes, bit-plane byte = eight independent
+                # bits -> logical q uniform in [0, 31], the same
+                # distribution as the unpacked branch below
+                codes = _synth_i8_codes(k_c, lead=lead, n_out=n_out,
+                                        n_in=n_in // 2)
+                hb = _synth_i8_codes(k_hb, lead=lead, n_out=n_out,
+                                     n_in=n_in // 8)
+                packing = "p5"
+            else:
+                codes = jax.lax.bitwise_and(
+                    _synth_i8_codes(k_c, lead=lead, n_out=n_out, n_in=n_in),
+                    jnp.int8(0x1F),
+                )  # q in [0, 31]
             g, sb = n_in // 32, n_in // 256
             # varied sub-scales with a mean-cancelling dmin: constant planes
             # give every weight the SAME positive mean (A*15.5 + B ~ +0.1),
@@ -206,7 +234,8 @@ def synth_llama_params(
             d = jnp.full((*lead, sb, n_out), base_d, jnp.float32)
             dmin = jnp.full((*lead, sb, n_out), base_d * 15.5, jnp.float32)
             return {"w": GroupQuant(codes, sc6, mn6, d, dmin, None, None,
-                                    DataType.Q5_K, n_in, 32)}
+                                    DataType.Q5_K, n_in, 32,
+                                    hb=hb, packing=packing)}
 
         layers = {
             "attention_norm": jnp.ones((L, d), dtype),
@@ -900,7 +929,7 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         # score the head only inside the arm whose teacher it was distilled
         # against: same numerics AND (for gq) the same synthetic-teacher
         # conditioning (argmax agreement is sensitive to both)
-        tag = (f"gq@{GQ_SYNTH_D:g}" if quant_mode == "gq" else quant_mode)
+        tag = synth_teacher_tag(quant_mode)
         if tag != draft_mod.artifact_teacher_mode(art_path):
             return
 

@@ -86,18 +86,34 @@ def resolve_llm_quant_mode(reader, quant_mode: str, backend: str,
     K % 256 == 0 (true for all real LLaMA geometries)."""
     if quant_mode != "auto" or backend != "tpu" or not AUTO_W8A8:
         return quant_mode
-    from ..formats.dtypes import is_quantized
+    from ..formats.dtypes import DataType, is_quantized
 
     qrecs = [r for r in reader.tensors.values() if is_quantized(r.dtype)]
     if not qrecs:
         return quant_mode
     if any(len(r.shape) == 2 and r.shape[1] % 256 for r in qrecs):
         return quant_mode  # tiny/test geometries: keep the exact path
-    qbytes = sum(r.n_elems for r in qrecs)
+    import os as _os2
+
+    from ..ops import group_i8 as _gq
+
+    pack_on = _os2.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0"
+
+    def _gq_bytes(r) -> float:
+        # codes: 1 B/elem, or 0.5 (p4) / 0.625 (p5) once sub-byte packed;
+        # planes: ~0.094 B/elem for the raw-sub-scale formats (sc6+mn6 u8 +
+        # d/dmin f32 per 256), ~0.125 for generic bf16 A/B per 32
+        d = DataType(r.dtype)
+        per = 1.0
+        if pack_on and _gq.packable(d):
+            per = 0.625 if d in _gq.PACK5 else 0.5
+        per += 0.094 if d in _gq.EXACT_PLANE else 0.125
+        return r.n_elems * per
+
     hp = getattr(reader, "hparams", None)
     cache_f8 = (hp.n_layer * batch * hp.n_embd * n_ctx * 2  # 1 B/entry, k+v
                 if hp is not None else 0)
-    gq_est = int(qbytes * 1.094) + cache_f8 + _AUTO_HEADROOM
+    gq_est = int(sum(_gq_bytes(r) for r in qrecs)) + cache_f8 + _AUTO_HEADROOM
     if AUTO_GQ and gq_est <= _HBM_BUDGET:
         return "gq"
     return "w8a8"

@@ -134,9 +134,18 @@ def _gq_weight(rng, n: int, k: int, qtype=None):
         t = jnp.concatenate([p] * reps, axis=axis)
         return jax.lax.slice_in_dim(t, 0, n, axis=axis)
 
-    return GroupQuant(tile(w0.codes, 0), tile(w0.sc6, 1), tile(w0.mn6, 1),
-                      tile(w0.d, 1), tile(w0.dmin, 1), tile(w0.a, 1),
-                      tile(w0.b, 1), w0.dtype, k, w0.group_size)
+    w = GroupQuant(tile(w0.codes, 0), tile(w0.sc6, 1), tile(w0.mn6, 1),
+                   tile(w0.d, 1), tile(w0.dmin, 1), tile(w0.a, 1),
+                   tile(w0.b, 1), w0.dtype, k, w0.group_size)
+    # the engine default (models/params.load_quant_weight) packs 4/5-bit
+    # codes sub-byte; the gate must compile what actually serves
+    import os
+
+    if os.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0":
+        from .ops.group_i8 import pack_codes
+
+        w = pack_codes(w)
+    return w
 
 
 def _check_gq(name: str, k: int, n: int, m: int, stacked: bool,

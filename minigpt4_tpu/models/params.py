@@ -161,10 +161,17 @@ def load_quant_weight(raw: np.ndarray, shape: tuple[int, int], dtype: DataType, 
     if (col_scale is not None or row_scale is not None) and mode != "w8a8":
         raise ValueError("smooth scales are only valid with quant_mode='w8a8'")
     if mode == "gq":
+        import os
+
         from ..ops import group_i8 as gq
 
         if gq.supported(dtype, shape[1]):
-            return gq.from_ggml(np.asarray(raw), shape, dtype)
+            w = gq.from_ggml(np.asarray(raw), shape, dtype)
+            if os.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0":
+                # sub-byte code storage for 4/5-bit formats: halves the
+                # decode-time weight stream, bit-exact (group_i8.pack_codes)
+                w = gq.pack_codes(w)
+            return w
         mode = "auto"  # e.g. f16 rows or chunk-misaligned K: packed fallback
     if mode == "w8a8":
         from ..ops import i8_matmul as i8

@@ -88,16 +88,27 @@ class GroupQuant:
     n_in: int  # static logical K
     group_size: int  # static
     k_shards: int = 1  # static: >1 only as with_k_shards output
+    # sub-byte code storage (pack_codes): "p4" nibble-packs two 4-bit codes
+    # per byte ([N, K/2]); "p5" additionally carries the 5th bit as a
+    # per-chunk bit plane ``hb`` ([N, K/8]).  Layout is CHUNK-LOCAL (chunk =
+    # J*gs) so K-sharding and the kernels' per-chunk slices stay aligned.
+    hb: jnp.ndarray | None = None
+    packing: str = "none"  # static: none | p4 | p5
 
     def tree_flatten(self):
         return (
-            (self.codes, self.sc6, self.mn6, self.d, self.dmin, self.a, self.b),
-            (self.dtype, self.n_in, self.group_size, self.k_shards),
+            (self.codes, self.sc6, self.mn6, self.d, self.dmin, self.a,
+             self.b, self.hb),
+            (self.dtype, self.n_in, self.group_size, self.k_shards,
+             self.packing),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        codes, sc6, mn6, d, dmin, a, b, hb = children
+        dtype, n_in, gs, k_shards, packing = aux
+        return cls(codes, sc6, mn6, d, dmin, a, b, dtype, n_in, gs,
+                   k_shards, hb=hb, packing=packing)
 
     @property
     def exact(self) -> bool:
@@ -106,6 +117,11 @@ class GroupQuant:
     @property
     def n_out(self) -> int:
         return self.codes.shape[-2]
+
+    @property
+    def k_stored(self) -> int:
+        """Logical K covered by this (possibly shard-local) codes array."""
+        return self.codes.shape[-1] * (2 if self.packing != "none" else 1)
 
     def planes_ab(self, out_dtype=jnp.float32):
         """Expanded (A, B) per-group planes [..., G, N] (XLA; jit-safe)."""
@@ -117,6 +133,26 @@ class GroupQuant:
             b = self.b.astype(jnp.float32)
         return a.astype(out_dtype), b.astype(out_dtype)
 
+    def codes_logical(self) -> jnp.ndarray:
+        """[..., N, K] i8 codes regardless of packing (XLA ops; jit-safe)."""
+        if self.packing == "none":
+            return self.codes
+        chunk = J * self.group_size
+        half = chunk // 2
+        pk = jax.lax.bitcast_convert_type(self.codes, jnp.uint8)
+        lead = pk.shape[:-1]
+        kp = pk.shape[-1]
+        nch = (kp * 2) // chunk
+        pkc = pk.reshape(*lead, nch, half)
+        cc = jnp.concatenate([pkc & 0xF, pkc >> 4], axis=-1)  # [.., nch, chunk]
+        if self.packing == "p5":
+            hbb = jax.lax.bitcast_convert_type(self.hb, jnp.uint8)
+            hbb = hbb.reshape(*lead, nch, chunk // 8)
+            # byte j, bit t  <->  chunk column 32t + j
+            bits = jnp.stack([(hbb >> t) & 1 for t in range(8)], axis=-2)
+            cc = cc + (bits.reshape(*lead, nch, chunk) << 4)
+        return cc.reshape(*lead, kp * 2).astype(jnp.int8)
+
     def dequantize(self, out_dtype=jnp.float32) -> jnp.ndarray:
         """[..., N, K] floats — the fallback/test reference and the M>8
         prefill path's expansion."""
@@ -125,7 +161,7 @@ class GroupQuant:
         # planes are [..., G, N]: move N forward, expand G -> K
         a = jnp.repeat(jnp.swapaxes(a, -1, -2), gs, axis=-1)
         b = jnp.repeat(jnp.swapaxes(b, -1, -2), gs, axis=-1)
-        return (self.codes.astype(jnp.float32) * a + b).astype(out_dtype)
+        return (self.codes_logical().astype(jnp.float32) * a + b).astype(out_dtype)
 
 
 def from_ggml(raw: np.ndarray, shape: tuple[int, int], dtype: DataType) -> GroupQuant:
@@ -165,6 +201,63 @@ def from_ggml(raw: np.ndarray, shape: tuple[int, int], dtype: DataType) -> Group
         a=jnp.asarray(scales.astype(np.float32).T.copy(), jnp.bfloat16),
         b=jnp.asarray((-mins).astype(np.float32).T.copy(), jnp.bfloat16),
         dtype=dtype, n_in=k, group_size=gs,
+    )
+
+
+# formats whose raw codes fit 4 / 5 bits (group_size 32 for all, so the
+# chunk-local pack layout below stays vreg-aligned: half-chunk = 128 lanes)
+PACK4 = frozenset({DataType.Q4_0, DataType.Q4_1, DataType.Q4_K})
+PACK5 = frozenset({DataType.Q5_0, DataType.Q5_1, DataType.Q5_K})
+
+
+def packable(dtype: DataType) -> bool:
+    return DataType(dtype) in PACK4 or DataType(dtype) in PACK5
+
+
+def pack_codes(w: GroupQuant) -> GroupQuant:
+    """Sub-byte code storage: i8 codes [N, K] -> nibble-packed [N, K/2]
+    (+ a 5th-bit plane [N, K/8] for 5-bit formats).
+
+    Decode stays EXACT — the kernel reassembles the identical integer codes
+    — but the weight stream shrinks from 1 B to 0.5 B (p4) / 0.625 B (p5)
+    per element, which is the whole decode-time story on an HBM-bound chip.
+    Layout is chunk-local so every kernel/TP slice boundary stays aligned:
+
+      * nibbles: byte ``s*128 + j`` = lo4(code[s*256+j]) | lo4(code[s*256+128+j]) << 4
+      * hi bits: byte ``s*32 + j`` bit ``t`` = bit4(code[s*256 + 32t + j])
+
+    (for chunk = J*gs = 256).  In-kernel unpack is i32-granularity
+    shift/mask via width-changing ``pltpu.bitcast`` — Mosaic cannot
+    legalize sub-i32 vector shifts (same trick as ops/flash_decode.py's f8
+    rebias), so the VPU cost is ~2 ops per 4 weights, far below the
+    per-element bf16 staging this module exists to avoid.
+    Host-side numpy; one-time at load.  No-op for non-packable formats.
+    """
+    if w.packing != "none" or not packable(w.dtype):
+        return w
+    if w.k_shards != 1:
+        raise ValueError("pack_codes must run before with_k_shards")
+    chunk = J * w.group_size
+    c = np.asarray(w.codes).astype(np.uint8)  # codes are 0..31: lossless
+    k = c.shape[-1]
+    if k % chunk:
+        return w
+    lead = c.shape[:-1]
+    cc = c.reshape(*lead, k // chunk, chunk)
+    half = chunk // 2
+    lo4 = cc & 0xF
+    nib = (lo4[..., :half] | (lo4[..., half:] << 4)).astype(np.int8)
+    mode = "p4" if w.dtype in PACK4 else "p5"
+    hb = None
+    if mode == "p5":
+        bits = ((cc >> 4) & 1).reshape(*lead, k // chunk, 8, chunk // 8)
+        weights = (1 << np.arange(8, dtype=np.uint8)).reshape(8, 1)
+        hbb = (bits * weights).sum(axis=-2).astype(np.int8)
+        hb = jnp.asarray(hbb.reshape(*lead, k // 8))
+    return GroupQuant(
+        jnp.asarray(nib.reshape(*lead, k // 2)), w.sc6, w.mn6, w.d, w.dmin,
+        w.a, w.b, w.dtype, w.n_in, w.group_size, w.k_shards,
+        hb=hb, packing=mode,
     )
 
 
@@ -216,22 +309,84 @@ def _combine(c, sct, bt, sgt_blk, s12_ref, m, o_acc):
                              axis=0, keepdims=True)
 
 
-def _kernel_exact(xg_ref, c_ref, sc6_ref, mn6_ref, d_ref, dm_ref, sgt_ref,
-                  s12_ref, o_ref, *, k, m, gs):
+def _unpack_nibbles(pk):
+    """Nibble-packed [TN, H] i8 -> (lo, hi) [TN, H] i8, codes 0..15 each.
+
+    Bit ops run at i32 granularity (4 bytes per op) via width-changing
+    ``pltpu.bitcast`` — Mosaic cannot legalize sub-i32 vector shifts, and
+    the word layout packs 4 consecutive lanes little-endian, so masking
+    0x0F0F0F0F touches exactly the per-byte low nibbles."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    v = pltpu.bitcast(pk, jnp.int32)
+    lo = pltpu.bitcast(v & 0x0F0F0F0F, jnp.int8)
+    hi = pltpu.bitcast((v >> 4) & 0x0F0F0F0F, jnp.int8)
+    return lo, hi
+
+
+def _unpack_hibits(hb):
+    """Bit plane [TN, K/8] i8 -> 8 streams [TN, K/8] i8 of 0/1.
+
+    Stream t, byte b holds bit4 of the code at chunk-local column
+    ``32t + (b % 32)`` of chunk ``b // 32`` (the pack_codes layout)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    v = pltpu.bitcast(hb, jnp.int32)
+    return [pltpu.bitcast((v >> t) & 0x01010101, jnp.int8) for t in range(8)]
+
+
+def _prep_codes(c_ref, hb_ref, packing, rd):
+    """Hoist the whole-block unpack out of the chunk loop; returns the
+    tuple _chunk_partial slices from."""
+    if packing == "none":
+        return (rd(c_ref),)
+    lo, hi = _unpack_nibbles(rd(c_ref))
+    if packing == "p4":
+        return (lo, hi)
+    return (lo, hi, _unpack_hibits(rd(hb_ref)))
+
+
+def _chunk_partial(xg_ref, cs, s, chunk, packing):
+    """[16M, TN] i32 group partials for chunk ``s`` — the exact integer dot
+    of the chunk's codes against the group-masked activation rows."""
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    a0 = s * chunk
+    if packing == "none":
+        return dot(xg_ref[:, a0:a0 + chunk], cs[0][:, a0:a0 + chunk])
+    half = chunk // 2
+    h0 = s * half
+    # nibble halves are chunk columns [0, half) and [half, chunk)
+    c = dot(xg_ref[:, a0:a0 + half], cs[0][:, h0:h0 + half])
+    c += dot(xg_ref[:, a0 + half:a0 + chunk], cs[1][:, h0:h0 + half])
+    if packing == "p5":
+        sb = chunk // 8
+        b0 = s * sb
+        hi_codes = jnp.concatenate([st[:, b0:b0 + sb] for st in cs[2]],
+                                   axis=1)  # [TN, chunk], col 32t+j
+        c += 16 * dot(xg_ref[:, a0:a0 + chunk], hi_codes)
+    return c
+
+
+def _kernel_exact(xg_ref, c_ref, *refs, k, m, gs, packing):
+    if packing == "p5":
+        hb_ref, sc6_ref, mn6_ref, d_ref, dm_ref, sgt_ref, s12_ref, o_ref = refs
+    else:
+        hb_ref = None
+        sc6_ref, mn6_ref, d_ref, dm_ref, sgt_ref, s12_ref, o_ref = refs
     chunk = J * gs
     tn = c_ref.shape[-2]
 
     def rd(ref):  # drop the stacked layer dim if present
         return ref[0] if len(ref.shape) == 3 else ref[...]
 
-    codes = rd(c_ref)
+    cs = _prep_codes(c_ref, hb_ref, packing, rd)
     acc = [jnp.zeros((1, tn), jnp.float32) for _ in range(m)]
     for s in range(k // chunk):
-        c = jax.lax.dot_general(
-            xg_ref[:, s * chunk:(s + 1) * chunk],
-            codes[:, s * chunk:(s + 1) * chunk],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
-        )  # [16M, TN] i32, exact
+        c = _chunk_partial(xg_ref, cs, s, chunk, packing)  # [16M, TN] i32
         d = rd(d_ref)[s:s + 1, :]        # [1, TN] f32
         dm = rd(dm_ref)[s:s + 1, :]
         # Mosaic cannot lower u8 -> f32 directly; widen through i32 (exact)
@@ -244,22 +399,22 @@ def _kernel_exact(xg_ref, c_ref, sc6_ref, mn6_ref, d_ref, dm_ref, sgt_ref,
         o_ref[mm, :] = acc[mm][0]
 
 
-def _kernel_generic(xg_ref, c_ref, a_ref, b_ref, sgt_ref, s12_ref, o_ref, *,
-                    k, m, gs):
+def _kernel_generic(xg_ref, c_ref, *refs, k, m, gs, packing):
+    if packing == "p5":
+        hb_ref, a_ref, b_ref, sgt_ref, s12_ref, o_ref = refs
+    else:
+        hb_ref = None
+        a_ref, b_ref, sgt_ref, s12_ref, o_ref = refs
     chunk = J * gs
     tn = c_ref.shape[-2]
 
     def rd(ref):
         return ref[0] if len(ref.shape) == 3 else ref[...]
 
-    codes = rd(c_ref)
+    cs = _prep_codes(c_ref, hb_ref, packing, rd)
     acc = [jnp.zeros((1, tn), jnp.float32) for _ in range(m)]
     for s in range(k // chunk):
-        c = jax.lax.dot_general(
-            xg_ref[:, s * chunk:(s + 1) * chunk],
-            codes[:, s * chunk:(s + 1) * chunk],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
-        )
+        c = _chunk_partial(xg_ref, cs, s, chunk, packing)
         sct = rd(a_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
         bt = rd(b_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
         _combine(c, sct, bt, sgt_ref[s * J:(s + 1) * J, :], s12_ref, m, acc)
@@ -277,7 +432,7 @@ TN = int(_os.environ.get("MINIGPT4_TPU_GQ_TN", "256"))
 )
 def _run(xg, sgt, s12, planes, *, meta, interpret=False, tn=None,
          static_layer=None):
-    k, n_out, m, gs, exact = meta
+    k, n_out, m, gs, exact, packing = meta
     tn = tn or TN
     g = k // gs
     sbk = k // (J * gs)  # superblock rows in d/dmin planes
@@ -286,26 +441,32 @@ def _run(xg, sgt, s12, planes, *, meta, interpret=False, tn=None,
     stacked = codes.ndim == 3
     li = static_layer if stacked else None
     grid = (n_pad // tn,)
+    kc = codes.shape[-1]  # stored code columns (K/2 when nibble-packed)
 
-    def nk_spec():  # codes [(L,) N, K]
+    def nk_spec(cols):  # codes/bit-plane [(L,) N, cols]
         if stacked:
-            return pl.BlockSpec((1, tn, k), lambda ni: (li, ni, 0))
-        return pl.BlockSpec((tn, k), lambda ni: (ni, 0))
+            return pl.BlockSpec((1, tn, cols), lambda ni: (li, ni, 0))
+        return pl.BlockSpec((tn, cols), lambda ni: (ni, 0))
 
     def gn_spec(rows):  # planes [(L,) rows, N]
         if stacked:
             return pl.BlockSpec((1, rows, tn), lambda ni: (li, 0, ni))
         return pl.BlockSpec((rows, tn), lambda ni: (0, ni))
 
+    code_specs = [nk_spec(kc)]
+    code_bytes = n_pad * kc
+    if packing == "p5":
+        code_specs.append(nk_spec(k // 8))
+        code_bytes += n_pad * (k // 8)
     plane_specs = ([gn_spec(g), gn_spec(g), gn_spec(sbk), gn_spec(sbk)]
                    if exact else [gn_spec(g), gn_spec(g)])
     kern = _kernel_exact if exact else _kernel_generic
     out = pl.pallas_call(
-        functools.partial(kern, k=k, m=m, gs=gs),
+        functools.partial(kern, k=k, m=m, gs=gs, packing=packing),
         grid=grid,
         in_specs=[
             pl.BlockSpec((16 * m, k), lambda ni: (0, 0)),
-            nk_spec(),
+            *code_specs,
             *plane_specs,
             pl.BlockSpec((g, m), lambda ni: (0, 0)),
             pl.BlockSpec((m, 2), lambda ni: (0, 0)),
@@ -314,7 +475,7 @@ def _run(xg, sgt, s12, planes, *, meta, interpret=False, tn=None,
         out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * 16 * m * k * n_pad,
-            bytes_accessed=n_pad * k + 16 * m * k + 3 * n_pad * g,
+            bytes_accessed=code_bytes + 16 * m * k + 3 * n_pad * g,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -338,7 +499,25 @@ def _expand_ab(plane_blk, e8):
     )  # [TN, chunk]
 
 
-def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact):
+def _prefill_chunk_codes(cs, s, chunk, packing):
+    """[TN, chunk] i8 logical codes for chunk ``s`` of the current K tile
+    (prefill dequantizes per element, so packed codes are reassembled)."""
+    if packing == "none":
+        return cs[0][:, s * chunk:(s + 1) * chunk]
+    half = chunk // 2
+    h0 = s * half
+    codes = jnp.concatenate(
+        [cs[0][:, h0:h0 + half], cs[1][:, h0:h0 + half]], axis=1)
+    if packing == "p5":
+        sb = chunk // 8
+        b0 = s * sb
+        hi = jnp.concatenate([st[:, b0:b0 + sb] for st in cs[2]], axis=1)
+        # Mosaic has no vector<i8> arith — widen to i32 (caller casts to f32)
+        codes = codes.astype(jnp.int32) + hi.astype(jnp.int32) * 16
+    return codes
+
+
+def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact, packing):
     """M > 8 path: per-tile dequantize (VPU) + dense bf16 MXU dot.
 
     Grid is (m, n, k) with k INNERMOST and the [TM, TN] f32 output block
@@ -350,6 +529,9 @@ def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact):
     512-token 13B prefill).  x_ref [TM, TK] bf16; codes [(1,)TN, TK];
     plane blocks are the K-tile's rows."""
     chunk = J * gs
+    hb_ref = None
+    if packing == "p5":
+        hb_ref, *refs = refs
     if exact:
         sc6_ref, mn6_ref, d_ref, dm_ref, o_ref = refs
     else:
@@ -366,8 +548,8 @@ def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact):
         v = ref[...]
         return v.reshape(v.shape[-2], v.shape[-1])
 
-    codes = rd(c_ref)
-    tn = codes.shape[0]
+    code_planes = _prep_codes(c_ref, hb_ref, packing, rd)
+    tn = c_ref.shape[-2]
     tm = x_ref.shape[0]
     # constant group-expansion matrix E8[j, l] = (l // gs == j)
     e8 = (jax.lax.broadcasted_iota(jnp.int32, (J, chunk), 1) // gs
@@ -388,7 +570,8 @@ def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact):
             bt = rd2(b_ref)[s * J:(s + 1) * J, :].astype(jnp.float32)
         a_e = _expand_ab(sct, e8)  # [TN, chunk]
         b_e = _expand_ab(bt, e8)
-        dense = (codes[:, cs].astype(jnp.float32) * a_e + b_e
+        ch_codes = _prefill_chunk_codes(code_planes, s, chunk, packing)
+        dense = (ch_codes.astype(jnp.float32) * a_e + b_e
                  ).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
             x_ref[:, cs], dense, (((1,), (1,)), ((), ())),
@@ -418,7 +601,7 @@ def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
     forced a LAYOUT-CONVERSION COPY of the full 12.9 GB stacked codes
     (XLA assigns the dot's preferred parameter layout).  The kernel reads
     the codes in their storage layout, once."""
-    k, n_out, m, gs, exact = meta
+    k, n_out, m, gs, exact, packing = meta
     tn = tn or TN
     chunk = J * gs
     n_chunks = k // chunk
@@ -454,10 +637,10 @@ def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
     # weight element is fetched AND dequantized exactly once
     grid = (m_pad // tm, n_pad // tn, k // tk)
 
-    def nk_spec():
+    def nk_spec(cols):  # codes/bit-plane [(L,) N, cols-per-K-tile * KT]
         if stacked:
-            return pl.BlockSpec((1, tn, tk), lambda mi, ni, ki: (li, ni, ki))
-        return pl.BlockSpec((tn, tk), lambda mi, ni, ki: (ni, ki))
+            return pl.BlockSpec((1, tn, cols), lambda mi, ni, ki: (li, ni, ki))
+        return pl.BlockSpec((tn, cols), lambda mi, ni, ki: (ni, ki))
 
     # Planes reshape (free — contiguous) to [(L,) KT, rows, N] so each
     # block takes the rows dim WHOLE: Mosaic requires the block's
@@ -480,25 +663,33 @@ def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
         plane_rows = [g_t, g_t, sbk_t, sbk_t]
     else:
         plane_rows = [g_t, g_t]
-    plane_args = [gn_reshape(p, r) for p, r in zip(planes[1:], plane_rows)]
+    n_code = 2 if packing == "p5" else 1  # codes (+ bit plane)
+    plane_args = [gn_reshape(p, r)
+                  for p, r in zip(planes[n_code:], plane_rows)]
     plane_specs = [gn_spec(r) for r in plane_rows]
+    code_specs = [nk_spec(tk // (2 if packing != "none" else 1))]
+    code_bytes = n_pad * (k // (2 if packing != "none" else 1))
+    if packing == "p5":
+        code_specs.append(nk_spec(tk // 8))
+        code_bytes += n_pad * (k // 8)
     out = pl.pallas_call(
-        functools.partial(_kernel_prefill, tk=tk, gs=gs, exact=exact),
+        functools.partial(_kernel_prefill, tk=tk, gs=gs, exact=exact,
+                          packing=packing),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki)),
-            nk_spec(),
+            *code_specs,
             *plane_specs,
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda mi, ni, ki: (mi, ni)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n_pad,
-            bytes_accessed=n_pad * k + m_pad * k * 2 + 3 * n_pad * (k // gs),
+            bytes_accessed=code_bytes + m_pad * k * 2 + 3 * n_pad * (k // gs),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, planes[0], *plane_args)
+    )(xp, *planes[:n_code], *plane_args)
     return out[:m, :n_out]
 
 
@@ -512,7 +703,7 @@ def qmatmul_group(
     layer loop is unrolled, matching qmatmul_repacked/qmatmul_i8sb).
     ``x_scale`` [..., 1] overrides the split's first-level scales (K-sharded
     TP passes the global row absmax)."""
-    k = w.codes.shape[-1]
+    k = w.k_stored
     gs = w.group_size
     stacked = w.codes.ndim == 3
     if stacked and not isinstance(layer, int):
@@ -522,14 +713,15 @@ def qmatmul_group(
             "k-sharded GroupQuant must be consumed shard-locally "
             "(row-parallel shard_map path); global use would mis-map scales"
         )
+    code_planes = ((w.codes, w.hb) if w.packing == "p5" else (w.codes,))
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     if m > GQ_MAX_M:
-        planes = ((w.codes, w.sc6, w.mn6, w.d, w.dmin) if w.exact
-                  else (w.codes, w.a, w.b))
+        planes = (code_planes + ((w.sc6, w.mn6, w.d, w.dmin) if w.exact
+                                 else (w.a, w.b)))
         y = _run_prefill(
-            x2, planes, meta=(k, w.n_out, m, gs, w.exact),
+            x2, planes, meta=(k, w.n_out, m, gs, w.exact, w.packing),
             interpret=jax.default_backend() != "tpu", tn=tn,
             static_layer=layer if stacked else None,
         )
@@ -542,13 +734,13 @@ def qmatmul_group(
     xg = build_xg(x1, x2i, gs)
     sgt = xf.reshape(m, k // gs, gs).sum(axis=2).T  # [G, M] true-x group sums
     s12 = jnp.concatenate([s1, s2], axis=1)
-    planes = ((w.codes, w.sc6, w.mn6, w.d, w.dmin) if w.exact
-              else (w.codes, w.a, w.b))
+    planes = (code_planes + ((w.sc6, w.mn6, w.d, w.dmin) if w.exact
+                             else (w.a, w.b)))
     interpret = jax.default_backend() != "tpu"
     y = _run(
         xg, sgt, s12, planes,
-        meta=(k, w.n_out, m, gs, w.exact), interpret=interpret, tn=tn,
-        static_layer=layer if stacked else None,
+        meta=(k, w.n_out, m, gs, w.exact, w.packing), interpret=interpret,
+        tn=tn, static_layer=layer if stacked else None,
     )
     return y.reshape(*lead, w.n_out).astype(out_dtype or x.dtype)
 
@@ -560,14 +752,16 @@ def with_k_shards(w: GroupQuant, k_shards: int) -> GroupQuant:
     consumes shard-locally (parallel/spmd.py)."""
     if w.codes.ndim != 2:
         raise ValueError("with_k_shards expects flat [N, K] planes")
-    k = w.codes.shape[-1]
+    k = w.k_stored
     chunk = J * w.group_size
     if k % (k_shards * chunk) != 0:
         raise ValueError(f"K={k} not splittable into {k_shards} chunk-aligned shards")
     ks = k // k_shards
 
-    def split_nk(p):  # [N, K] -> [S, N, K/S]
-        return jnp.stack([p[:, i * ks:(i + 1) * ks] for i in range(k_shards)])
+    def split_nk(p, cols):  # [N, cols] -> [S, N, cols/S]; the chunk-local
+        # pack layout keeps packed columns contiguous per K slice
+        c = cols // k_shards
+        return jnp.stack([p[:, i * c:(i + 1) * c] for i in range(k_shards)])
 
     def split_gn(p, rows):  # [rows, N] -> [S, rows/S, N]
         r = rows // k_shards
@@ -576,7 +770,7 @@ def with_k_shards(w: GroupQuant, k_shards: int) -> GroupQuant:
     g = k // w.group_size
     sbk = k // chunk
     return GroupQuant(
-        codes=split_nk(w.codes),
+        codes=split_nk(w.codes, w.codes.shape[-1]),
         sc6=None if w.sc6 is None else split_gn(w.sc6, g),
         mn6=None if w.mn6 is None else split_gn(w.mn6, g),
         d=None if w.d is None else split_gn(w.d, sbk),
@@ -585,6 +779,8 @@ def with_k_shards(w: GroupQuant, k_shards: int) -> GroupQuant:
         b=None if w.b is None else split_gn(w.b, g),
         dtype=w.dtype, n_in=w.n_in, group_size=w.group_size,
         k_shards=k_shards,
+        hb=None if w.hb is None else split_nk(w.hb, w.hb.shape[-1]),
+        packing=w.packing,
     )
 
 
@@ -600,4 +796,5 @@ def shard_local(w: GroupQuant, idx: int | None = None) -> GroupQuant:
     return GroupQuant(
         pick(w.codes), pick(w.sc6), pick(w.mn6), pick(w.d), pick(w.dmin),
         pick(w.a), pick(w.b), w.dtype, w.n_in, w.group_size, 1,
+        hb=pick(w.hb), packing=w.packing,
     )

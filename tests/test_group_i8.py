@@ -143,6 +143,76 @@ def test_linear_dispatch_group_quant():
     assert y.shape == (2, 1, n) and y.dtype == jnp.bfloat16
 
 
+PACKABLE = [DataType.Q4_K, DataType.Q5_K, DataType.Q4_0, DataType.Q4_1,
+            DataType.Q5_0, DataType.Q5_1]
+
+
+@pytest.mark.parametrize("dtype", PACKABLE)
+def test_pack_codes_lossless(dtype):
+    """Sub-byte packing is pure storage: the logical codes, the dequant, and
+    BOTH matmul paths are bit-identical to the unpacked GroupQuant."""
+    n, k = 256, 512
+    raw, _ = _make(dtype, n, k, seed=int(dtype))
+    w = gq.from_ggml(raw, (n, k), dtype)
+    p = gq.pack_codes(w)
+    assert p.packing == ("p4" if dtype in gq.PACK4 else "p5")
+    assert p.codes.shape == (n, k // 2)
+    assert p.k_stored == k and p.n_out == n
+    assert np.array_equal(np.asarray(p.codes_logical()), np.asarray(w.codes))
+    assert np.array_equal(np.asarray(p.dequantize()), np.asarray(w.dequantize()))
+    x = np.random.default_rng(1).normal(0, 1, (2, k)).astype(np.float32)
+    for m in (2, 16):  # kernel path and prefill path
+        xm = np.random.default_rng(m).normal(0, 1, (m, k)).astype(np.float32)
+        y0 = np.asarray(gq.qmatmul_group(jnp.asarray(xm), w, out_dtype=jnp.float32))
+        y1 = np.asarray(gq.qmatmul_group(jnp.asarray(xm), p, out_dtype=jnp.float32))
+        assert np.array_equal(y0, y1), (dtype, m)
+
+
+def test_pack_codes_noop_for_byte_formats():
+    for dtype in (DataType.Q6_K, DataType.Q8_0):
+        raw, _ = _make(dtype, 8, 512)
+        w = gq.from_ggml(raw, (8, 512), dtype)
+        assert gq.pack_codes(w) is w
+
+
+def test_pack_codes_k_shards_compose():
+    n, k, shards = 128, 1024, 2
+    raw, _ = _make(DataType.Q5_K, n, k)
+    p = gq.pack_codes(gq.from_ggml(raw, (n, k), DataType.Q5_K))
+    ws = gq.with_k_shards(p, shards)
+    assert ws.codes.shape == (shards, n, k // 2 // shards)
+    x = np.random.default_rng(3).normal(0, 1, (1, k)).astype(np.float32)
+    full = np.asarray(gq.qmatmul_group(jnp.asarray(x), p, out_dtype=jnp.float32))
+    ax = np.abs(x).max(axis=-1, keepdims=True)
+    sx = jnp.asarray(np.where(ax == 0, 1.0, ax / 127.0), jnp.float32)
+    ks = k // shards
+    parts = [
+        np.asarray(gq.qmatmul_group(
+            jnp.asarray(x[:, i * ks:(i + 1) * ks]), gq.shard_local(ws, i),
+            out_dtype=jnp.float32, x_scale=sx,
+        ))
+        for i in range(shards)
+    ]
+    denom = np.abs(full).max() + 1e-9
+    assert np.abs(parts[0] + parts[1] - full).max() / denom < 5e-4
+
+
+def test_load_quant_weight_packs_by_default(monkeypatch):
+    from minigpt4_tpu.models.params import load_quant_weight
+
+    n, k = 8, 512
+    raw, _ = _make(DataType.Q5_K, n, k)
+    w = load_quant_weight(raw, (n, k), DataType.Q5_K, mode="gq")
+    assert isinstance(w, gq.GroupQuant) and w.packing == "p5"
+    monkeypatch.setenv("MINIGPT4_TPU_GQ_PACK", "0")
+    w0 = load_quant_weight(raw, (n, k), DataType.Q5_K, mode="gq")
+    assert w0.packing == "none"
+    # q6_k has 6-bit codes: loads unpacked even with packing enabled
+    raw6, _ = _make(DataType.Q6_K, n, k)
+    w6 = load_quant_weight(raw6, (n, k), DataType.Q6_K, mode="gq")
+    assert isinstance(w6, gq.GroupQuant) and w6.packing == "none"
+
+
 def test_split_activations_precision():
     x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (4, 256)), jnp.float32)
     x1, x2, s1, s2 = gq.split_activations(x)

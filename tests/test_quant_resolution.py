@@ -57,11 +57,21 @@ def _real_13b_residency():
     return r
 
 
-def test_auto_falls_to_w8a8_when_gq_does_not_fit():
+def test_auto_falls_to_w8a8_when_gq_does_not_fit(monkeypatch):
     r = _real_13b_residency()
     # single stream: gq + f8 cache fits (the measured 41 tok/s config)
     assert resolve_llm_quant_mode(r, "auto", "tpu", n_ctx=2048, batch=1) == "gq"
-    # 8-lane dense serving: the ~1.2 GB of gq scale planes no longer fit
+    # 8-lane dense serving NOW fits the exact path too: sub-byte packing
+    # (group_i8.pack_codes, the load default) cuts q5_k codes to 0.625
+    # B/weight — serving no longer silently re-quantizes (r3 weak #6)
+    assert resolve_llm_quant_mode(r, "auto", "tpu", n_ctx=512, batch=8) == "gq"
+    # with packing disabled the old 1 B/code residency is back over budget
+    monkeypatch.setenv("MINIGPT4_TPU_GQ_PACK", "0")
+    assert resolve_llm_quant_mode(r, "auto", "tpu", n_ctx=512, batch=8) == "w8a8"
+    monkeypatch.delenv("MINIGPT4_TPU_GQ_PACK")
+    # genuinely over-budget residency (no packing can save ~18.7e9 codes):
+    # w8a8's re-quantized 1 B + smaller planes is the correct demotion
+    r.tensors["bulk"] = FakeRec((18_700_000_000 // 5120, 5120), DataType.Q5_K)
     assert resolve_llm_quant_mode(r, "auto", "tpu", n_ctx=512, batch=8) == "w8a8"
 
 

@@ -245,8 +245,7 @@ def main() -> None:
         # synthetic bench teacher (and vice versa): tag with provenance
         tag = f"real:{Path(args.llm_file).name}@{args.quant_mode}"
     else:
-        tag = (f"gq@{B.GQ_SYNTH_D:g}" if args.quant_mode == "gq"
-               else args.quant_mode)
+        tag = B.synth_teacher_tag(args.quant_mode)
     D.save_artifact(args.out, art, dhc, teacher_mode=tag)
     print(f"[draft-train] saved {args.out} (teacher {tag})")
 

@@ -55,6 +55,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.dtypes import DataType
 
@@ -427,11 +428,15 @@ import os as _os
 TN = int(_os.environ.get("MINIGPT4_TPU_GQ_TN", "256"))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("meta", "interpret", "tn", "static_layer")
-)
-def _run(xg, sgt, s12, planes, *, meta, interpret=False, tn=None,
-         static_layer=None):
+@functools.partial(jax.jit, static_argnames=("meta", "interpret", "tn"))
+def _run(xg, sgt, s12, planes, layer, *, meta, interpret=False, tn=None):
+    """``layer``: [1] i32 array selecting the stacked-L slice, or None for
+    flat planes.  The layer index rides in as a SCALAR-PREFETCH operand
+    (pltpu.PrefetchScalarGridSpec) consumed only by the BlockSpec index
+    maps, so all 40 decode layers share ONE Mosaic program per shape —
+    the previous static-layer BlockSpecs specialized the kernel per layer
+    and made a cold 13B engine build pay 4 shapes x n_layer Mosaic
+    compiles (the round-3 multi-minute cold-start pathology)."""
     k, n_out, m, gs, exact, packing = meta
     tn = tn or TN
     g = k // gs
@@ -439,19 +444,21 @@ def _run(xg, sgt, s12, planes, *, meta, interpret=False, tn=None,
     n_pad = -(-n_out // tn) * tn
     codes = planes[0]
     stacked = codes.ndim == 3
-    li = static_layer if stacked else None
     grid = (n_pad // tn,)
     kc = codes.shape[-1]  # stored code columns (K/2 when nibble-packed)
 
     def nk_spec(cols):  # codes/bit-plane [(L,) N, cols]
         if stacked:
-            return pl.BlockSpec((1, tn, cols), lambda ni: (li, ni, 0))
+            return pl.BlockSpec((1, tn, cols), lambda ni, li: (li[0], ni, 0))
         return pl.BlockSpec((tn, cols), lambda ni: (ni, 0))
 
     def gn_spec(rows):  # planes [(L,) rows, N]
         if stacked:
-            return pl.BlockSpec((1, rows, tn), lambda ni: (li, 0, ni))
+            return pl.BlockSpec((1, rows, tn), lambda ni, li: (li[0], 0, ni))
         return pl.BlockSpec((rows, tn), lambda ni: (0, ni))
+
+    def fix(im):  # broadcast specs: index map arity grows with prefetch
+        return (lambda ni, li: im(ni)) if stacked else im
 
     code_specs = [nk_spec(kc)]
     code_bytes = n_pad * kc
@@ -461,25 +468,35 @@ def _run(xg, sgt, s12, planes, *, meta, interpret=False, tn=None,
     plane_specs = ([gn_spec(g), gn_spec(g), gn_spec(sbk), gn_spec(sbk)]
                    if exact else [gn_spec(g), gn_spec(g)])
     kern = _kernel_exact if exact else _kernel_generic
-    out = pl.pallas_call(
-        functools.partial(kern, k=k, m=m, gs=gs, packing=packing),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((16 * m, k), lambda ni: (0, 0)),
-            *code_specs,
-            *plane_specs,
-            pl.BlockSpec((g, m), lambda ni: (0, 0)),
-            pl.BlockSpec((m, 2), lambda ni: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((m, tn), lambda ni: (0, ni)),
-        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 16 * m * k * n_pad,
-            bytes_accessed=code_bytes + 16 * m * k + 3 * n_pad * g,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(xg, *planes, sgt, s12)
+    kern_fn = functools.partial(kern, k=k, m=m, gs=gs, packing=packing)
+    in_specs = [
+        pl.BlockSpec((16 * m, k), fix(lambda ni: (0, 0))),
+        *code_specs,
+        *plane_specs,
+        pl.BlockSpec((g, m), fix(lambda ni: (0, 0))),
+        pl.BlockSpec((m, 2), fix(lambda ni: (0, 0))),
+    ]
+    out_specs = pl.BlockSpec((m, tn), fix(lambda ni: (0, ni)))
+    out_shape = jax.ShapeDtypeStruct((m, n_pad), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=2 * 16 * m * k * n_pad,
+        bytes_accessed=code_bytes + 16 * m * k + 3 * n_pad * g,
+        transcendentals=0,
+    )
+    if stacked:
+        out = pl.pallas_call(
+            lambda li_ref, *refs: kern_fn(*refs),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid,
+                in_specs=in_specs, out_specs=out_specs,
+            ),
+            out_shape=out_shape, cost_estimate=cost, interpret=interpret,
+        )(layer, xg, *planes, sgt, s12)
+    else:
+        out = pl.pallas_call(
+            kern_fn, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, cost_estimate=cost, interpret=interpret,
+        )(xg, *planes, sgt, s12)
     return out[:, :n_out]
 
 
@@ -587,11 +604,8 @@ def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact, packing):
         o_ref[...] += acc
 
 
-@functools.partial(
-    jax.jit, static_argnames=("meta", "interpret", "tn", "static_layer")
-)
-def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
-                 static_layer=None):
+@functools.partial(jax.jit, static_argnames=("meta", "interpret", "tn"))
+def _run_prefill(x, planes, layer, *, meta, interpret=False, tn=None):
     """Pallas prefill matmul for M > 8.
 
     Why a kernel and not XLA dequant+dot: a whole-tensor dequantize inside
@@ -630,7 +644,6 @@ def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
     sbk_t = tk // chunk
     codes = planes[0]
     stacked = codes.ndim == 3
-    li = static_layer if stacked else None
     xp = jnp.zeros((m_pad, k), jnp.bfloat16).at[:m].set(x.astype(jnp.bfloat16))
     # grid (m, n, k): k innermost (output block accumulates in place); for
     # the engine's <= 512-row prefill buckets m is a single tile, so every
@@ -639,7 +652,10 @@ def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
 
     def nk_spec(cols):  # codes/bit-plane [(L,) N, cols-per-K-tile * KT]
         if stacked:
-            return pl.BlockSpec((1, tn, cols), lambda mi, ni, ki: (li, ni, ki))
+            # layer rides in as a scalar-prefetch operand (see _run): one
+            # Mosaic program serves every stacked layer
+            return pl.BlockSpec((1, tn, cols),
+                                lambda mi, ni, ki, li: (li[0], ni, ki))
         return pl.BlockSpec((tn, cols), lambda mi, ni, ki: (ni, ki))
 
     # Planes reshape (free — contiguous) to [(L,) KT, rows, N] so each
@@ -656,7 +672,7 @@ def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
     def gn_spec(rows):
         if stacked:
             return pl.BlockSpec((1, 1, rows, tn),
-                                lambda mi, ni, ki: (li, ki, 0, ni))
+                                lambda mi, ni, ki, li: (li[0], ki, 0, ni))
         return pl.BlockSpec((1, rows, tn), lambda mi, ni, ki: (ki, 0, ni))
 
     if exact:
@@ -672,24 +688,38 @@ def _run_prefill(x, planes, *, meta, interpret=False, tn=None,
     if packing == "p5":
         code_specs.append(nk_spec(tk // 8))
         code_bytes += n_pad * (k // 8)
-    out = pl.pallas_call(
-        functools.partial(_kernel_prefill, tk=tk, gs=gs, exact=exact,
-                          packing=packing),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, tk), lambda mi, ni, ki: (mi, ki)),
-            *code_specs,
-            *plane_specs,
-        ],
-        out_specs=pl.BlockSpec((tm, tn), lambda mi, ni, ki: (mi, ni)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * k * n_pad,
-            bytes_accessed=code_bytes + m_pad * k * 2 + 3 * n_pad * (k // gs),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(xp, *planes[:n_code], *plane_args)
+    kern_fn = functools.partial(_kernel_prefill, tk=tk, gs=gs, exact=exact,
+                                packing=packing)
+
+    def fix(im):
+        return (lambda mi, ni, ki, li: im(mi, ni, ki)) if stacked else im
+
+    in_specs = [
+        pl.BlockSpec((tm, tk), fix(lambda mi, ni, ki: (mi, ki))),
+        *code_specs,
+        *plane_specs,
+    ]
+    out_specs = pl.BlockSpec((tm, tn), fix(lambda mi, ni, ki: (mi, ni)))
+    out_shape = jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=2 * m_pad * k * n_pad,
+        bytes_accessed=code_bytes + m_pad * k * 2 + 3 * n_pad * (k // gs),
+        transcendentals=0,
+    )
+    if stacked:
+        out = pl.pallas_call(
+            lambda li_ref, *refs: kern_fn(*refs),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid,
+                in_specs=in_specs, out_specs=out_specs,
+            ),
+            out_shape=out_shape, cost_estimate=cost, interpret=interpret,
+        )(layer, xp, *planes[:n_code], *plane_args)
+    else:
+        out = pl.pallas_call(
+            kern_fn, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, cost_estimate=cost, interpret=interpret,
+        )(xp, *planes[:n_code], *plane_args)
     return out[:m, :n_out]
 
 
@@ -699,15 +729,17 @@ def qmatmul_group(
 ) -> jnp.ndarray:
     """x [..., K] @ w.T -> [..., N] with exact group-quant semantics.
 
-    ``layer`` must be a static int for stacked [L, ...] planes (the decode
-    layer loop is unrolled, matching qmatmul_repacked/qmatmul_i8sb).
+    ``layer`` selects the stacked [L, ...] slice; int or traced i32 scalar
+    — it feeds the kernels' scalar-prefetch operand, so the (unrolled)
+    decode layer loop reuses one Mosaic program per shape.
     ``x_scale`` [..., 1] overrides the split's first-level scales (K-sharded
     TP passes the global row absmax)."""
     k = w.k_stored
     gs = w.group_size
     stacked = w.codes.ndim == 3
-    if stacked and not isinstance(layer, int):
-        raise ValueError("stacked GroupQuant requires a static layer index")
+    if stacked and layer is None:
+        raise ValueError("stacked GroupQuant requires a layer index")
+    li_arr = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked else None)
     if w.k_shards != 1 and k == w.n_in:
         raise ValueError(
             "k-sharded GroupQuant must be consumed shard-locally "
@@ -721,9 +753,8 @@ def qmatmul_group(
         planes = (code_planes + ((w.sc6, w.mn6, w.d, w.dmin) if w.exact
                                  else (w.a, w.b)))
         y = _run_prefill(
-            x2, planes, meta=(k, w.n_out, m, gs, w.exact, w.packing),
+            x2, planes, li_arr, meta=(k, w.n_out, m, gs, w.exact, w.packing),
             interpret=jax.default_backend() != "tpu", tn=tn,
-            static_layer=layer if stacked else None,
         )
         return y.reshape(*lead, w.n_out).astype(out_dtype or x.dtype)
 
@@ -738,9 +769,9 @@ def qmatmul_group(
                              else (w.a, w.b)))
     interpret = jax.default_backend() != "tpu"
     y = _run(
-        xg, sgt, s12, planes,
+        xg, sgt, s12, planes, li_arr,
         meta=(k, w.n_out, m, gs, w.exact, w.packing), interpret=interpret,
-        tn=tn, static_layer=layer if stacked else None,
+        tn=tn,
     )
     return y.reshape(*lead, w.n_out).astype(out_dtype or x.dtype)
 

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.dtypes import DataType
 
@@ -160,11 +161,11 @@ import os as _os
 TN = int(_os.environ.get("MINIGPT4_TPU_I8_TN", "256"))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("meta", "interpret", "static_layer", "tn")
-)
-def _run(x_i8, codes, scales, *, meta, interpret=False, static_layer=None,
-         tn=None):
+@functools.partial(jax.jit, static_argnames=("meta", "interpret", "tn"))
+def _run(x_i8, codes, scales, layer, *, meta, interpret=False, tn=None):
+    """``layer``: [1] i32 array (stacked) or None — a scalar-prefetch
+    operand read only by the index maps, so every stacked layer shares one
+    Mosaic program per shape (see group_i8._run)."""
     k, n_out = meta
     m = x_i8.shape[0]
     tm = 8 if m <= 8 else min(128, -(-m // 8) * 8)
@@ -176,32 +177,39 @@ def _run(x_i8, codes, scales, *, meta, interpret=False, static_layer=None,
 
     stacked = codes.ndim == 3
     grid = (n_pad // tn, m_pad // tm)
+    out_shape = jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=2 * m_pad * k * n_pad,
+        bytes_accessed=n_pad * k + n_pad * g * 4 + m_pad * k,
+        transcendentals=0,
+    )
+    kern = functools.partial(_kernel, k=k)
     if stacked:
-        li = static_layer
         in_specs = [
-            pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0)),
-            pl.BlockSpec((1, tn, k), lambda ni, mi: (li, ni, 0)),
-            pl.BlockSpec((1, tn, g), lambda ni, mi: (li, ni, 0)),
+            pl.BlockSpec((tm, k), lambda ni, mi, li: (mi, 0)),
+            pl.BlockSpec((1, tn, k), lambda ni, mi, li: (li[0], ni, 0)),
+            pl.BlockSpec((1, tn, g), lambda ni, mi, li: (li[0], ni, 0)),
         ]
+        out = pl.pallas_call(
+            lambda li_ref, *refs: kern(*refs),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=pl.BlockSpec((tm, tn),
+                                       lambda ni, mi, li: (mi, ni)),
+            ),
+            out_shape=out_shape, cost_estimate=cost, interpret=interpret,
+        )(layer, xp, codes, scales)
     else:
         in_specs = [
             pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0)),
             pl.BlockSpec((tn, k), lambda ni, mi: (ni, 0)),
             pl.BlockSpec((tn, g), lambda ni, mi: (ni, 0)),
         ]
-    out = pl.pallas_call(
-        functools.partial(_kernel, k=k),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * k * n_pad,
-            bytes_accessed=n_pad * k + n_pad * g * 4 + m_pad * k,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(xp, codes, scales)
+        out = pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni)),
+            out_shape=out_shape, cost_estimate=cost, interpret=interpret,
+        )(xp, codes, scales)
     return out[:m, :n_out]
 
 
@@ -227,14 +235,14 @@ def qmatmul_i8sb(
 ) -> jnp.ndarray:
     """x [..., K] @ w.T -> [..., N]: per-row i8 activation quant, chunked i8
     MXU contraction, scales applied per chunk (weights) and per row
-    (activations).  ``layer`` must be a static int for stacked [L, ...]
-    weights (the llama layer loop is unrolled).  ``x_scale`` [..., 1]
+    (activations).  ``layer`` (int or traced i32 scalar) selects the
+    stacked [L, ...] slice via scalar prefetch.  ``x_scale`` [..., 1]
     overrides the row quantization scales (K-sharded TP passes the global
     absmax)."""
     k = w.codes.shape[-1]
     stacked = w.codes.ndim == 3
-    if stacked and not isinstance(layer, int):
-        raise ValueError("stacked I8SBQuant requires a static layer index")
+    if stacked and layer is None:
+        raise ValueError("stacked I8SBQuant requires a layer index")
     if k % SB:
         # every shipped constructor guarantees K % SB == 0 (from_ggml and
         # requantize_i8sb raise/throw, load_quant_weight routes such weights
@@ -246,9 +254,10 @@ def qmatmul_i8sb(
         x2, None if x_scale is None else x_scale.reshape(-1, 1)
     )
     interpret = jax.default_backend() != "tpu"
+    li_arr = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked else None)
     y = _run(
-        x_i8, w.codes, w.scales, meta=(k, w.n_out), interpret=interpret,
-        static_layer=layer if stacked else None, tn=tn,
+        x_i8, w.codes, w.scales, li_arr, meta=(k, w.n_out),
+        interpret=interpret, tn=tn,
     )
     y = y * sx
     return y.reshape(*lead, w.n_out).astype(out_dtype or x.dtype)

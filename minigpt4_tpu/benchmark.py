@@ -41,8 +41,11 @@ GQ_SYNTH_D = float(_os.environ.get("MINIGPT4_TPU_GQ_SYNTH_D", "2e-5"))
 # Sub-byte packed codes for the gq path (group_i8.pack_codes): ON by
 # default — it is the engine's load_quant_weight default, so the bench
 # measures what users run.  Teacher-affecting (different synthetic code
-# stream), hence part of the teacher tag below.
-GQ_PACK = _os.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0"
+# stream), hence part of the teacher tag below.  Read at CALL time via
+# group_i8.pack_enabled so a mid-process monkeypatch of the env var can
+# never desync the teacher tag from what the loader/resolver do
+# (ADVICE r4 #3).
+from .ops.group_i8 import pack_enabled as _gq_pack_enabled
 
 
 def synth_teacher_tag(quant_mode: str) -> str:
@@ -51,7 +54,7 @@ def synth_teacher_tag(quant_mode: str) -> str:
     exact synthetic weight stream must match for acceptance to be honest."""
     if quant_mode != "gq":
         return quant_mode
-    return f"gq@{GQ_SYNTH_D:g}" + ("+p5" if GQ_PACK else "")
+    return f"gq@{GQ_SYNTH_D:g}" + ("+p5" if _gq_pack_enabled() else "")
 
 # f16 1.0 little-endian
 _F16_ONE = (0x00, 0x3C)
@@ -194,7 +197,7 @@ def synth_llama_params(
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
             k_c, k_sc, k_mn, k_hb = jax.random.split(key, 4)
             hb, packing = None, "none"
-            if GQ_PACK:
+            if _gq_pack_enabled():
                 # packed planes generated directly (never materializing the
                 # 2x-larger unpacked codes): nibble byte = two independent
                 # uniform 4-bit codes, bit-plane byte = eight independent
@@ -233,9 +236,14 @@ def synth_llama_params(
                                      ).astype(jnp.uint8)
             d = jnp.full((*lead, sb, n_out), base_d, jnp.float32)
             dmin = jnp.full((*lead, sb, n_out), base_d * 15.5, jnp.float32)
-            return {"w": GroupQuant(codes, sc6, mn6, d, dmin, None, None,
-                                    DataType.Q5_K, n_in, 32,
-                                    hb=hb, packing=packing)}
+            from .ops.group_i8 import pad_k_chunks
+
+            # pad_k_chunks mirrors the loader default (zero groups to a
+            # 1024-multiple stored K): the bench must measure the tiles
+            # users actually get, not the full-K prefill fallback
+            return {"w": pad_k_chunks(GroupQuant(
+                codes, sc6, mn6, d, dmin, None, None, DataType.Q5_K, n_in,
+                32, hb=hb, packing=packing))}
 
         layers = {
             "attention_norm": jnp.ones((L, d), dtype),

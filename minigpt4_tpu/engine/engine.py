@@ -93,21 +93,32 @@ def resolve_llm_quant_mode(reader, quant_mode: str, backend: str,
         return quant_mode
     if any(len(r.shape) == 2 and r.shape[1] % 256 for r in qrecs):
         return quant_mode  # tiny/test geometries: keep the exact path
-    import os as _os2
-
     from ..ops import group_i8 as _gq
 
-    pack_on = _os2.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0"
+    pack_on = _gq.pack_enabled()
 
     def _gq_bytes(r) -> float:
-        # codes: 1 B/elem, or 0.5 (p4) / 0.625 (p5) once sub-byte packed;
-        # planes: ~0.094 B/elem for the raw-sub-scale formats (sc6+mn6 u8 +
-        # d/dmin f32 per 256), ~0.125 for generic bf16 A/B per 32
+        # codes: 1 B/elem, or 0.5 (p4) / 0.625 (p5) once sub-byte packed
+        # (p5 additionally pads stored K to a 1024-multiple for legal
+        # prefill tiles — group_i8.pad_k_chunks); planes: raw-sub-scale
+        # formats carry sc6+mn6 u8 per 32 + d/dmin f32 per 256
+        # (~0.094 B/elem); generic formats 2 bf16 per GROUP = 4/gs B/elem
+        # — the gs-16 k-quants (q2_k/q3_k/q6_k) cost 0.25, not a flat
+        # 0.125 (a 13B q6_k file was under-estimated ~1.7 GB and a
+        # borderline auto-resolution could OOM at load, ADVICE r4 #1)
         d = DataType(r.dtype)
         per = 1.0
         if pack_on and _gq.packable(d):
             per = 0.625 if d in _gq.PACK5 else 0.5
-        per += 0.094 if d in _gq.EXACT_PLANE else 0.125
+            if d in _gq.PACK5 and len(r.shape) == 2 and r.shape[1] % 1024:
+                k = r.shape[1]
+                per *= (k + (-k % 1024)) / k
+        if d in _gq.EXACT_PLANE:
+            per += 0.094
+        else:
+            gs = 16 if d in (DataType.Q2_K, DataType.Q3_K,
+                             DataType.Q6_K) else 32
+            per += 4.0 / gs
         return r.n_elems * per
 
     hp = getattr(reader, "hparams", None)

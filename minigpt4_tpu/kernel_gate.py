@@ -139,11 +139,9 @@ def _gq_weight(rng, n: int, k: int, qtype=None):
                    tile(w0.b, 1), w0.dtype, k, w0.group_size)
     # the engine default (models/params.load_quant_weight) packs 4/5-bit
     # codes sub-byte; the gate must compile what actually serves
-    import os
+    from .ops.group_i8 import pack_codes, pack_enabled
 
-    if os.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0":
-        from .ops.group_i8 import pack_codes
-
+    if pack_enabled():
         w = pack_codes(w)
     return w
 
@@ -272,10 +270,14 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
     # Skipped when a --qtypes split filter is active (these cases are
     # qtype-independent; re-running them per split process would repeat the
     # compiles the flag exists to spread out)
-    i8_cases = [] if qtypes is not None else [("13B w2 i8", 13824, 5120, 1, True)]
+    i8_cases = [] if qtypes is not None else [
+        ("13B w2 i8", 13824, 5120, 1, True),
+        # M=512 prefill in the FAST tier too: the round-4 breakage was a
+        # prefill-only BlockSpec bug that M=1/M=8 compiles can never see
+        ("13B w1 i8", 5120, 13824, 512, True),
+    ]
     if not fast and qtypes is None:
-        i8_cases += [("13B w1 i8", 5120, 13824, 512, True),
-                     ("13B attn i8", 5120, 5120, 1, False)]
+        i8_cases += [("13B attn i8", 5120, 5120, 1, False)]
     for nm, k, n, m, st in i8_cases:
         tag = f"{nm} M={m} {'stacked' if st else 'flat'}"
         try:
@@ -292,10 +294,15 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
     gq_cases = [] if qtypes is not None else [
         ("13B w2 gq", 13824, 5120, 1, True),
         ("13B w2 gq", 13824, 5120, 8, True),
+        # packed M=512 prefill at BOTH 13B Ks in the FAST tier: the
+        # round-4 bench crash (Mosaic-illegal p5 bit-plane BlockSpec) was
+        # only reachable at prefill M, and the fast gate + bench headline
+        # probe compiled gq solely at M=1/M=8 (VERDICT r4 weak #4)
+        ("13B w2 gq", 13824, 5120, 512, True),
+        ("13B w1 gq", 5120, 13824, 512, True),
     ]
     if not fast and qtypes is None:
         gq_cases += [("13B w1 gq", 5120, 13824, 1, True),
-                     ("13B w1 gq", 5120, 13824, 512, True),
                      ("13B attn gq", 5120, 5120, 1, False),
                      ("13B head gq", 5120, 32000, 1, False)]
     for nm, k, n, m, st in gq_cases:

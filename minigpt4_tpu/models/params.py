@@ -161,13 +161,11 @@ def load_quant_weight(raw: np.ndarray, shape: tuple[int, int], dtype: DataType, 
     if (col_scale is not None or row_scale is not None) and mode != "w8a8":
         raise ValueError("smooth scales are only valid with quant_mode='w8a8'")
     if mode == "gq":
-        import os
-
         from ..ops import group_i8 as gq
 
         if gq.supported(dtype, shape[1]):
             w = gq.from_ggml(np.asarray(raw), shape, dtype)
-            if os.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0":
+            if gq.pack_enabled():
                 # sub-byte code storage for 4/5-bit formats: halves the
                 # decode-time weight stream, bit-exact (group_i8.pack_codes)
                 w = gq.pack_codes(w)

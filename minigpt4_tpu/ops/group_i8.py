@@ -95,21 +95,25 @@ class GroupQuant:
     # J*gs) so K-sharding and the kernels' per-chunk slices stay aligned.
     hb: jnp.ndarray | None = None
     packing: str = "none"  # static: none | p4 | p5
+    # trailing zero-valued groups appended by pad_k_chunks (logical columns;
+    # k_pad/group_size whole groups with codes 0, A 0, B 0 — they contribute
+    # exactly 0 to every output, so bit-exactness is preserved)
+    k_pad: int = 0  # static
 
     def tree_flatten(self):
         return (
             (self.codes, self.sc6, self.mn6, self.d, self.dmin, self.a,
              self.b, self.hb),
             (self.dtype, self.n_in, self.group_size, self.k_shards,
-             self.packing),
+             self.packing, self.k_pad),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         codes, sc6, mn6, d, dmin, a, b, hb = children
-        dtype, n_in, gs, k_shards, packing = aux
+        dtype, n_in, gs, k_shards, packing, k_pad = aux
         return cls(codes, sc6, mn6, d, dmin, a, b, dtype, n_in, gs,
-                   k_shards, hb=hb, packing=packing)
+                   k_shards, hb=hb, packing=packing, k_pad=k_pad)
 
     @property
     def exact(self) -> bool:
@@ -121,8 +125,14 @@ class GroupQuant:
 
     @property
     def k_stored(self) -> int:
-        """Logical K covered by this (possibly shard-local) codes array."""
+        """K columns covered by this (possibly shard-local) codes array,
+        INCLUDING any pad_k_chunks zero groups."""
         return self.codes.shape[-1] * (2 if self.packing != "none" else 1)
+
+    @property
+    def k_logical(self) -> int:
+        """Real (file) K columns of this shard — what x rows carry."""
+        return self.k_stored - self.k_pad
 
     def planes_ab(self, out_dtype=jnp.float32):
         """Expanded (A, B) per-group planes [..., G, N] (XLA; jit-safe)."""
@@ -135,7 +145,8 @@ class GroupQuant:
         return a.astype(out_dtype), b.astype(out_dtype)
 
     def codes_logical(self) -> jnp.ndarray:
-        """[..., N, K] i8 codes regardless of packing (XLA ops; jit-safe)."""
+        """[..., N, K] i8 codes regardless of packing, pad trimmed (XLA
+        ops; jit-safe)."""
         if self.packing == "none":
             return self.codes
         chunk = J * self.group_size
@@ -152,16 +163,17 @@ class GroupQuant:
             # byte j, bit t  <->  chunk column 32t + j
             bits = jnp.stack([(hbb >> t) & 1 for t in range(8)], axis=-2)
             cc = cc + (bits.reshape(*lead, nch, chunk) << 4)
-        return cc.reshape(*lead, kp * 2).astype(jnp.int8)
+        return cc.reshape(*lead, kp * 2).astype(jnp.int8)[..., :self.k_logical]
 
     def dequantize(self, out_dtype=jnp.float32) -> jnp.ndarray:
-        """[..., N, K] floats — the fallback/test reference and the M>8
-        prefill path's expansion."""
+        """[..., N, K_logical] floats — the fallback/test reference and the
+        M>8 prefill path's expansion."""
         a, b = self.planes_ab()
         gs = self.group_size
-        # planes are [..., G, N]: move N forward, expand G -> K
-        a = jnp.repeat(jnp.swapaxes(a, -1, -2), gs, axis=-1)
-        b = jnp.repeat(jnp.swapaxes(b, -1, -2), gs, axis=-1)
+        # planes are [..., G, N]: move N forward, expand G -> K (padded
+        # groups are zeros; trim them with the codes)
+        a = jnp.repeat(jnp.swapaxes(a, -1, -2), gs, axis=-1)[..., :self.k_logical]
+        b = jnp.repeat(jnp.swapaxes(b, -1, -2), gs, axis=-1)[..., :self.k_logical]
         return (self.codes_logical().astype(jnp.float32) * a + b).astype(out_dtype)
 
 
@@ -215,6 +227,16 @@ def packable(dtype: DataType) -> bool:
     return DataType(dtype) in PACK4 or DataType(dtype) in PACK5
 
 
+def pack_enabled() -> bool:
+    """Single source of truth for the MINIGPT4_TPU_GQ_PACK toggle, read at
+    CALL time: loader (models/params), gate, auto-resolver and benchmark
+    must all see the same value when a test monkeypatches the env mid-
+    process (ADVICE r4 #3: benchmark.py cached it at import)."""
+    import os
+
+    return os.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0"
+
+
 def pack_codes(w: GroupQuant) -> GroupQuant:
     """Sub-byte code storage: i8 codes [N, K] -> nibble-packed [N, K/2]
     (+ a 5th-bit plane [N, K/8] for 5-bit formats).
@@ -255,10 +277,77 @@ def pack_codes(w: GroupQuant) -> GroupQuant:
         weights = (1 << np.arange(8, dtype=np.uint8)).reshape(8, 1)
         hbb = (bits * weights).sum(axis=-2).astype(np.int8)
         hb = jnp.asarray(hbb.reshape(*lead, k // 8))
-    return GroupQuant(
+    return pad_k_chunks(GroupQuant(
         jnp.asarray(nib.reshape(*lead, k // 2)), w.sc6, w.mn6, w.d, w.dmin,
         w.a, w.b, w.dtype, w.n_in, w.group_size, w.k_shards,
         hb=hb, packing=mode,
+    ))
+
+
+def pad_k_chunks(w: GroupQuant) -> GroupQuant:
+    """Append zero-valued groups so the stored chunk count is a multiple of
+    1024/chunk (i.e. stored K a multiple of 1024 columns).
+
+    Why: the p5 prefill kernel tiles K on the grid, and Mosaic requires the
+    bit-plane block's lane width (tk//8 bytes) to be a multiple of 128 —
+    so tk must be a multiple of 1024.  Without padding NO such tile divides
+    the 13B Ks (5120 -> 160-col blocks, 13824 -> 192; the round-4 bench
+    crash) or 7B's 11008.  A zero chunk (codes 0, A 0, B 0) contributes
+    exactly 0 to every output, so ggml bit-exactness is preserved; cost is
+    <= 3.7% extra weight bytes at K=13824 (w2), 0 at K∈{4096, 5120}.
+    """
+    if w.packing != "p5":
+        return w
+    chunk = J * w.group_size
+    mult = max(1, 1024 // chunk)
+    nch = w.k_stored // chunk
+    pad_ch = -nch % mult
+    if pad_ch == 0:
+        return w
+    pk = pad_ch * chunk
+
+    def pad_cols(p, cols):  # codes-like [..., N, C]
+        if p is None:
+            return None
+        return jnp.pad(p, [(0, 0)] * (p.ndim - 1) + [(0, cols)])
+
+    def pad_rows(p, rows):  # plane-like [..., R, N]
+        if p is None:
+            return None
+        return jnp.pad(p, [(0, 0)] * (p.ndim - 2) + [(0, rows), (0, 0)])
+
+    return GroupQuant(
+        codes=pad_cols(w.codes, pk // 2),
+        sc6=pad_rows(w.sc6, pad_ch * J), mn6=pad_rows(w.mn6, pad_ch * J),
+        d=pad_rows(w.d, pad_ch), dmin=pad_rows(w.dmin, pad_ch),
+        a=pad_rows(w.a, pad_ch * J), b=pad_rows(w.b, pad_ch * J),
+        dtype=w.dtype, n_in=w.n_in, group_size=w.group_size,
+        k_shards=w.k_shards, hb=pad_cols(w.hb, pk // 8), packing=w.packing,
+        k_pad=w.k_pad + pk,
+    )
+
+
+def _strip_k_pad(w: GroupQuant) -> GroupQuant:
+    """Drop the trailing pad_k_chunks zero groups (pad sits at the stored
+    END, so slicing restores the exact pre-pad arrays)."""
+    if w.k_pad == 0:
+        return w
+    kl = w.k_logical
+    gl = kl // w.group_size
+    sbl = kl // (J * w.group_size)
+
+    def cols(p, c):
+        return None if p is None else p[..., :c]
+
+    def rows(p, r):
+        return None if p is None else p[..., :r, :]
+
+    return GroupQuant(
+        codes=cols(w.codes, kl // 2), sc6=rows(w.sc6, gl),
+        mn6=rows(w.mn6, gl), d=rows(w.d, sbl), dmin=rows(w.dmin, sbl),
+        a=rows(w.a, gl), b=rows(w.b, gl), dtype=w.dtype, n_in=w.n_in,
+        group_size=w.group_size, k_shards=w.k_shards,
+        hb=cols(w.hb, kl // 8), packing=w.packing, k_pad=0,
     )
 
 
@@ -426,6 +515,19 @@ def _kernel_generic(xg_ref, c_ref, *refs, k, m, gs, packing):
 import os as _os
 
 TN = int(_os.environ.get("MINIGPT4_TPU_GQ_TN", "256"))
+
+
+def _interpret() -> bool:
+    """interpret=True off-TPU (semantics tests) — except when
+    MINIGPT4_TPU_FORCE_MOSAIC=1, which forces the real Mosaic TPU lowering
+    so the CPU-runnable BlockSpec-legality suite
+    (tests/test_blockspec_legality.py) can catch illegal blocks without a
+    TPU: the round-4 bench crash (every 13B K illegal for the packed
+    prefill bit-plane) was invisible to 351 green CPU tests because
+    interpret mode bypasses Mosaic's checks entirely."""
+    if _os.environ.get("MINIGPT4_TPU_FORCE_MOSAIC") == "1":
+        return False
+    return jax.default_backend() != "tpu"
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret", "tn"))
@@ -604,6 +706,49 @@ def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact, packing):
         o_ref[...] += acc
 
 
+def prefill_plan(k: int, m: int, gs: int, packing: str, tn: int
+                 ) -> tuple[int, int, int]:
+    """(tm, tn, tk) tile plan for the prefill kernel — pure arithmetic,
+    exposed so tests/test_blockspec_legality.py and the engine's VMEM
+    estimators can reason about the ACTUAL tiles.
+
+    K tile: the largest chunk-multiple divisor of K within ~2 KB/row — k
+    becomes a grid dimension (innermost) so one M tile can cover the whole
+    prefill bucket within VMEM and the dequant runs once.  p5 ties the
+    bit-plane block's lane width to tk//8, which Mosaic requires be a
+    128-multiple -> tk must be a 1024-multiple (pad_k_chunks guarantees
+    such a divisor exists; every 13B K violated this in round 4).  The
+    full-K fallback is always block-legal (width equal to the array dim)
+    but forces small tm — padding exists so it never triggers on engine
+    shapes."""
+    chunk = J * gs
+    n_chunks = k // chunk
+    cand = [c for c in range(1, n_chunks + 1)
+            if n_chunks % c == 0 and c * chunk <= 2048
+            and (packing != "p5" or (c * chunk) % 1024 == 0)]
+    tk = (max(cand) if cand else n_chunks) * chunk
+    tm = min(512, -(-m // 8) * 8)
+
+    # VMEM budget: Mosaic double-buffers the x / codes / bit-plane blocks;
+    # shrink TM then TN until blocks + acc/out + the hoisted unpack
+    # temporaries (_prep_codes: lo+hi nibbles ~tn*tk, 8 hb streams ~tn*tk
+    # for p5) + chunk temps fit scoped VMEM
+    cb = tk // (2 if packing != "none" else 1)  # codes block cols
+    hb_cols = tk // 8 if packing == "p5" else 0
+    unpack_tmp = {"none": 0, "p4": tk, "p5": 2 * tk}[packing]
+
+    def est(tm_, tn_):
+        return (2 * (tm_ * tk * 2 + tn_ * (cb + hb_cols))
+                + tn_ * unpack_tmp + 2 * tm_ * tn_ * 4
+                + tn_ * chunk * (6 if packing == "p5" else 2)
+                + 3 * tn_ * tk // gs)
+    while est(tm, tn) > 11_500_000 and tm > 64:
+        tm //= 2
+    while est(tm, tn) > 11_500_000 and tn > 128:
+        tn //= 2
+    return tm, tn, tk
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "interpret", "tn"))
 def _run_prefill(x, planes, layer, *, meta, interpret=False, tn=None):
     """Pallas prefill matmul for M > 8.
@@ -616,28 +761,8 @@ def _run_prefill(x, planes, layer, *, meta, interpret=False, tn=None):
     (XLA assigns the dot's preferred parameter layout).  The kernel reads
     the codes in their storage layout, once."""
     k, n_out, m, gs, exact, packing = meta
-    tn = tn or TN
+    tm, tn, tk = prefill_plan(k, m, gs, packing, tn or TN)
     chunk = J * gs
-    n_chunks = k // chunk
-    # K tile: the largest chunk-multiple divisor of K within ~2 KB/row —
-    # k becomes a grid dimension (innermost) so one M tile can cover the
-    # whole prefill bucket within VMEM and the dequant runs once
-    tk_c = 1
-    for c in range(1, n_chunks + 1):
-        if n_chunks % c == 0 and c * chunk <= 2048:
-            tk_c = c
-    tk = tk_c * chunk
-    tm = min(512, -(-m // 8) * 8)
-
-    # VMEM budget: Mosaic double-buffers the x and codes blocks; shrink TM
-    # then TN until the blocks + acc/out + chunk temps fit scoped VMEM
-    def est(tm_, tn_):
-        return (2 * (tm_ * tk * 2 + tn_ * tk) + 2 * tm_ * tn_ * 4
-                + tn_ * chunk * 2 + 3 * tn_ * tk // gs)
-    while est(tm, tn) > 11_500_000 and tm > 64:
-        tm //= 2
-    while est(tm, tn) > 11_500_000 and tn > 128:
-        tn //= 2
     m_pad = -(-m // tm) * tm
     n_pad = -(-n_out // tn) * tn
     g_t = tk // gs
@@ -740,21 +865,25 @@ def qmatmul_group(
     if stacked and layer is None:
         raise ValueError("stacked GroupQuant requires a layer index")
     li_arr = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked else None)
-    if w.k_shards != 1 and k == w.n_in:
+    if w.k_shards != 1 and w.k_logical == w.n_in:
         raise ValueError(
             "k-sharded GroupQuant must be consumed shard-locally "
             "(row-parallel shard_map path); global use would mis-map scales"
         )
     code_planes = ((w.codes, w.hb) if w.packing == "p5" else (w.codes,))
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, k)
+    x2 = x.reshape(-1, w.k_logical)
+    if w.k_pad:
+        # zero x columns against the pad_k_chunks zero groups: both sides
+        # of every padded product are 0, so the result is bit-identical
+        x2 = jnp.pad(x2, ((0, 0), (0, w.k_pad)))
     m = x2.shape[0]
     if m > GQ_MAX_M:
         planes = (code_planes + ((w.sc6, w.mn6, w.d, w.dmin) if w.exact
                                  else (w.a, w.b)))
         y = _run_prefill(
             x2, planes, li_arr, meta=(k, w.n_out, m, gs, w.exact, w.packing),
-            interpret=jax.default_backend() != "tpu", tn=tn,
+            interpret=_interpret(), tn=tn,
         )
         return y.reshape(*lead, w.n_out).astype(out_dtype or x.dtype)
 
@@ -767,7 +896,7 @@ def qmatmul_group(
     s12 = jnp.concatenate([s1, s2], axis=1)
     planes = (code_planes + ((w.sc6, w.mn6, w.d, w.dmin) if w.exact
                              else (w.a, w.b)))
-    interpret = jax.default_backend() != "tpu"
+    interpret = _interpret()
     y = _run(
         xg, sgt, s12, planes, li_arr,
         meta=(k, w.n_out, m, gs, w.exact, w.packing), interpret=interpret,
@@ -783,6 +912,9 @@ def with_k_shards(w: GroupQuant, k_shards: int) -> GroupQuant:
     consumes shard-locally (parallel/spmd.py)."""
     if w.codes.ndim != 2:
         raise ValueError("with_k_shards expects flat [N, K] planes")
+    # split on the LOGICAL columns (pad is appended at the global end and
+    # would land mid-shard); re-pad each shard after the split
+    w = _strip_k_pad(w)
     k = w.k_stored
     chunk = J * w.group_size
     if k % (k_shards * chunk) != 0:
@@ -800,7 +932,7 @@ def with_k_shards(w: GroupQuant, k_shards: int) -> GroupQuant:
 
     g = k // w.group_size
     sbk = k // chunk
-    return GroupQuant(
+    return pad_k_chunks(GroupQuant(
         codes=split_nk(w.codes, w.codes.shape[-1]),
         sc6=None if w.sc6 is None else split_gn(w.sc6, g),
         mn6=None if w.mn6 is None else split_gn(w.mn6, g),
@@ -812,7 +944,7 @@ def with_k_shards(w: GroupQuant, k_shards: int) -> GroupQuant:
         k_shards=k_shards,
         hb=None if w.hb is None else split_nk(w.hb, w.hb.shape[-1]),
         packing=w.packing,
-    )
+    ))
 
 
 def shard_local(w: GroupQuant, idx: int | None = None) -> GroupQuant:
@@ -827,5 +959,5 @@ def shard_local(w: GroupQuant, idx: int | None = None) -> GroupQuant:
     return GroupQuant(
         pick(w.codes), pick(w.sc6), pick(w.mn6), pick(w.d), pick(w.dmin),
         pick(w.a), pick(w.b), w.dtype, w.n_in, w.group_size, 1,
-        hb=pick(w.hb), packing=w.packing,
+        hb=pick(w.hb), packing=w.packing, k_pad=w.k_pad,
     )

@@ -353,6 +353,12 @@ def evaluate_paths(
         # r3 next #8: the day-one gate must cover the gq default, not just
         # w8a8 vs q5_k)
         results["gq"] = run("gq")
+        # record which code storage the row measured: pack_enabled() is the
+        # loader default, so day-one/quality stay in lockstep with the
+        # sub-byte packed path users actually serve (VERDICT r4 #8)
+        from .ops.group_i8 import pack_enabled
+
+        results["gq"]["packed"] = pack_enabled()
     if "w8a8" in paths:
         results["w8a8"] = run("w8a8")
     if "w8a8_smooth" in paths:

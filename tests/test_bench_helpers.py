@@ -105,3 +105,89 @@ print("ok")
                        text=True, cwd=__import__("pathlib").Path(
                            __file__).parent.parent)
     assert r.returncode == 0 and "ok" in r.stdout, r.stderr
+
+
+def _load_bench_module():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "bench.py"
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_consider_line_policy():
+    """A value-0 bootstrap only fills a void; a real measurement wins and a
+    later retry's bootstrap can never shadow it (VERDICT r4 weak #1)."""
+    import json
+
+    bench = _load_bench_module()
+    best = [None]
+    bench.consider_line("not json", best)
+    bench.consider_line('{"metric": "m"}', best)  # no value key: ignored
+    assert best[0] is None
+    bench.consider_line('{"metric": "m", "value": 0, "unit": "tok/s"}', best)
+    assert json.loads(best[0])["value"] == 0
+    bench.consider_line('{"metric": "m", "value": 22.3, "unit": "tok/s"}', best)
+    assert json.loads(best[0])["value"] == 22.3
+    # retry bootstrap: must NOT shadow
+    bench.consider_line('{"metric": "m", "value": 0, "unit": "tok/s"}', best)
+    assert json.loads(best[0])["value"] == 22.3
+    bench.consider_line('{"metric": "m", "value": 31.0, "unit": "tok/s"}', best)
+    assert json.loads(best[0])["value"] == 31.0
+
+
+def test_parent_preserves_headline_when_child_crashes(capfd):
+    """THE round-4 failure mode: the child emits a headline, then dies in a
+    Pallas lowering with a traceback as its last output.  The parent must
+    keep the headline as the final parseable line (BENCH_r04 was
+    `parsed: null` for the third consecutive round)."""
+    import json
+    import os
+    import sys
+    import time
+
+    bench = _load_bench_module()
+    child = (
+        "import json, sys;"
+        "print(json.dumps({'metric': 'm', 'value': 33.3, 'unit': 'tok/s',"
+        " 'vs_baseline': 1.11}), flush=True);"
+        "print('Traceback (most recent call last):');"
+        "print('ValueError: block shape ... divisible by 8 and 128');"
+        "sys.exit(1)"
+    )
+    best = [None]
+    rc = bench.run_child([sys.executable, "-c", child], dict(os.environ),
+                         time.time() + 60, best)
+    assert rc == 1
+    assert best[0] is not None and json.loads(best[0])["value"] == 33.3
+    out = capfd.readouterr().out
+    assert "Traceback" in out  # teed through, nothing swallowed
+
+
+def test_parent_kills_child_at_deadline_and_keeps_line():
+    """A hung child (tunnel stall) is killed at the wall budget; the
+    already-emitted line survives."""
+    import json
+    import os
+    import sys
+    import time
+
+    bench = _load_bench_module()
+    child = (
+        "import json, sys, time;"
+        "print(json.dumps({'metric': 'm', 'value': 12.0, 'unit': 'tok/s'}),"
+        " flush=True);"
+        "time.sleep(600)"
+    )
+    best = [None]
+    t0 = time.time()
+    # 15 s floor: interpreter start alone can exceed 2 s on a loaded
+    # single-core runner, and the kill must not beat the child's first line
+    rc = bench.run_child([sys.executable, "-c", child], dict(os.environ),
+                         time.time() - 28, best, min_timeout=15.0)
+    assert rc != 0
+    assert time.time() - t0 < 60
+    assert best[0] is not None and json.loads(best[0])["value"] == 12.0

@@ -156,8 +156,13 @@ def test_pack_codes_lossless(dtype):
     w = gq.from_ggml(raw, (n, k), dtype)
     p = gq.pack_codes(w)
     assert p.packing == ("p4" if dtype in gq.PACK4 else "p5")
-    assert p.codes.shape == (n, k // 2)
-    assert p.k_stored == k and p.n_out == n
+    # p5 pads stored K to a 1024-multiple (pad_k_chunks: Mosaic-legal
+    # prefill K tiles); the pad groups are zero-valued and invisible to
+    # every logical-level accessor below
+    ks = -(-k // 1024) * 1024 if p.packing == "p5" else k
+    assert p.codes.shape == (n, ks // 2)
+    assert p.k_stored == ks and p.k_logical == k and p.n_out == n
+    assert p.k_pad == ks - k
     assert np.array_equal(np.asarray(p.codes_logical()), np.asarray(w.codes))
     assert np.array_equal(np.asarray(p.dequantize()), np.asarray(w.dequantize()))
     x = np.random.default_rng(1).normal(0, 1, (2, k)).astype(np.float32)
@@ -180,7 +185,11 @@ def test_pack_codes_k_shards_compose():
     raw, _ = _make(DataType.Q5_K, n, k)
     p = gq.pack_codes(gq.from_ggml(raw, (n, k), DataType.Q5_K))
     ws = gq.with_k_shards(p, shards)
-    assert ws.codes.shape == (shards, n, k // 2 // shards)
+    # each shard re-pads its own stored K to a 1024-multiple (pad sits at
+    # the per-shard end, aligned with the shard-local x slice)
+    ks_stored = -(-(k // shards) // 1024) * 1024
+    assert ws.codes.shape == (shards, n, ks_stored // 2)
+    assert ws.k_pad == ks_stored - k // shards
     x = np.random.default_rng(3).normal(0, 1, (1, k)).astype(np.float32)
     full = np.asarray(gq.qmatmul_group(jnp.asarray(x), p, out_dtype=jnp.float32))
     ax = np.abs(x).max(axis=-1, keepdims=True)

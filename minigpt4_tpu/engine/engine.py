@@ -109,8 +109,10 @@ def resolve_llm_quant_mode(reader, quant_mode: str, backend: str,
         d = DataType(r.dtype)
         per = 1.0
         if pack_on and _gq.packable(d):
-            per = 0.625 if d in _gq.PACK5 else 0.5
-            if d in _gq.PACK5 and len(r.shape) == 2 and r.shape[1] % 1024:
+            per = (0.625 if d in _gq.PACK5 else
+                   0.75 if d in _gq.PACK6 else 0.5)
+            if (d in _gq.PACK5 or d in _gq.PACK6) and len(r.shape) == 2 \
+                    and r.shape[1] % 1024:
                 k = r.shape[1]
                 per *= (k + (-k % 1024)) / k
         if d in _gq.EXACT_PLANE:

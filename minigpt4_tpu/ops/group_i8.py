@@ -91,10 +91,11 @@ class GroupQuant:
     k_shards: int = 1  # static: >1 only as with_k_shards output
     # sub-byte code storage (pack_codes): "p4" nibble-packs two 4-bit codes
     # per byte ([N, K/2]); "p5" additionally carries the 5th bit as a
-    # per-chunk bit plane ``hb`` ([N, K/8]).  Layout is CHUNK-LOCAL (chunk =
-    # J*gs) so K-sharding and the kernels' per-chunk slices stay aligned.
+    # per-chunk bit plane ``hb`` ([N, K/8]); "p6" carries bits 5:4 as a
+    # 2-bit plane ([N, K/4]).  Layout is CHUNK-LOCAL (chunk = J*gs) so
+    # K-sharding and the kernels' per-chunk slices stay aligned.
     hb: jnp.ndarray | None = None
-    packing: str = "none"  # static: none | p4 | p5
+    packing: str = "none"  # static: none | p4 | p5 | p6
     # trailing zero-valued groups appended by pad_k_chunks (logical columns;
     # k_pad/group_size whole groups with codes 0, A 0, B 0 — they contribute
     # exactly 0 to every output, so bit-exactness is preserved)
@@ -163,6 +164,12 @@ class GroupQuant:
             # byte j, bit t  <->  chunk column 32t + j
             bits = jnp.stack([(hbb >> t) & 1 for t in range(8)], axis=-2)
             cc = cc + (bits.reshape(*lead, nch, chunk) << 4)
+        elif self.packing == "p6":
+            hbb = jax.lax.bitcast_convert_type(self.hb, jnp.uint8)
+            hbb = hbb.reshape(*lead, nch, chunk // 4)
+            # byte j, 2-bit field t  <->  chunk column 32t + j
+            f2 = jnp.stack([(hbb >> (2 * t)) & 3 for t in range(4)], axis=-2)
+            cc = cc + (f2.reshape(*lead, nch, chunk) << 4)
         return cc.reshape(*lead, kp * 2).astype(jnp.int8)[..., :self.k_logical]
 
     def dequantize(self, out_dtype=jnp.float32) -> jnp.ndarray:
@@ -217,14 +224,22 @@ def from_ggml(raw: np.ndarray, shape: tuple[int, int], dtype: DataType) -> Group
     )
 
 
-# formats whose raw codes fit 4 / 5 bits (group_size 32 for all, so the
-# chunk-local pack layout below stays vreg-aligned: half-chunk = 128 lanes)
+# formats whose raw codes fit 4 / 5 / 6 bits.  The 4/5-bit formats have
+# group_size 32 (chunk 256: half-chunk = 128 lanes, vreg-aligned); q6_k
+# has group_size 16 (chunk 128) — its slices are 64-lane, still legal,
+# and pad_k_chunks aligns the K tiles either way.
 PACK4 = frozenset({DataType.Q4_0, DataType.Q4_1, DataType.Q4_K})
 PACK5 = frozenset({DataType.Q5_0, DataType.Q5_1, DataType.Q5_K})
+PACK6 = frozenset({DataType.Q6_K})
+
+# stored hb-plane bytes per logical K column: 1 bit/code (p5) packs 8
+# codes/byte, 2 bits/code (p6) packs 4
+HB_DIV = {"p5": 8, "p6": 4}
 
 
 def packable(dtype: DataType) -> bool:
-    return DataType(dtype) in PACK4 or DataType(dtype) in PACK5
+    d = DataType(dtype)
+    return d in PACK4 or d in PACK5 or d in PACK6
 
 
 def pack_enabled() -> bool:
@@ -239,29 +254,32 @@ def pack_enabled() -> bool:
 
 def pack_codes(w: GroupQuant) -> GroupQuant:
     """Sub-byte code storage: i8 codes [N, K] -> nibble-packed [N, K/2]
-    (+ a 5th-bit plane [N, K/8] for 5-bit formats).
+    (+ a hi-bit plane [N, K/8] for 5-bit formats, [N, K/4] for 6-bit).
 
     Decode stays EXACT — the kernel reassembles the identical integer codes
-    — but the weight stream shrinks from 1 B to 0.5 B (p4) / 0.625 B (p5)
-    per element, which is the whole decode-time story on an HBM-bound chip.
-    Layout is chunk-local so every kernel/TP slice boundary stays aligned:
+    — but the weight stream shrinks from 1 B to 0.5 B (p4) / 0.625 B (p5) /
+    0.75 B (p6) per element, which is the whole decode-time story on an
+    HBM-bound chip.  Layout is chunk-local so every kernel/TP slice
+    boundary stays aligned (chunk = J*gs; 256 for gs-32, 128 for q6_k):
 
-      * nibbles: byte ``s*128 + j`` = lo4(code[s*256+j]) | lo4(code[s*256+128+j]) << 4
-      * hi bits: byte ``s*32 + j`` bit ``t`` = bit4(code[s*256 + 32t + j])
+      * nibbles: byte ``s*h + j`` = lo4(code[s*chunk+j]) | lo4(code[s*chunk+h+j]) << 4
+        (h = chunk/2)
+      * p5 hi bits: byte ``s*32 + j`` bit ``t``      = bit4(code[s*256 + 32t + j])
+      * p6 hi bits: byte ``s*32 + j`` bits ``2t+1:2t`` = bits5:4(code[s*128 + 32t + j])
 
-    (for chunk = J*gs = 256).  In-kernel unpack is i32-granularity
-    shift/mask via width-changing ``pltpu.bitcast`` — Mosaic cannot
-    legalize sub-i32 vector shifts (same trick as ops/flash_decode.py's f8
-    rebias), so the VPU cost is ~2 ops per 4 weights, far below the
-    per-element bf16 staging this module exists to avoid.
-    Host-side numpy; one-time at load.  No-op for non-packable formats.
+    In-kernel unpack is i32-granularity shift/mask via width-changing
+    ``pltpu.bitcast`` — Mosaic cannot legalize sub-i32 vector shifts (same
+    trick as ops/flash_decode.py's f8 rebias), so the VPU cost is ~2 ops
+    per 4 weights, far below the per-element bf16 staging this module
+    exists to avoid.  Host-side numpy; one-time at load.  No-op for
+    non-packable formats.
     """
     if w.packing != "none" or not packable(w.dtype):
         return w
     if w.k_shards != 1:
         raise ValueError("pack_codes must run before with_k_shards")
     chunk = J * w.group_size
-    c = np.asarray(w.codes).astype(np.uint8)  # codes are 0..31: lossless
+    c = np.asarray(w.codes).astype(np.uint8)  # codes are 0..63: lossless
     k = c.shape[-1]
     if k % chunk:
         return w
@@ -270,13 +288,21 @@ def pack_codes(w: GroupQuant) -> GroupQuant:
     half = chunk // 2
     lo4 = cc & 0xF
     nib = (lo4[..., :half] | (lo4[..., half:] << 4)).astype(np.int8)
-    mode = "p4" if w.dtype in PACK4 else "p5"
+    mode = ("p4" if w.dtype in PACK4 else
+            "p5" if w.dtype in PACK5 else "p6")
     hb = None
     if mode == "p5":
         bits = ((cc >> 4) & 1).reshape(*lead, k // chunk, 8, chunk // 8)
         weights = (1 << np.arange(8, dtype=np.uint8)).reshape(8, 1)
         hbb = (bits * weights).sum(axis=-2).astype(np.int8)
         hb = jnp.asarray(hbb.reshape(*lead, k // 8))
+    elif mode == "p6":
+        # 2-bit fields: 4 per byte, field t of byte s*32+j holds bits 5:4
+        # of chunk-local column 32t + j (chunk = 128 for gs 16)
+        f2 = ((cc >> 4) & 0x3).reshape(*lead, k // chunk, 4, chunk // 4)
+        weights = (1 << (2 * np.arange(4, dtype=np.uint8))).reshape(4, 1)
+        hbb = (f2 * weights).sum(axis=-2).astype(np.int8)
+        hb = jnp.asarray(hbb.reshape(*lead, k // 4))
     return pad_k_chunks(GroupQuant(
         jnp.asarray(nib.reshape(*lead, k // 2)), w.sc6, w.mn6, w.d, w.dmin,
         w.a, w.b, w.dtype, w.n_in, w.group_size, w.k_shards,
@@ -288,15 +314,16 @@ def pad_k_chunks(w: GroupQuant) -> GroupQuant:
     """Append zero-valued groups so the stored chunk count is a multiple of
     1024/chunk (i.e. stored K a multiple of 1024 columns).
 
-    Why: the p5 prefill kernel tiles K on the grid, and Mosaic requires the
-    bit-plane block's lane width (tk//8 bytes) to be a multiple of 128 —
-    so tk must be a multiple of 1024.  Without padding NO such tile divides
+    Why: the p5/p6 prefill kernels tile K on the grid, and Mosaic requires
+    the hi-bit plane block's lane width (tk//8 or tk//4 bytes) to be a
+    multiple of 128 — so tk must be a multiple of 1024 (p5; 512 suffices
+    for p6 but 1024 keeps one rule).  Without padding NO such tile divides
     the 13B Ks (5120 -> 160-col blocks, 13824 -> 192; the round-4 bench
     crash) or 7B's 11008.  A zero chunk (codes 0, A 0, B 0) contributes
     exactly 0 to every output, so ggml bit-exactness is preserved; cost is
     <= 3.7% extra weight bytes at K=13824 (w2), 0 at K∈{4096, 5120}.
     """
-    if w.packing != "p5":
+    if w.packing not in HB_DIV:
         return w
     chunk = J * w.group_size
     mult = max(1, 1024 // chunk)
@@ -322,8 +349,8 @@ def pad_k_chunks(w: GroupQuant) -> GroupQuant:
         d=pad_rows(w.d, pad_ch), dmin=pad_rows(w.dmin, pad_ch),
         a=pad_rows(w.a, pad_ch * J), b=pad_rows(w.b, pad_ch * J),
         dtype=w.dtype, n_in=w.n_in, group_size=w.group_size,
-        k_shards=w.k_shards, hb=pad_cols(w.hb, pk // 8), packing=w.packing,
-        k_pad=w.k_pad + pk,
+        k_shards=w.k_shards, hb=pad_cols(w.hb, pk // HB_DIV[w.packing]),
+        packing=w.packing, k_pad=w.k_pad + pk,
     )
 
 
@@ -347,7 +374,8 @@ def _strip_k_pad(w: GroupQuant) -> GroupQuant:
         mn6=rows(w.mn6, gl), d=rows(w.d, sbl), dmin=rows(w.dmin, sbl),
         a=rows(w.a, gl), b=rows(w.b, gl), dtype=w.dtype, n_in=w.n_in,
         group_size=w.group_size, k_shards=w.k_shards,
-        hb=cols(w.hb, kl // 8), packing=w.packing, k_pad=0,
+        hb=(None if w.hb is None else w.hb[..., :kl // HB_DIV[w.packing]]),
+        packing=w.packing, k_pad=0,
     )
 
 
@@ -415,7 +443,7 @@ def _unpack_nibbles(pk):
 
 
 def _unpack_hibits(hb):
-    """Bit plane [TN, K/8] i8 -> 8 streams [TN, K/8] i8 of 0/1.
+    """p5 bit plane [TN, K/8] i8 -> 8 streams [TN, K/8] i8 of 0/1.
 
     Stream t, byte b holds bit4 of the code at chunk-local column
     ``32t + (b % 32)`` of chunk ``b // 32`` (the pack_codes layout)."""
@@ -423,6 +451,18 @@ def _unpack_hibits(hb):
 
     v = pltpu.bitcast(hb, jnp.int32)
     return [pltpu.bitcast((v >> t) & 0x01010101, jnp.int8) for t in range(8)]
+
+
+def _unpack_hi2bits(hb):
+    """p6 2-bit plane [TN, K/4] i8 -> 4 streams [TN, K/4] i8 of 0..3.
+
+    Stream t, byte b holds bits 5:4 of the code at chunk-local column
+    ``32t + (b % 32)`` of chunk ``b // 32``."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    v = pltpu.bitcast(hb, jnp.int32)
+    return [pltpu.bitcast((v >> (2 * t)) & 0x03030303, jnp.int8)
+            for t in range(4)]
 
 
 def _prep_codes(c_ref, hb_ref, packing, rd):
@@ -433,7 +473,9 @@ def _prep_codes(c_ref, hb_ref, packing, rd):
     lo, hi = _unpack_nibbles(rd(c_ref))
     if packing == "p4":
         return (lo, hi)
-    return (lo, hi, _unpack_hibits(rd(hb_ref)))
+    if packing == "p5":
+        return (lo, hi, _unpack_hibits(rd(hb_ref)))
+    return (lo, hi, _unpack_hi2bits(rd(hb_ref)))
 
 
 def _chunk_partial(xg_ref, cs, s, chunk, packing):
@@ -452,8 +494,8 @@ def _chunk_partial(xg_ref, cs, s, chunk, packing):
     # nibble halves are chunk columns [0, half) and [half, chunk)
     c = dot(xg_ref[:, a0:a0 + half], cs[0][:, h0:h0 + half])
     c += dot(xg_ref[:, a0 + half:a0 + chunk], cs[1][:, h0:h0 + half])
-    if packing == "p5":
-        sb = chunk // 8
+    if packing in HB_DIV:
+        sb = chunk // HB_DIV[packing]
         b0 = s * sb
         hi_codes = jnp.concatenate([st[:, b0:b0 + sb] for st in cs[2]],
                                    axis=1)  # [TN, chunk], col 32t+j
@@ -462,7 +504,7 @@ def _chunk_partial(xg_ref, cs, s, chunk, packing):
 
 
 def _kernel_exact(xg_ref, c_ref, *refs, k, m, gs, packing):
-    if packing == "p5":
+    if packing in HB_DIV:
         hb_ref, sc6_ref, mn6_ref, d_ref, dm_ref, sgt_ref, s12_ref, o_ref = refs
     else:
         hb_ref = None
@@ -490,7 +532,7 @@ def _kernel_exact(xg_ref, c_ref, *refs, k, m, gs, packing):
 
 
 def _kernel_generic(xg_ref, c_ref, *refs, k, m, gs, packing):
-    if packing == "p5":
+    if packing in HB_DIV:
         hb_ref, a_ref, b_ref, sgt_ref, s12_ref, o_ref = refs
     else:
         hb_ref = None
@@ -530,6 +572,34 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def decode_plan(k: int, m: int, gs: int, exact: bool, packing: str,
+                tn: int) -> int:
+    """tn for the decode kernel, shrunk until the per-grid-step VMEM
+    footprint fits the ~16 MB scoped limit.  Exposed (like prefill_plan)
+    so the legality/VMEM tests can reason about the actual tiles.
+
+    Footprint: double-buffered codes/hb/plane blocks + the grid-constant
+    xg block + the hoisted unpack temporaries (_prep_codes: lo+hi ~tn*k,
+    hb streams ~tn*k for p5/p6).  Calibrated against measured fits: q5_k
+    K=14336 M=8 at tn=256 is 14.5 MB (compiles), q6_k same shape is
+    16.6 MB (overflowed scoped vmem by 72 KB before this shrink)."""
+    g = k // gs
+    sbk = k // (J * gs)
+
+    def est(tn_):
+        kc = k // (2 if packing != "none" else 1)
+        hb = tn_ * (k // HB_DIV[packing]) if packing in HB_DIV else 0
+        planes = (2 * g * tn_ + 2 * sbk * tn_ * 4 if exact
+                  else 2 * g * tn_ * 2)
+        temps = (tn_ * k if packing != "none" else 0) + \
+            (tn_ * k if packing in HB_DIV else 0)
+        return (2 * (tn_ * kc + hb + planes) + 16 * m * k + temps
+                + 2 * m * tn_ * 4 + g * m * 4)
+    while est(tn) > 15_500_000 and tn > 64:
+        tn //= 2
+    return tn
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "interpret", "tn"))
 def _run(xg, sgt, s12, planes, layer, *, meta, interpret=False, tn=None):
     """``layer``: [1] i32 array selecting the stacked-L slice, or None for
@@ -540,7 +610,7 @@ def _run(xg, sgt, s12, planes, layer, *, meta, interpret=False, tn=None):
     and made a cold 13B engine build pay 4 shapes x n_layer Mosaic
     compiles (the round-3 multi-minute cold-start pathology)."""
     k, n_out, m, gs, exact, packing = meta
-    tn = tn or TN
+    tn = decode_plan(k, m, gs, exact, packing, tn or TN)
     g = k // gs
     sbk = k // (J * gs)  # superblock rows in d/dmin planes
     n_pad = -(-n_out // tn) * tn
@@ -564,9 +634,9 @@ def _run(xg, sgt, s12, planes, layer, *, meta, interpret=False, tn=None):
 
     code_specs = [nk_spec(kc)]
     code_bytes = n_pad * kc
-    if packing == "p5":
-        code_specs.append(nk_spec(k // 8))
-        code_bytes += n_pad * (k // 8)
+    if packing in HB_DIV:
+        code_specs.append(nk_spec(k // HB_DIV[packing]))
+        code_bytes += n_pad * (k // HB_DIV[packing])
     plane_specs = ([gn_spec(g), gn_spec(g), gn_spec(sbk), gn_spec(sbk)]
                    if exact else [gn_spec(g), gn_spec(g)])
     kern = _kernel_exact if exact else _kernel_generic
@@ -627,8 +697,8 @@ def _prefill_chunk_codes(cs, s, chunk, packing):
     h0 = s * half
     codes = jnp.concatenate(
         [cs[0][:, h0:h0 + half], cs[1][:, h0:h0 + half]], axis=1)
-    if packing == "p5":
-        sb = chunk // 8
+    if packing in HB_DIV:
+        sb = chunk // HB_DIV[packing]
         b0 = s * sb
         hi = jnp.concatenate([st[:, b0:b0 + sb] for st in cs[2]], axis=1)
         # Mosaic has no vector<i8> arith — widen to i32 (caller casts to f32)
@@ -638,6 +708,7 @@ def _prefill_chunk_codes(cs, s, chunk, packing):
 
 def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact, packing):
     """M > 8 path: per-tile dequantize (VPU) + dense bf16 MXU dot.
+    (hb_ref present for the hi-bit-plane packings p5/p6.)
 
     Grid is (m, n, k) with k INNERMOST and the [TM, TN] f32 output block
     resident across the k sweep (init at ki == 0, accumulate after), so
@@ -649,7 +720,7 @@ def _kernel_prefill(x_ref, c_ref, *refs, tk, gs, exact, packing):
     plane blocks are the K-tile's rows."""
     chunk = J * gs
     hb_ref = None
-    if packing == "p5":
+    if packing in HB_DIV:
         hb_ref, *refs = refs
     if exact:
         sc6_ref, mn6_ref, d_ref, dm_ref, o_ref = refs
@@ -725,7 +796,7 @@ def prefill_plan(k: int, m: int, gs: int, packing: str, tn: int
     n_chunks = k // chunk
     cand = [c for c in range(1, n_chunks + 1)
             if n_chunks % c == 0 and c * chunk <= 2048
-            and (packing != "p5" or (c * chunk) % 1024 == 0)]
+            and (packing not in HB_DIV or (c * chunk) % 1024 == 0)]
     tk = (max(cand) if cand else n_chunks) * chunk
     tm = min(512, -(-m // 8) * 8)
 
@@ -734,13 +805,13 @@ def prefill_plan(k: int, m: int, gs: int, packing: str, tn: int
     # temporaries (_prep_codes: lo+hi nibbles ~tn*tk, 8 hb streams ~tn*tk
     # for p5) + chunk temps fit scoped VMEM
     cb = tk // (2 if packing != "none" else 1)  # codes block cols
-    hb_cols = tk // 8 if packing == "p5" else 0
-    unpack_tmp = {"none": 0, "p4": tk, "p5": 2 * tk}[packing]
+    hb_cols = tk // HB_DIV[packing] if packing in HB_DIV else 0
+    unpack_tmp = {"none": 0, "p4": tk, "p5": 2 * tk, "p6": 2 * tk}[packing]
 
     def est(tm_, tn_):
         return (2 * (tm_ * tk * 2 + tn_ * (cb + hb_cols))
                 + tn_ * unpack_tmp + 2 * tm_ * tn_ * 4
-                + tn_ * chunk * (6 if packing == "p5" else 2)
+                + tn_ * chunk * (6 if packing in HB_DIV else 2)
                 + 3 * tn_ * tk // gs)
     while est(tm, tn) > 11_500_000 and tm > 64:
         tm //= 2
@@ -804,15 +875,15 @@ def _run_prefill(x, planes, layer, *, meta, interpret=False, tn=None):
         plane_rows = [g_t, g_t, sbk_t, sbk_t]
     else:
         plane_rows = [g_t, g_t]
-    n_code = 2 if packing == "p5" else 1  # codes (+ bit plane)
+    n_code = 2 if packing in HB_DIV else 1  # codes (+ hi-bit plane)
     plane_args = [gn_reshape(p, r)
                   for p, r in zip(planes[n_code:], plane_rows)]
     plane_specs = [gn_spec(r) for r in plane_rows]
     code_specs = [nk_spec(tk // (2 if packing != "none" else 1))]
     code_bytes = n_pad * (k // (2 if packing != "none" else 1))
-    if packing == "p5":
-        code_specs.append(nk_spec(tk // 8))
-        code_bytes += n_pad * (k // 8)
+    if packing in HB_DIV:
+        code_specs.append(nk_spec(tk // HB_DIV[packing]))
+        code_bytes += n_pad * (k // HB_DIV[packing])
     kern_fn = functools.partial(_kernel_prefill, tk=tk, gs=gs, exact=exact,
                                 packing=packing)
 
@@ -870,7 +941,7 @@ def qmatmul_group(
             "k-sharded GroupQuant must be consumed shard-locally "
             "(row-parallel shard_map path); global use would mis-map scales"
         )
-    code_planes = ((w.codes, w.hb) if w.packing == "p5" else (w.codes,))
+    code_planes = ((w.codes, w.hb) if w.packing in HB_DIV else (w.codes,))
     lead = x.shape[:-1]
     x2 = x.reshape(-1, w.k_logical)
     if w.k_pad:

@@ -144,7 +144,7 @@ def test_linear_dispatch_group_quant():
 
 
 PACKABLE = [DataType.Q4_K, DataType.Q5_K, DataType.Q4_0, DataType.Q4_1,
-            DataType.Q5_0, DataType.Q5_1]
+            DataType.Q5_0, DataType.Q5_1, DataType.Q6_K]
 
 
 @pytest.mark.parametrize("dtype", PACKABLE)
@@ -155,12 +155,15 @@ def test_pack_codes_lossless(dtype):
     raw, _ = _make(dtype, n, k, seed=int(dtype))
     w = gq.from_ggml(raw, (n, k), dtype)
     p = gq.pack_codes(w)
-    assert p.packing == ("p4" if dtype in gq.PACK4 else "p5")
-    # p5 pads stored K to a 1024-multiple (pad_k_chunks: Mosaic-legal
+    assert p.packing == ("p4" if dtype in gq.PACK4 else
+                         "p5" if dtype in gq.PACK5 else "p6")
+    # p5/p6 pad stored K to a 1024-multiple (pad_k_chunks: Mosaic-legal
     # prefill K tiles); the pad groups are zero-valued and invisible to
     # every logical-level accessor below
-    ks = -(-k // 1024) * 1024 if p.packing == "p5" else k
+    ks = -(-k // 1024) * 1024 if p.packing in gq.HB_DIV else k
     assert p.codes.shape == (n, ks // 2)
+    if p.packing in gq.HB_DIV:
+        assert p.hb.shape == (n, ks // gq.HB_DIV[p.packing])
     assert p.k_stored == ks and p.k_logical == k and p.n_out == n
     assert p.k_pad == ks - k
     assert np.array_equal(np.asarray(p.codes_logical()), np.asarray(w.codes))
@@ -174,7 +177,8 @@ def test_pack_codes_lossless(dtype):
 
 
 def test_pack_codes_noop_for_byte_formats():
-    for dtype in (DataType.Q6_K, DataType.Q8_0):
+    # q8_0 codes need all 8 bits: packing stays a no-op
+    for dtype in (DataType.Q8_0,):
         raw, _ = _make(dtype, 8, 512)
         w = gq.from_ggml(raw, (8, 512), dtype)
         assert gq.pack_codes(w) is w
@@ -216,10 +220,11 @@ def test_load_quant_weight_packs_by_default(monkeypatch):
     monkeypatch.setenv("MINIGPT4_TPU_GQ_PACK", "0")
     w0 = load_quant_weight(raw, (n, k), DataType.Q5_K, mode="gq")
     assert w0.packing == "none"
-    # q6_k has 6-bit codes: loads unpacked even with packing enabled
+    monkeypatch.delenv("MINIGPT4_TPU_GQ_PACK")
+    # q6_k (6-bit codes) packs too: nibbles + a 2-bit plane, 0.75 B/weight
     raw6, _ = _make(DataType.Q6_K, n, k)
     w6 = load_quant_weight(raw6, (n, k), DataType.Q6_K, mode="gq")
-    assert isinstance(w6, gq.GroupQuant) and w6.packing == "none"
+    assert isinstance(w6, gq.GroupQuant) and w6.packing == "p6"
 
 
 def test_split_activations_precision():

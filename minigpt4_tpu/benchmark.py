@@ -576,6 +576,20 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
             return False
         return True
     rng = np.random.default_rng(0)
+    if quant_mode == "gq":
+        # mirror the engine's residency-driven packing policy
+        # (engine.resolve_llm_quant_mode): single-stream 13B/7B UNPACKED
+        # codes fit the chip, and unpacked decodes faster (round-5 A/B:
+        # 41.5 vs 38.8 tok/s) — the bench must measure what the engine's
+        # auto default actually loads.  Env var still wins inside
+        # pack_enabled(); PACK_OVERRIDE only fills the unset case.
+        from .ops import group_i8 as _gqm
+
+        n_q = (cfg.n_layer * (4 * cfg.n_embd ** 2
+                              + 3 * cfg.n_embd * cfg.n_ff)
+               + cfg.n_vocab * cfg.n_embd)
+        unpacked = n_q * 1.094 + cfg.n_layer * cfg.n_embd * cfg.n_ctx * 2
+        _gqm.PACK_OVERRIDE = unpacked + 6e8 > 15.9e9
     t0 = time.perf_counter()
     params = synth_llama_params(cfg, qtype, rng, dtype, quant_mode=quant_mode)
     params = jax.device_put(params)

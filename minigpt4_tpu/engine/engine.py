@@ -95,9 +95,7 @@ def resolve_llm_quant_mode(reader, quant_mode: str, backend: str,
         return quant_mode  # tiny/test geometries: keep the exact path
     from ..ops import group_i8 as _gq
 
-    pack_on = _gq.pack_enabled()
-
-    def _gq_bytes(r) -> float:
+    def _gq_bytes(r, pack_on: bool) -> float:
         # codes: 1 B/elem, or 0.5 (p4) / 0.625 (p5) once sub-byte packed
         # (p5 additionally pads stored K to a 1024-multiple for legal
         # prefill tiles — group_i8.pad_k_chunks); planes: raw-sub-scale
@@ -126,8 +124,27 @@ def resolve_llm_quant_mode(reader, quant_mode: str, backend: str,
     hp = getattr(reader, "hparams", None)
     cache_f8 = (hp.n_layer * batch * hp.n_embd * n_ctx * 2  # 1 B/entry, k+v
                 if hp is not None else 0)
-    gq_est = int(sum(_gq_bytes(r) for r in qrecs)) + cache_f8 + _AUTO_HEADROOM
-    if AUTO_GQ and gq_est <= _HBM_BUDGET:
+
+    def gq_est(pack_on: bool) -> int:
+        return (int(sum(_gq_bytes(r, pack_on) for r in qrecs)) + cache_f8
+                + _AUTO_HEADROOM)
+
+    env_pack = _os.environ.get("MINIGPT4_TPU_GQ_PACK")
+    if env_pack is not None:
+        # explicit user choice: estimate with it, never override it
+        if AUTO_GQ and gq_est(env_pack != "0") <= _HBM_BUDGET:
+            return "gq"
+        return "w8a8"
+    # Residency-driven packing (round-5 same-session A/B: UNPACKED gq
+    # decodes 41.5 tok/s vs packed 38.8 at 13B — the in-kernel unpack +
+    # bit-plane dot cost more than the byte saving returns).  Prefer
+    # unpacked when it fits this configuration; pack only when packing is
+    # what makes exact gq fit (e.g. dense multi-lane serving); else w8a8.
+    if AUTO_GQ and gq_est(False) <= _HBM_BUDGET:
+        _gq.PACK_OVERRIDE = False
+        return "gq"
+    if AUTO_GQ and gq_est(True) <= _HBM_BUDGET:
+        _gq.PACK_OVERRIDE = True
         return "gq"
     return "w8a8"
 

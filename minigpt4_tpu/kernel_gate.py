@@ -147,16 +147,28 @@ def _gq_weight(rng, n: int, k: int, qtype=None):
 
 
 def _check_gq(name: str, k: int, n: int, m: int, stacked: bool,
-              qtype=None) -> float:
+              qtype=None, pack: bool | None = None) -> float:
     """Compile + run + verify the direct-MXU exact group-quant kernel
-    (ops/group_i8.py) against its f32 dequant reference."""
+    (ops/group_i8.py) against its f32 dequant reference.
+
+    ``pack``: force the code-storage variant (None = whatever
+    pack_enabled() resolves).  Both variants serve: the engine's
+    residency-driven policy loads UNPACKED for single-stream and PACKED
+    for dense multi-lane, so the gate must compile both."""
     import jax
     import jax.numpy as jnp
 
+    from .ops import group_i8 as gqm
     from .ops.group_i8 import qmatmul_group
 
     rng = np.random.default_rng(0)
-    w = _gq_weight(rng, n, k, qtype)
+    old = gqm.PACK_OVERRIDE
+    if pack is not None:
+        gqm.PACK_OVERRIDE = pack
+    try:
+        w = _gq_weight(rng, n, k, qtype)
+    finally:
+        gqm.PACK_OVERRIDE = old
     layer = None
     if stacked:
         w = jax.tree_util.tree_map(lambda a: a[None], w)
@@ -292,23 +304,29 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
     # M plus a k=8 verify span at the worst-case K, and the dense M=512
     # prefill fallback
     gq_cases = [] if qtypes is not None else [
-        ("13B w2 gq", 13824, 5120, 1, True),
-        ("13B w2 gq", 13824, 5120, 8, True),
-        # packed M=512 prefill at BOTH 13B Ks in the FAST tier: the
-        # round-4 bench crash (Mosaic-illegal p5 bit-plane BlockSpec) was
-        # only reachable at prefill M, and the fast gate + bench headline
+        # both code storages: the engine's residency-driven policy loads
+        # UNPACKED for single-stream (the headline) and PACKED for dense
+        # multi-lane serving — the gate compiles the worst-case K in each
+        ("13B w2 gq", 13824, 5120, 1, True, True),
+        ("13B w2 gq", 13824, 5120, 8, True, True),
+        ("13B w2 gq nopack", 13824, 5120, 1, True, False),
+        # M=512 prefill at BOTH 13B Ks in the FAST tier: the round-4
+        # bench crash (Mosaic-illegal p5 bit-plane BlockSpec) was only
+        # reachable at prefill M, and the fast gate + bench headline
         # probe compiled gq solely at M=1/M=8 (VERDICT r4 weak #4)
-        ("13B w2 gq", 13824, 5120, 512, True),
-        ("13B w1 gq", 5120, 13824, 512, True),
+        ("13B w2 gq", 13824, 5120, 512, True, True),
+        ("13B w2 gq nopack", 13824, 5120, 512, True, False),
+        ("13B w1 gq", 5120, 13824, 512, True, True),
     ]
     if not fast and qtypes is None:
-        gq_cases += [("13B w1 gq", 5120, 13824, 1, True),
-                     ("13B attn gq", 5120, 5120, 1, False),
-                     ("13B head gq", 5120, 32000, 1, False)]
-    for nm, k, n, m, st in gq_cases:
+        gq_cases += [("13B w1 gq", 5120, 13824, 1, True, True),
+                     ("13B w1 gq nopack", 5120, 13824, 1, True, False),
+                     ("13B attn gq", 5120, 5120, 1, False, True),
+                     ("13B head gq", 5120, 32000, 1, False, True)]
+    for nm, k, n, m, st, pk in gq_cases:
         tag = f"{nm} M={m} {'stacked' if st else 'flat'}"
         try:
-            dt = _check_gq(tag, k, n, m, st)
+            dt = _check_gq(tag, k, n, m, st, pack=pk)
             ok = note_dt(tag, dt) and ok
             if verbose:
                 print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)

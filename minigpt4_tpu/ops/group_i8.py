@@ -242,14 +242,30 @@ def packable(dtype: DataType) -> bool:
     return d in PACK4 or d in PACK5 or d in PACK6
 
 
+# Engine-set residency override (engine.resolve_llm_quant_mode): None =
+# packed by default (standalone loader use keeps the densest storage);
+# False when the UNPACKED codes fit the configuration — unpacked decodes
+# measurably faster (round-5 same-session A/B: 41.5 vs 38.8 tok/s at 13B;
+# the in-kernel unpack + extra bit-plane dot cost more than the 28% byte
+# saving returns) — True when packing is what makes exact gq fit.  The
+# env var always wins over this.
+PACK_OVERRIDE: bool | None = None
+
+
 def pack_enabled() -> bool:
-    """Single source of truth for the MINIGPT4_TPU_GQ_PACK toggle, read at
+    """Single source of truth for the sub-byte packing decision, read at
     CALL time: loader (models/params), gate, auto-resolver and benchmark
     must all see the same value when a test monkeypatches the env mid-
-    process (ADVICE r4 #3: benchmark.py cached it at import)."""
+    process (ADVICE r4 #3: benchmark.py cached it at import).
+    Precedence: MINIGPT4_TPU_GQ_PACK env var > PACK_OVERRIDE > packed."""
     import os
 
-    return os.environ.get("MINIGPT4_TPU_GQ_PACK", "1") != "0"
+    v = os.environ.get("MINIGPT4_TPU_GQ_PACK")
+    if v is not None:
+        return v != "0"
+    if PACK_OVERRIDE is not None:
+        return PACK_OVERRIDE
+    return True
 
 
 def pack_codes(w: GroupQuant) -> GroupQuant:

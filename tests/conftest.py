@@ -25,3 +25,17 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running serving/speculation suite"
     )
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_gq_pack_override():
+    """resolve_llm_quant_mode sets group_i8.PACK_OVERRIDE as a side effect
+    (residency-driven packing); never let one test's engine build leak the
+    packing decision into another's."""
+    yield
+    from minigpt4_tpu.ops import group_i8
+
+    group_i8.PACK_OVERRIDE = None

@@ -135,3 +135,34 @@ def test_cpu_engine_behavior_unchanged(tmp_path):
     toks = [eng.end_chat(SamplingParams(temp=0.0)) for _ in range(3)]
     assert all(isinstance(t, str) for t in toks)
     eng.close()
+
+
+def test_residency_driven_packing_override():
+    """Round-5 policy: unpacked gq decodes faster (41.5 vs 38.8 tok/s,
+    same-session A/B), so auto prefers UNPACKED when it fits and flips
+    PACK_OVERRIDE to packed only when packing is what makes gq fit."""
+    from minigpt4_tpu.ops import group_i8 as gq
+
+    r = _real_13b_residency()
+    try:
+        # single stream: unpacked fits -> gq, packing OFF
+        assert resolve_llm_quant_mode(r, "auto", "tpu", n_ctx=2048,
+                                      batch=1) == "gq"
+        assert gq.PACK_OVERRIDE is False and gq.pack_enabled() is False
+        # 8-lane dense: only the packed codes fit -> gq, packing ON
+        assert resolve_llm_quant_mode(r, "auto", "tpu", n_ctx=512,
+                                      batch=8) == "gq"
+        assert gq.PACK_OVERRIDE is True and gq.pack_enabled() is True
+    finally:
+        gq.PACK_OVERRIDE = None
+
+
+def test_env_var_beats_pack_override(monkeypatch):
+    from minigpt4_tpu.ops import group_i8 as gq
+
+    monkeypatch.setenv("MINIGPT4_TPU_GQ_PACK", "0")
+    try:
+        gq.PACK_OVERRIDE = True
+        assert gq.pack_enabled() is False  # explicit user choice wins
+    finally:
+        gq.PACK_OVERRIDE = None

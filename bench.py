@@ -291,10 +291,18 @@ def run_single(model: str) -> int:
             except Exception as e:
                 print(f"[bench] q5_k bf16-stage rider failed: {e}", file=sys.stderr)
             emit_line()
-        # full fast kernel gate LAST: compile-warms the repack/i8 shapes for
+        # every MEASUREMENT section is done: mark complete and emit BEFORE
+        # the advisory kernel-gate tail — both round-5 full runs were
+        # killed at the wall budget inside the gate, leaving complete=false
+        # on an otherwise-finished run
+        st["complete"] = True
+        emit_line()
+        # full fast kernel gate LAST: compile-warms the gq/i8 shapes for
         # CI and the next run, and records regressions — with the whole
-        # headline already on stdout, a slow cold compile here costs nothing
-        if left() > 200:
+        # headline already on stdout, a slow cold compile here costs
+        # nothing (400 s floor: the gate is 9 cases now, and a fresh
+        # machine pays first-time Mosaic compiles)
+        if left() > 400:
             try:
                 from minigpt4_tpu.kernel_gate import run_gate
 

@@ -216,18 +216,26 @@ def run_single(model: str) -> int:
             # Skipped when the handshake already ate the budget: the build
             # itself will surface a broken kernel, just with a worse error.
             try:
+                from minigpt4_tpu.benchmark import (
+                    GEOMETRIES, bench_pack_policy,
+                )
                 from minigpt4_tpu.kernel_gate import _check_gq
 
-                dt = _check_gq("13B w2 gq M=1 stacked", 13824, 5120, 1, True)
-                print(f"[bench] headline-gate gq w2 M=1 OK ({dt:.1f}s)",
-                      file=sys.stderr)
+                # probe the code storage the HEADLINE will actually run
+                # (the engine's residency policy — unpacked for
+                # single-stream 13B), not the loader's standalone default
+                pk = bench_pack_policy(GEOMETRIES[model])
+                dt = _check_gq("13B w2 gq M=1 stacked", 13824, 5120, 1,
+                               True, pack=pk)
+                print(f"[bench] headline-gate gq w2 M=1 OK ({dt:.1f}s, "
+                      f"pack={pk})", file=sys.stderr)
                 # one M=512 PREFILL shape too (~7 s warm): the round-4
                 # crash lived only in the prefill kernel, which no M<=8
                 # probe can reach (VERDICT r4 weak #4)
                 dt = _check_gq("13B w2 gq M=512 stacked", 13824, 5120, 512,
-                               True)
-                print(f"[bench] headline-gate gq w2 M=512 OK ({dt:.1f}s)",
-                      file=sys.stderr)
+                               True, pack=pk)
+                print(f"[bench] headline-gate gq w2 M=512 OK ({dt:.1f}s, "
+                      f"pack={pk})", file=sys.stderr)
             except Exception as e:
                 print(f"[bench] headline-gate FAILED: {e}", file=sys.stderr)
         # HEADLINE = the engine's DEFAULT configuration for a q5_k file on

@@ -48,6 +48,31 @@ GQ_SYNTH_D = float(_os.environ.get("MINIGPT4_TPU_GQ_SYNTH_D", "2e-5"))
 from .ops.group_i8 import pack_enabled as _gq_pack_enabled
 
 
+def bench_pack_policy(cfg) -> bool:
+    """Apply the engine's residency-driven packing decision to this
+    synthetic geometry and return it.
+
+    ONE implementation shared by bench_decode, bench.py's headline
+    fail-fast probe, and tools/train_bench_draft.py — the teacher weight
+    stream AND its provenance tag depend on the packing decision, so a
+    trainer/bench disagreement silently kills the draft_head_* metrics
+    (the tag comparison never matches).  Budget constants come from the
+    engine so a retune there cannot desync the bench
+    (engine.resolve_llm_quant_mode is the authority; the env var still
+    wins inside pack_enabled())."""
+    from .engine.engine import _AUTO_HEADROOM, _HBM_BUDGET
+    from .ops import group_i8 as gq
+
+    # q5_k exact gq, unpacked: 1 B/elem codes + ~0.094 B/elem raw
+    # sub-scale planes (engine._gq_bytes' q5_k rate) + the f8 cache
+    n_q = (cfg.n_layer * (4 * cfg.n_embd ** 2 + 3 * cfg.n_embd * cfg.n_ff)
+           + cfg.n_vocab * cfg.n_embd)
+    unpacked = n_q * 1.094 + cfg.n_layer * cfg.n_embd * cfg.n_ctx * 2
+    pack = unpacked + _AUTO_HEADROOM > _HBM_BUDGET
+    gq.PACK_OVERRIDE = pack
+    return pack
+
+
 def synth_teacher_tag(quant_mode: str) -> str:
     """Provenance tag naming the synthetic teacher a draft artifact was
     distilled against (train/draft.py ``teacher_mode``): numerics AND the
@@ -577,19 +602,11 @@ def bench_decode(model: str, qtype: DataType, n_decode: int, prefill_len: int,
         return True
     rng = np.random.default_rng(0)
     if quant_mode == "gq":
-        # mirror the engine's residency-driven packing policy
-        # (engine.resolve_llm_quant_mode): single-stream 13B/7B UNPACKED
-        # codes fit the chip, and unpacked decodes faster (round-5 A/B:
-        # 41.5 vs 38.8 tok/s) — the bench must measure what the engine's
-        # auto default actually loads.  Env var still wins inside
-        # pack_enabled(); PACK_OVERRIDE only fills the unset case.
-        from .ops import group_i8 as _gqm
-
-        n_q = (cfg.n_layer * (4 * cfg.n_embd ** 2
-                              + 3 * cfg.n_embd * cfg.n_ff)
-               + cfg.n_vocab * cfg.n_embd)
-        unpacked = n_q * 1.094 + cfg.n_layer * cfg.n_embd * cfg.n_ctx * 2
-        _gqm.PACK_OVERRIDE = unpacked + 6e8 > 15.9e9
+        # the engine's residency-driven packing policy: single-stream
+        # 13B/7B UNPACKED codes fit the chip, and unpacked decodes faster
+        # (round-5 A/B: 41.5 vs 38.8 tok/s) — the bench must measure what
+        # the engine's auto default actually loads
+        bench_pack_policy(cfg)
     t0 = time.perf_counter()
     params = synth_llama_params(cfg, qtype, rng, dtype, quant_mode=quant_mode)
     params = jax.device_put(params)

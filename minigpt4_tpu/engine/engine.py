@@ -83,7 +83,17 @@ def resolve_llm_quant_mode(reader, quant_mode: str, backend: str,
     fit the chip; else "w8a8" (re-quantized, ~1.2 GB smaller at 13B) when
     that fits; else unchanged (the bf16-staging exact kernel at 0.75
     B/weight).  Both byte paths need every major quantized weight at
-    K % 256 == 0 (true for all real LLaMA geometries)."""
+    K % 256 == 0 (true for all real LLaMA geometries).
+
+    Side effect: sets group_i8.PACK_OVERRIDE for the residency-driven
+    packing decision.  Every call starts by RESETTING it to None so a
+    previous resolution in the same process (another engine, the draft
+    model) can never leak a stale decision into this load — explicit
+    quant modes and non-auto paths get the documented packed default
+    back."""
+    from ..ops import group_i8 as _gq
+
+    _gq.PACK_OVERRIDE = None
     if quant_mode != "auto" or backend != "tpu" or not AUTO_W8A8:
         return quant_mode
     from ..formats.dtypes import DataType, is_quantized
@@ -93,7 +103,6 @@ def resolve_llm_quant_mode(reader, quant_mode: str, backend: str,
         return quant_mode
     if any(len(r.shape) == 2 and r.shape[1] % 256 for r in qrecs):
         return quant_mode  # tiny/test geometries: keep the exact path
-    from ..ops import group_i8 as _gq
 
     def _gq_bytes(r, pack_on: bool) -> float:
         # codes: 1 B/elem, or 0.5 (p4) / 0.625 (p5) once sub-byte packed

@@ -158,17 +158,26 @@ def _check_gq(name: str, k: int, n: int, m: int, stacked: bool,
     import jax
     import jax.numpy as jnp
 
-    from .ops import group_i8 as gqm
     from .ops.group_i8 import qmatmul_group
 
+    import os
+
     rng = np.random.default_rng(0)
-    old = gqm.PACK_OVERRIDE
+    # force via the ENV VAR, not PACK_OVERRIDE: pack_enabled() gives the
+    # env var precedence, so an exported MINIGPT4_TPU_GQ_PACK would
+    # silently defeat an override-based force and the "nopack" cases
+    # would compile (and PASS on) the packed variant they never ran
+    old = os.environ.get("MINIGPT4_TPU_GQ_PACK")
     if pack is not None:
-        gqm.PACK_OVERRIDE = pack
+        os.environ["MINIGPT4_TPU_GQ_PACK"] = "1" if pack else "0"
     try:
         w = _gq_weight(rng, n, k, qtype)
     finally:
-        gqm.PACK_OVERRIDE = old
+        if pack is not None:
+            if old is None:
+                os.environ.pop("MINIGPT4_TPU_GQ_PACK", None)
+            else:
+                os.environ["MINIGPT4_TPU_GQ_PACK"] = old
     layer = None
     if stacked:
         w = jax.tree_util.tree_map(lambda a: a[None], w)

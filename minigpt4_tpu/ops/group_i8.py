@@ -611,8 +611,11 @@ def decode_plan(k: int, m: int, gs: int, exact: bool, packing: str,
             (tn_ * k if packing in HB_DIV else 0)
         return (2 * (tn_ * kc + hb + planes) + 16 * m * k + temps
                 + 2 * m * tn_ * 4 + g * m * 4)
-    while est(tn) > 15_500_000 and tn > 64:
-        tn //= 2
+    # shrink in 128-lane steps: halving a legal non-power-of-two TN (384)
+    # would yield a Mosaic-illegal lane width (192), and 64-wide blocks are
+    # illegal whenever N > 64 — 128 is the floor AND the step
+    while est(tn) > 15_500_000 and tn > 128:
+        tn = max(128, (tn - 128) // 128 * 128)
     return tn
 
 
@@ -831,8 +834,10 @@ def prefill_plan(k: int, m: int, gs: int, packing: str, tn: int
                 + 3 * tn_ * tk // gs)
     while est(tm, tn) > 11_500_000 and tm > 64:
         tm //= 2
+    # 128-lane steps (not halving): see decode_plan — 384//2 = 192 would
+    # be a Mosaic-illegal lane width
     while est(tm, tn) > 11_500_000 and tn > 128:
-        tn //= 2
+        tn = max(128, (tn - 128) // 128 * 128)
     return tm, tn, tk
 
 

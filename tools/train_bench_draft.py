@@ -145,6 +145,13 @@ def main() -> None:
             return np.asarray(bpe.tokenize(text, add_bos=False), np.int32)
     else:
         cfg = B.GEOMETRIES[args.model]
+        if args.quant_mode == "gq":
+            # the bench applies the engine's residency-driven packing
+            # policy to its teacher (benchmark.bench_pack_policy); the
+            # trainer MUST mirror it or the teacher weight stream and the
+            # provenance tag both diverge and the bench silently drops
+            # every draft_head_* metric (tag mismatch at scoring time)
+            B.bench_pack_policy(cfg)
         params = B.synth_llama_params(cfg, DataType.Q5_K, rng_model,
                                       quant_mode=args.quant_mode)
         params = jax.device_put(params)

@@ -253,6 +253,37 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
                 return False
         return True
 
+    def run_case(tag: str, fn) -> bool:
+        """One gate case with a single cache-warm RETRY on a blown compile
+        budget: a congested compile service inflated one case 8x in a
+        round-5 ritual run (224.5 s vs 27.1 recorded, 312 s handshake that
+        hour) and false-failed the whole gate.  The first attempt's
+        successful compile lands in the persistent cache, so a retry
+        separates congestion (fast now) from a real Mosaic program-size
+        regression (still slow)."""
+        try:
+            dt = fn()
+        except Exception as e:
+            print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
+            return False
+        if note_dt(tag, dt):
+            if verbose:
+                print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
+            return True
+        print(f"[kernel-gate] RETRY {tag}: re-timing against the warm "
+              "persistent cache (congestion vs regression)", file=sys.stderr)
+        try:
+            dt = fn()
+        except Exception as e:
+            print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
+            return False
+        if note_dt(tag, dt):
+            if verbose:
+                print(f"[kernel-gate] PASS {tag} ({dt:.1f}s, on retry)",
+                      file=sys.stderr)
+            return True
+        return False
+
     if fast:
         cases = [
             (nm, k, n, qt, m, st)
@@ -279,14 +310,7 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
     ok = True
     for nm, k, n, qt, m, st in cases:
         tag = f"{nm} {qt.name.lower()} M={m} {'stacked' if st else 'flat'}"
-        try:
-            dt = _check_one(tag, k, n, qt, m, st)
-            ok = note_dt(tag, dt) and ok
-            if verbose:
-                print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
-        except Exception as e:
-            ok = False
-            print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
+        ok = run_case(tag, lambda: _check_one(tag, k, n, qt, m, st)) and ok
     # the experimental i8 kernel: worst-case K + the stacked decode shape.
     # Skipped when a --qtypes split filter is active (these cases are
     # qtype-independent; re-running them per split process would repeat the
@@ -301,14 +325,7 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
         i8_cases += [("13B attn i8", 5120, 5120, 1, False)]
     for nm, k, n, m, st in i8_cases:
         tag = f"{nm} M={m} {'stacked' if st else 'flat'}"
-        try:
-            dt = _check_i8(tag, k, n, m, st)
-            ok = note_dt(tag, dt) and ok
-            if verbose:
-                print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
-        except Exception as e:
-            ok = False
-            print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
+        ok = run_case(tag, lambda: _check_i8(tag, k, n, m, st)) and ok
     # the exact group-quant kernel (the exact-q5_k decode default): decode
     # M plus a k=8 verify span at the worst-case K, and the dense M=512
     # prefill fallback
@@ -334,14 +351,7 @@ def run_gate(fast: bool = False, verbose: bool = True, qtypes: list | None = Non
                      ("13B head gq", 5120, 32000, 1, False, True)]
     for nm, k, n, m, st, pk in gq_cases:
         tag = f"{nm} M={m} {'stacked' if st else 'flat'}"
-        try:
-            dt = _check_gq(tag, k, n, m, st, pack=pk)
-            ok = note_dt(tag, dt) and ok
-            if verbose:
-                print(f"[kernel-gate] PASS {tag} ({dt:.1f}s)", file=sys.stderr)
-        except Exception as e:
-            ok = False
-            print(f"[kernel-gate] FAIL {tag}: {e}", file=sys.stderr)
+        ok = run_case(tag, lambda: _check_gq(tag, k, n, m, st, pack=pk)) and ok
     if compile_budget == "record" and case_s:
         import json as _json
 

@@ -166,3 +166,45 @@ def test_env_var_beats_pack_override(monkeypatch):
         assert gq.pack_enabled() is False  # explicit user choice wins
     finally:
         gq.PACK_OVERRIDE = None
+
+
+def test_gate_pack_forcing_beats_env(monkeypatch):
+    """_check_gq(pack=...) must produce the forced storage even when the
+    user exported MINIGPT4_TPU_GQ_PACK (env beats PACK_OVERRIDE inside
+    pack_enabled, so the gate forces via the env var itself)."""
+    import numpy as np
+
+    from minigpt4_tpu.kernel_gate import _gq_weight
+    from minigpt4_tpu.ops import group_i8 as gq
+
+    monkeypatch.setenv("MINIGPT4_TPU_GQ_PACK", "1")
+    # reproduce _check_gq's forcing block for pack=False
+    import os
+
+    old = os.environ.get("MINIGPT4_TPU_GQ_PACK")
+    os.environ["MINIGPT4_TPU_GQ_PACK"] = "0"
+    try:
+        w = _gq_weight(np.random.default_rng(0), 64, 512)
+    finally:
+        os.environ["MINIGPT4_TPU_GQ_PACK"] = old
+    assert w.packing == "none"  # the nopack case really is unpacked
+    assert os.environ["MINIGPT4_TPU_GQ_PACK"] == "1"  # restored
+
+
+def test_bench_pack_policy_matches_engine_budget():
+    """bench_pack_policy shares the engine's budget constants: 13B/7B
+    single-stream resolve to UNPACKED (False), and a hypothetical
+    geometry past the budget resolves to packed (True)."""
+    from minigpt4_tpu import benchmark as B
+    from minigpt4_tpu.models.llama import LlamaConfig
+    from minigpt4_tpu.ops import group_i8 as gq
+
+    try:
+        assert B.bench_pack_policy(B.GEOMETRIES["13B"]) is False
+        assert B.bench_pack_policy(B.GEOMETRIES["7B"]) is False
+        big = LlamaConfig(n_vocab=32000, n_embd=8192, n_head=64,
+                          n_layer=80, n_rot=128, n_ff=22016, n_ctx=2048)
+        assert B.bench_pack_policy(big) is True
+        assert gq.PACK_OVERRIDE is True
+    finally:
+        gq.PACK_OVERRIDE = None

@@ -573,6 +573,14 @@ def _kernel_generic(xg_ref, c_ref, *refs, k, m, gs, packing):
 import os as _os
 
 TN = int(_os.environ.get("MINIGPT4_TPU_GQ_TN", "256"))
+# prefill (M > GQ_MAX_M) output-tile width.  The (m, n, k-innermost) grid
+# re-fetches the [TM, TK] x block on every n step, so activation traffic
+# scales with N/TN — at the default TN=256 it is 2-4x the codes bytes at
+# 13B (w13: 566 MB of x re-streaming vs 141 MB of codes).  TN=1024 was
+# measured uniformly ~25% faster than 256 at every 13B shape, M=512
+# (87-88 -> 116-119 TF/s, same session, tools/sweep_prefill_tn.py);
+# prefill_plan still shrinks it in 128-lane steps when VMEM requires.
+PREFILL_TN = int(_os.environ.get("MINIGPT4_TPU_GQ_PREFILL_TN", "1024"))
 
 
 def _interpret() -> bool:
@@ -832,10 +840,17 @@ def prefill_plan(k: int, m: int, gs: int, packing: str, tn: int
                 + tn_ * unpack_tmp + 2 * tm_ * tn_ * 4
                 + tn_ * chunk * (6 if packing in HB_DIV else 2)
                 + 3 * tn_ * tk // gs)
+    # shrink TN before TM (128-lane steps, not halving — see decode_plan:
+    # 384//2 = 192 would be a Mosaic-illegal lane width): halving tm re-runs
+    # the whole per-element dequant once per extra M tile (the measured
+    # 462 ms pathology), while narrower tn only adds x-block re-fetches.
+    # TN floors at 256 first so a large PREFILL_TN start (p5 at tk=2048
+    # would need ~17 MB at tn=1024) degrades toward the measured-good
+    # (tm=512, tn=256) plans instead of collapsing tm to 64.
+    while est(tm, tn) > 11_500_000 and tn > 256:
+        tn = max(256, (tn - 128) // 128 * 128)
     while est(tm, tn) > 11_500_000 and tm > 64:
         tm //= 2
-    # 128-lane steps (not halving): see decode_plan — 384//2 = 192 would
-    # be a Mosaic-illegal lane width
     while est(tm, tn) > 11_500_000 and tn > 128:
         tn = max(128, (tn - 128) // 128 * 128)
     return tm, tn, tk
@@ -853,7 +868,7 @@ def _run_prefill(x, planes, layer, *, meta, interpret=False, tn=None):
     (XLA assigns the dot's preferred parameter layout).  The kernel reads
     the codes in their storage layout, once."""
     k, n_out, m, gs, exact, packing = meta
-    tm, tn, tk = prefill_plan(k, m, gs, packing, tn or TN)
+    tm, tn, tk = prefill_plan(k, m, gs, packing, tn or PREFILL_TN)
     chunk = J * gs
     m_pad = -(-m // tm) * tm
     n_pad = -(-n_out // tn) * tn

@@ -49,3 +49,21 @@ def test_decode_tile_shrinks_only_for_the_q6k_overflow():
 def test_prefill_tiles_pinned_for_13b_q5k(k, packing, tk_want, tm_want):
     tm, tn, tk = prefill_plan(k, 512, 32, packing, 256)
     assert (tm, tk) == (tm_want, tk_want), (tm, tn, tk)
+
+
+@pytest.mark.parametrize("k,packing,plan_want", [
+    # PREFILL_TN=1024 measured uniformly ~25% over tn=256 at M=512 (87-88
+    # -> 116-119 TF/s on every 13B shape, same session — the x block
+    # re-fetch per n step shrinks 4x; tools/sweep_prefill_tn.py)
+    (5120, "none", (512, 1024, 1280)),
+    (13824, "none", (512, 1024, 1536)),
+    # p5 VMEM: tn shrinks BEFORE tm (tm=64 would re-run the dequant 8x
+    # per M tile — the 462 ms pathology prefill_plan exists to avoid)
+    (5120, "p5", (512, 1024, 1024)),
+    (14336, "p5", (512, 512, 2048)),
+])
+def test_prefill_tn_default_plans_13b(k, packing, plan_want):
+    from minigpt4_tpu.ops.group_i8 import PREFILL_TN
+
+    assert PREFILL_TN == 1024
+    assert prefill_plan(k, 512, 32, packing, PREFILL_TN) == plan_want
